@@ -1,0 +1,59 @@
+"""Lake-table catalog: the TPC-H-ish fixture tables (TESTDATA.md).
+
+``load`` maps a table name to a DataFrame over
+``{sf_dir}/{name}.parquet``.  At 100 TB these would be partitioned /
+bucketed parquet or Iceberg tables; the access path is identical
+(``spark.read.parquet`` with Catalyst pushdown + pruning), so nothing in the
+operators cares which.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any realistic SF.  At TPC-H
+# scale these grow sublinearly vs. the fact tables (region/nation are
+# constant-size), so a broadcast hint is safe at 100 TB too.
+BROADCAST_DIMS = frozenset({"region", "nation", "supplier"})
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        return _load_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+    rejects ([PARQUET_TYPE_ILLEGAL]).  Read it as raw nanos
+    (``legacy.parquet.nanosAsLong``) and rebuild a microsecond timestamp with
+    integer arithmetic (exact — no double round-trip), matching DuckDB's
+    ns -> us truncation."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for ``spark.sql`` use."""
+    for name in TABLES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,701 @@
+"""Relational core: scans, filters, aggregates, sorts, limits, set ops and
+scalar-function coverage (SURVEY.md §2.1 S8, §2.2 P6, §2.4 A1-A9, §2.6 O1-O6,
+§2.7).
+
+Everything here is built-in Catalyst-optimized DataFrame API — filters and
+projections push down to the parquet scan, aggregations run partial+final
+(map-side combine), sorts are range-partitioned.  At 100 TB nothing changes:
+the same plans scale because no operator collects to the driver and every
+shuffle is keyed by the grouping/sort columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions.exprs import (
+    SQL_CHARGE,
+    SQL_DISC_PRICE,
+    avg_money,
+    charge,
+    dec_money,
+    dec_rate,
+    disc_price,
+    sql_avg_money,
+    sql_sum_money,
+    sum_money,
+)
+from ..registry import QuerySpec, spec
+
+# ---------------------------------------------------------------------------
+# Flagship: pricing summary (TPC-H Q1 shape).  SURVEY §7 M0.
+# ---------------------------------------------------------------------------
+
+
+@spec(
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_sum_money('CAST(l_quantity AS DECIMAL(12,2))', 'sum_qty')},
+           {sql_sum_money('CAST(l_extendedprice AS DECIMAL(12,2))', 'sum_base_price')},
+           {sql_sum_money(SQL_DISC_PRICE, 'sum_disc_price')},
+           {sql_sum_money(SQL_CHARGE, 'sum_charge')},
+           {sql_avg_money('CAST(l_quantity AS DECIMAL(12,2))', 'avg_qty')},
+           {sql_avg_money('CAST(l_extendedprice AS DECIMAL(12,2))', 'avg_price')},
+           {sql_avg_money('CAST(l_discount AS DECIMAL(5,2))', 'avg_disc')},
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="Pricing summary over lineitem (scan S8, filter P6, hash agg A2, sort O1).",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            sum_money(dec_money("l_quantity"), "sum_qty"),
+            sum_money(dec_money("l_extendedprice"), "sum_base_price"),
+            sum_money(disc_price(), "sum_disc_price"),
+            sum_money(charge(), "sum_charge"),
+            avg_money(dec_money("l_quantity"), "avg_qty"),
+            avg_money(dec_money("l_extendedprice"), "avg_price"),
+            avg_money(dec_rate("l_discount"), "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@spec(
+    f"""
+    SELECT l_orderkey,
+           {sql_sum_money(SQL_DISC_PRICE, 'revenue')},
+           CAST(o_orderdate AS DATE) AS o_orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < DATE '1998-03-15'
+      AND l_shipdate  > DATE '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    doc="Shipping-priority top-k (joins J1, agg A2, top-k O3).",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit("1998-03-15").cast("date")
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(sum_money(disc_price(), "revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@spec(
+    f"""
+    SELECT n_name, {sql_sum_money(SQL_DISC_PRICE, 'revenue')}
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1999-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC
+    """,
+    doc="Local-supplier volume: 6-way join with broadcast dims (J1/J2, A2).",
+)
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("date"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    supp = F.broadcast(load(spark, sf_dir, "supplier"))
+    nation = F.broadcast(load(spark, sf_dir, "nation"))
+    region = F.broadcast(load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey))
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(sum_money(disc_price(), "revenue"))
+        .orderBy(F.desc("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# P6 / O1-O6: filters, sorts, limits, set ops
+# ---------------------------------------------------------------------------
+
+
+@spec(
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_orderstatus = 'F' AND o_totalprice > 150000.0
+    """,
+    doc="P6 predicate filter; pushes to parquet scan (PushedFilters).",
+)
+def filter_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .filter((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 150000.0))
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    )
+
+
+@spec(
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_orderkey LIMIT 100 OFFSET 500
+    """,
+    doc="O2 limit/offset with deterministic order (reference pagination S2 analogue).",
+)
+def limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+        .offset(500)
+        .limit(100)
+    )
+
+
+@spec(
+    """
+    SELECT o_orderkey, o_totalprice, o_custkey FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+    """,
+    doc="O3 top-k: Spark plans TakeOrderedAndProject (no full sort).",
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_custkey")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(25)
+    )
+
+
+@spec(
+    """
+    SELECT c_custkey, c_acctbal FROM customer ORDER BY c_acctbal DESC, c_custkey
+    """,
+    doc="O1 global sort (range-partitioned exchange).",
+)
+def sort_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "customer")
+        .select("c_custkey", "c_acctbal")
+        .orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    )
+
+
+@spec(
+    """
+    SELECT k, src FROM (
+      SELECT o_custkey AS k, 'orders' AS src FROM orders WHERE o_orderstatus = 'O'
+      UNION ALL
+      SELECT c_custkey AS k, 'customer' AS src FROM customer WHERE c_acctbal < 0
+    )
+    """,
+    doc="O4 union all.",
+)
+def union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .select(F.col("o_custkey").alias("k"), F.lit("orders").alias("src"))
+    )
+    b = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") < 0)
+        .select(F.col("c_custkey").alias("k"), F.lit("customer").alias("src"))
+    )
+    return a.unionByName(b)
+
+
+@spec(
+    """
+    SELECT c_custkey AS k FROM customer
+    INTERSECT
+    SELECT o_custkey FROM orders
+    """,
+    doc="O5 intersect.",
+)
+def intersect_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    b = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    return a.intersect(b)
+
+
+@spec(
+    """
+    SELECT c_custkey AS k FROM customer
+    EXCEPT
+    SELECT o_custkey FROM orders
+    """,
+    doc="O5 except: customers with no orders.",
+)
+def except_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    b = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    return a.exceptAll(b).distinct()
+
+
+@spec(
+    """
+    SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+    """,
+    doc="O6 distinct (dropDuplicates on the key set compares deterministically).",
+)
+def distinct_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+# ---------------------------------------------------------------------------
+# A1-A9 aggregations
+# ---------------------------------------------------------------------------
+
+
+@spec(
+    """
+    SELECT COUNT(*) AS n_rows, COUNT(DISTINCT l_orderkey) AS n_orders FROM lineitem
+    """,
+    doc="A1 global count + A4 count distinct (reference's running row counts, "
+    "pyrfc_read_table.py:119-122, as a distributed agg).",
+)
+def agg_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "lineitem").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+@spec(
+    f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           {sql_sum_money('CAST(o_totalprice AS DECIMAL(12,2))', 'total')},
+           {sql_avg_money('CAST(o_totalprice AS DECIMAL(12,2))', 'avg_price')},
+           MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="A2 hash aggregate with partial+final phases (HashAggregateExec).",
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            sum_money(dec_money("o_totalprice"), "total"),
+            avg_money(dec_money("o_totalprice"), "avg_price"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@spec(
+    """
+    SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_supp,
+           COUNT(DISTINCT l_partkey) AS n_part
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="A4 grouped distinct aggregates (expand + two-phase agg).",
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct("l_partkey").alias("n_part"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@spec(
+    None,
+    doc="A5 approx_count_distinct (HLL++): no exact SQL oracle; rows-only check. "
+    "Validated in tests against exact count within rsd tolerance.",
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "lineitem").agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+    )
+
+
+@spec(
+    """
+    SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+           COALESCE(l_linestatus, 'ALL') AS ls,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY rf, ls
+    """,
+    doc="A6 rollup (grouping sets).",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            sum_money(dec_money("l_quantity"), "qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "n",
+            "qty",
+        )
+        .orderBy("rf", "ls")
+    )
+
+
+@spec(
+    """
+    SELECT COALESCE(o_orderstatus, 'ALL') AS st,
+           COALESCE(o_orderpriority, 'ALL') AS pri,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY st, pri
+    """,
+    doc="A6 cube.",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("st"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("pri"),
+            "n",
+        )
+        .orderBy("st", "pri")
+    )
+
+
+@spec(
+    """
+    SELECT l_returnflag,
+           COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_high_disc,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) FILTER (WHERE l_linestatus = 'F')
+                AS DOUBLE) AS qty_f
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="A7 filtered aggregates (sum(when(cond, x)) form).",
+)
+def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_high_disc"),
+            F.sum(F.when(F.col("l_linestatus") == "F", dec_money("l_quantity")))
+            .cast("double")
+            .alias("qty_f"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@spec(
+    """
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS names,
+           COUNT(*) AS n
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+    doc="A8 collect_list surfaced as a sorted joined string (order-stable compare).",
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "nation")
+        .groupBy("n_regionkey")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("names"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+@spec(
+    """
+    SELECT l_returnflag,
+           ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
+           ROUND(var_samp(l_quantity), 4) AS var_qty,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           ROUND(quantile_cont(l_quantity, 0.5), 4) AS median_qty
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="A9 statistical aggregates (rounded: FP accumulation order differs by engine).",
+)
+def agg_statistical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+            F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+            F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("median_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 scalar-function coverage
+# ---------------------------------------------------------------------------
+
+
+@spec(
+    """
+    SELECT p_partkey,
+           upper(p_name) AS name_up,
+           lower(p_brand) AS brand_lo,
+           substring(p_type, 1, 3) AS type3,
+           length(p_name) AS name_len,
+           regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+           regexp_replace(p_name, ' ', '_', 'g') AS name_us,
+           (p_name LIKE '%red%') AS has_red,
+           instr(p_name, 'e') AS first_e,
+           lpad(CAST(p_size AS VARCHAR), 5, '0') AS size_pad
+    FROM part
+    """,
+    doc="§2.7 string functions (lpad mirrors DDIC zero-padded N keys).",
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_up"),
+        F.lower("p_brand").alias("brand_lo"),
+        F.substring("p_type", 1, 3).alias("type3"),
+        F.length("p_name").alias("name_len"),
+        F.regexp_extract("p_name", r"([a-z]+)$", 1).alias("last_word"),
+        F.regexp_replace("p_name", " ", "_").alias("name_us"),
+        F.col("p_name").like("%red%").alias("has_red"),
+        F.instr(F.col("p_name"), "e").alias("first_e"),
+        F.lpad(F.col("p_size").cast("string"), 5, "0").alias("size_pad"),
+    )
+
+
+@spec(
+    """
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) AS od,
+           year(o_orderdate) AS yr,
+           month(o_orderdate) AS mo,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           date_diff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01') AS days_to_99,
+           CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m,
+           CAST(floor(epoch(o_orderdate)) AS BIGINT) AS epoch_s
+    FROM orders
+    """,
+    doc="§2.7 date/time functions (DDIC D handling is in the ingest module).",
+)
+def fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("od"),
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.datediff(F.lit("1999-01-01").cast("date"), F.col("o_orderdate").cast("date")).alias(
+            "days_to_99"
+        ),
+        F.add_months(F.col("o_orderdate"), 3).alias("plus3m"),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+    )
+
+
+@spec(
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice, 1) AS price_r1,
+           abs(l_discount - 0.05) AS disc_dev,
+           ceil(l_quantity / 7.0) AS q_ceil,
+           floor(l_quantity / 7.0) AS q_floor,
+           CAST(pow(2, l_linenumber) AS DOUBLE) AS pow2,
+           ((l_orderkey % 7) + 7) % 7 AS key_mod7
+    FROM lineitem
+    """,
+    doc="§2.7 math functions (pmod expressed portably; rand excluded — nondeterministic).",
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("price_r1"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.ceil(F.col("l_quantity") / 7.0).alias("q_ceil"),
+        F.floor(F.col("l_quantity") / 7.0).alias("q_floor"),
+        F.pow(F.lit(2), F.col("l_linenumber")).alias("pow2"),
+        F.pmod(F.col("l_orderkey"), F.lit(7)).alias("key_mod7"),
+    )
+
+
+@spec(
+    """
+    WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    SELECT doc_id,
+           len(w) AS n_tokens,
+           w[1] AS first_word,
+           array_to_string(list_slice(w, 1, 3), ' ') AS first3,
+           array_to_string(list_sort(w), ' ') AS sorted_words,
+           array_to_string(list_transform(list_slice(w, 1, 5), x -> upper(x)), ' ')
+             AS first5_up,
+           len(list_filter(w, x -> length(x) > 4)) AS n_long,
+           CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS sum_len
+    FROM ws
+    """,
+    doc="§2.7 array functions: split/size/element_at/slice/sort/transform/filter/aggregate.",
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(w).alias("n_tokens"),
+        F.element_at(w, 1).alias("first_word"),
+        F.array_join(F.slice(w, 1, 3), " ").alias("first3"),
+        F.array_join(F.array_sort(w), " ").alias("sorted_words"),
+        F.array_join(F.transform(F.slice(w, 1, 5), lambda x: F.upper(x)), " ").alias("first5_up"),
+        F.size(F.filter(w, lambda x: F.length(x) > 4)).alias("n_long"),
+        F.aggregate(w, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)).alias("sum_len"),
+    )
+
+
+@spec(
+    """
+    SELECT p_partkey, p_brand AS brand_val, p_type AS type_val, 2 AS n_keys
+    FROM part
+    """,
+    doc="§2.7 map functions: build a map, read keys/values back out "
+    "(oracle states the expected output, not the map plumbing).",
+)
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    m = F.create_map(F.lit("brand"), F.col("p_brand"), F.lit("type"), F.col("p_type"))
+    return p.select(
+        "p_partkey",
+        F.element_at(m, "brand").alias("brand_val"),
+        F.element_at(m, "type").alias("type_val"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+    )
+
+
+@spec(
+    """
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(props->>'k' AS INTEGER) AS k_int
+    FROM events
+    """,
+    doc="§2.7 json functions on events.props (get_json_object / from_json).",
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    parsed = F.from_json(F.col("props"), "k INT")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        parsed.getField("k").alias("k_int"),
+    )
+
+
+@spec(
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_orderstatus = 'F' THEN 'finished'
+                WHEN o_orderstatus = 'O' THEN 'open'
+                ELSE 'other' END AS status_word,
+           COALESCE(NULLIF(o_orderpriority, '4-NOT SPECIFIED'), 'unspecified') AS pri,
+           greatest(o_totalprice, 100000.0) AS at_least_100k,
+           least(o_totalprice, 100000.0) AS at_most_100k
+    FROM orders
+    """,
+    doc="§2.7 conditionals: when/otherwise, coalesce, nullif, greatest, least.",
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "F", "finished")
+        .when(F.col("o_orderstatus") == "O", "open")
+        .otherwise("other")
+        .alias("status_word"),
+        F.coalesce(F.nullif(F.col("o_orderpriority"), F.lit("4-NOT SPECIFIED")), F.lit("unspecified")).alias(
+            "pri"
+        ),
+        F.greatest(F.col("o_totalprice"), F.lit(100000.0)).alias("at_least_100k"),
+        F.least(F.col("o_totalprice"), F.lit(100000.0)).alias("at_most_100k"),
+    )
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_local_supplier": q5_local_supplier,
+    "filter_where": filter_where,
+    "limit_offset": limit_offset,
+    "topk_orders": topk_orders,
+    "sort_global": sort_global,
+    "union_all": union_all,
+    "intersect_custkeys": intersect_custkeys,
+    "except_custkeys": except_custkeys,
+    "distinct_flags": distinct_flags,
+    "agg_count": agg_count,
+    "agg_stats": agg_stats,
+    "agg_count_distinct": agg_count_distinct,
+    "agg_approx_distinct": agg_approx_distinct,
+    "agg_rollup": agg_rollup,
+    "agg_cube": agg_cube,
+    "agg_filtered": agg_filtered,
+    "agg_collect": agg_collect,
+    "agg_statistical": agg_statistical,
+    "fn_string": fn_string,
+    "fn_datetime": fn_datetime,
+    "fn_math": fn_math,
+    "fn_array": fn_array,
+    "fn_map": fn_map,
+    "fn_json": fn_json,
+    "fn_conditional": fn_conditional,
+}

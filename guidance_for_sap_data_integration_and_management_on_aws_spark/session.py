@@ -1,0 +1,63 @@
+"""SparkSession factory tuned for this engine.
+
+Designed for a large cluster (100 TB-class inputs) but testable on
+``local[N]``:
+
+* AQE on (runtime re-plan, skew-join splitting, partition coalescing) so the
+  same plans survive a 100x scale-up without hand-retuning.
+* UTC session timezone so results agree with the DuckDB oracle.
+* Arrow enabled for the (rare) Pandas-UDF paths.
+* ``spark.sql.shuffle.partitions`` defaults low for local test scale; AQE
+  coalescing makes the exact number mostly irrelevant, and on a real cluster
+  the deployment sets it to ~2-3x total cores.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+__all__ = ["get_spark", "tune"]
+
+_LOCAL_DEFAULTS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # AQE coalesces down; start at a sane local number.  Cluster deployments
+    # override via spark-defaults.
+    "spark.sql.shuffle.partitions": "32",
+    # 128 MiB input splits: the right granularity for TB-scale parquet scans
+    # and harmless at test scale.
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    # Broadcast threshold: small dims (region/nation/supplier at any SF that
+    # fits) should broadcast; AQE also converts to broadcast at runtime.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.ui.enabled": "false",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+}
+
+
+def tune(builder: SparkSession.Builder) -> SparkSession.Builder:
+    """Apply this engine's configuration to an existing builder."""
+    for k, v in _LOCAL_DEFAULTS.items():
+        builder = builder.config(k, v)
+    return builder
+
+
+def get_spark(app_name: str = "sap-guidance-spark", master: str | None = None) -> SparkSession:
+    """Return (or create) a tuned SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (or ``local[*]``)
+    when no cluster master is configured.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and "SPARK_MASTER" not in os.environ:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if master:
+        builder = builder.master(master)
+    return tune(builder).getOrCreate()
