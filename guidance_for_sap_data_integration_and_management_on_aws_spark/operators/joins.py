@@ -1,0 +1,299 @@
+"""Join operators J1-J9 (SURVEY.md §2.3).
+
+The reference has no joins (its only dataflow is the single-table RFC
+pipeline, /root/reference/pyrfc_read_table/pyrfc_read_table.py:56-85); this
+is the declared analytics surface over the lake the guidance produces.
+
+Scale notes (100 TB):
+* dimension joins broadcast (region/nation/supplier stay small at any SF);
+* fact-fact joins shuffle on the join key — Catalyst picks sort-merge, AQE
+  splits skewed partitions;
+* the as-of join is a single-shuffle union+window composition (no row
+  explosion, no driver collect), the standard scalable formulation when the
+  engine lacks a native ASOF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import QuerySpec, spec
+
+# ---------------------------------------------------------------------------
+# J1-J7: the standard join zoo
+# ---------------------------------------------------------------------------
+
+
+@spec(
+    """
+    SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_totalprice > 250000.0
+    """,
+    doc="J1 inner equi-join (sort-merge / AQE-selected).",
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 250000.0)
+    c = load(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+@spec(
+    """
+    SELECT n_name, r_name, COUNT(*) AS n_cust
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY n_name, r_name ORDER BY n_name
+    """,
+    doc="J2 broadcast hash join: explicit broadcast() of the small dims.",
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    n = F.broadcast(load(spark, sf_dir, "nation"))
+    r = F.broadcast(load(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+        .orderBy("n_name")
+    )
+
+
+@spec(
+    """
+    SELECT l_orderkey, l_linenumber, p_name
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_size > 40
+    """,
+    doc="J3 shuffled hash join via hint (same result as J1; different physical plan).",
+)
+def join_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_size") > 40).hint("shuffle_hash")
+    return li.join(p, li.l_partkey == p.p_partkey).select("l_orderkey", "l_linenumber", "p_name")
+
+
+@spec(
+    """
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice
+    FROM customer LEFT JOIN orders
+      ON c_custkey = o_custkey AND o_totalprice > 400000.0
+    """,
+    doc="J4 left outer join with a non-key condition (null-extended rows preserved).",
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    cond = (c.c_custkey == o.o_custkey) & (o.o_totalprice > 400000.0)
+    return c.join(o, cond, "left").select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+
+
+@spec(
+    """
+    SELECT e.user_id AS uk, c.c_custkey AS ck, c.c_name
+    FROM (SELECT DISTINCT user_id FROM events) e
+    FULL OUTER JOIN (SELECT c_custkey, c_name FROM customer WHERE c_custkey < 300) c
+      ON e.user_id = c.c_custkey
+    """,
+    doc="J4 full outer join.",
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select("user_id").distinct()
+    c = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 300)
+        .select("c_custkey", "c_name")
+    )
+    return e.join(c, e.user_id == c.c_custkey, "full").select(
+        F.col("user_id").alias("uk"), F.col("c_custkey").alias("ck"), "c_name"
+    )
+
+
+@spec(
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+    """,
+    doc="J5 left semi join.",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@spec(
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc="J6 left anti join.",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@spec(
+    """
+    SELECT n_name, r_name
+    FROM nation CROSS JOIN region
+    WHERE n_regionkey <> r_regionkey
+    """,
+    doc="J7 cross join + theta (non-equi) predicate.",
+)
+def join_cross_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return n.crossJoin(r).filter(F.col("n_regionkey") != F.col("r_regionkey")).select(
+        "n_name", "r_name"
+    )
+
+
+@spec(
+    """
+    SELECT b.band_id, COUNT(*) AS n,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM lineitem l
+    JOIN (VALUES (0, 0.0, 20000.0), (1, 20000.0, 45000.0), (2, 45000.0, 70000.0),
+                 (3, 70000.0, 120000.0)) AS b(band_id, lo, hi)
+      ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
+    GROUP BY b.band_id ORDER BY b.band_id
+    """,
+    doc="J8 range/interval join: broadcast nested-loop against a small band table "
+    "(the scalable strategy: broadcast the interval side, never shuffle the fact).",
+)
+def join_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(
+        [(0, 0.0, 20000.0), (1, 20000.0, 45000.0), (2, 45000.0, 70000.0), (3, 70000.0, 120000.0)],
+        "band_id INT, lo DOUBLE, hi DOUBLE",
+    )
+    return (
+        li.join(
+            F.broadcast(bands),
+            (li.l_extendedprice >= bands.lo) & (li.l_extendedprice < bands.hi),
+        )
+        .groupBy("band_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast("double").alias("total"),
+        )
+        .orderBy("band_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J9: as-of join.  Spark has no native ASOF (as of 4.x) — composition below.
+# ---------------------------------------------------------------------------
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_time: str,
+    right_time: str,
+    payload_cols: list[str],
+) -> DataFrame:
+    """Left as-of join: for each left row, the latest right row with
+    ``right_time <= left_time`` for the same key (nulls if none).
+
+    Single-shuffle union+window formulation: tag both sides, sort within key
+    by (time, tag) and carry the latest right payload forward with
+    ``last(ignorenulls=True)``.  Right rows sort before left rows at equal
+    times (tag 0 < 1), so an exactly-simultaneous right row matches.
+    Scales: one exchange on the key, sort-merge within partitions, no row
+    explosion (vs. the naive range-join + row_number which explodes on long
+    histories).
+    """
+    lcols = left.columns
+    r2 = right.select(
+        F.col(right_key).alias("__k"),
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__tag"),
+        *[F.col(c) for c in payload_cols],
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in lcols],
+    )
+    l2 = left.select(
+        F.col(left_key).alias("__k"),
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__tag"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(c) for c in payload_cols],
+        *[F.col(c) for c in lcols],
+    )
+    u = r2.unionByName(l2)
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__t", "__tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.select(
+        "*", *[F.last(c, ignorenulls=True).over(w).alias(f"__asof_{c}") for c in payload_cols]
+    )
+    return filled.filter(F.col("__tag") == 1).select(
+        *lcols, *[F.col(f"__asof_{c}").alias(c) for c in payload_cols]
+    )
+
+
+@spec(
+    """
+    WITH od AS (
+      SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id,
+           od.o_orderkey AS last_orderkey,
+           CAST(od.o_orderdate AS DATE) AS last_orderdate
+    FROM events e
+    ASOF LEFT JOIN od ON e.user_id = od.o_custkey AND e.ts >= od.o_orderdate
+    """,
+    doc="J9 as-of join: latest order per user at event time; oracle is DuckDB's "
+    "native ASOF JOIN (independent implementation check). Orders deduped to one "
+    "per (custkey, date) so the match is deterministic.",
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    joined = asof_join(
+        e,
+        o,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        payload_cols=["o_orderkey", "o_orderdate"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.col("o_orderdate").cast("date").alias("last_orderdate"),
+    )
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "join_inner": join_inner,
+    "join_broadcast": join_broadcast,
+    "join_shuffle_hash": join_shuffle_hash,
+    "join_left_outer": join_left_outer,
+    "join_full_outer": join_full_outer,
+    "join_semi": join_semi,
+    "join_anti": join_anti,
+    "join_cross_theta": join_cross_theta,
+    "join_range_bands": join_range_bands,
+    "join_asof": join_asof,
+}

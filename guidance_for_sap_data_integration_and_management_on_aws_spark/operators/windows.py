@@ -1,0 +1,151 @@
+"""Window functions W1-W4 (SURVEY.md §2.5) — all built-in.
+
+Scale note: window partitions are ``partitionBy`` keys — one shuffle per
+distinct partitioning; at 100 TB the key must be chosen high-cardinality
+(here per-nation / per-customer), never ``Window.orderBy`` without
+``partitionBy`` (single-partition global windows don't scale; global
+orderings belong in O1 range-partitioned sorts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import QuerySpec, spec
+
+
+@spec(
+    """
+    SELECT c_custkey, c_nationkey,
+           row_number()  OVER w AS rn,
+           rank()        OVER w AS rnk,
+           dense_rank()  OVER w AS drnk,
+           ntile(4)      OVER w AS quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+    """,
+    doc="W1 ranking functions (deterministic: c_custkey tie-break).",
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@spec(
+    """
+    SELECT o_orderkey, o_custkey,
+           lag(o_orderkey)  OVER w AS prev_order,
+           lead(o_orderkey) OVER w AS next_order,
+           first_value(o_orderkey) OVER w AS first_order,
+           date_diff('day',
+                     CAST(lag(o_orderdate) OVER w AS DATE),
+                     CAST(o_orderdate AS DATE)) AS days_since_prev
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    doc="W2 analytic functions lag/lead/first over per-customer order history.",
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+        F.lead("o_orderkey").over(w).alias("next_order"),
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date")).over(w),
+        ).alias("days_since_prev"),
+    )
+
+
+@spec(
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_total,
+           COUNT(*) OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS running_n
+    FROM orders
+    """,
+    doc="W3 running aggregate with an explicit ROWS frame (exact decimal sum).",
+)
+def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).over(w).cast("double").alias(
+            "running_total"
+        ),
+        F.count(F.lit(1)).over(w).alias("running_n"),
+    )
+
+
+@spec(
+    """
+    SELECT c_custkey, c_nationkey, n_in_band
+    FROM (
+      SELECT c_custkey, c_nationkey,
+             COUNT(*) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal
+                            RANGE BETWEEN 500.0 PRECEDING AND 500.0 FOLLOWING)
+               AS n_in_band
+      FROM customer)
+    """,
+    doc="W3 value-range frame: peers within +/-500 of each customer's balance.",
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal").rangeBetween(-500, 500)
+    return load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.count(F.lit(1)).over(w).alias("n_in_band"),
+    )
+
+
+@spec(
+    """
+    SELECT c_nationkey, c_custkey, c_acctbal
+    FROM customer
+    QUALIFY row_number() OVER (PARTITION BY c_nationkey
+                               ORDER BY c_acctbal DESC, c_custkey) <= 3
+    """,
+    doc="W4 top-k per group (row_number filter; DuckDB QUALIFY as oracle).",
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        load(spark, sf_dir, "customer")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 3)
+        .select("c_nationkey", "c_custkey", "c_acctbal")
+    )
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "window_rank": window_rank,
+    "window_lag_lead": window_lag_lead,
+    "window_running": window_running,
+    "window_range_frame": window_range_frame,
+    "window_topk_per_group": window_topk_per_group,
+}
