@@ -20,14 +20,19 @@ from guidance_for_sap_data_integration_and_management_on_aws_spark.registry impo
 
 def _registry() -> dict[str, QuerySpec]:
     from guidance_for_sap_data_integration_and_management_on_aws_spark.operators import (
+        dedup,
         ingest,
         joins,
+        multimodal,
         relational,
+        similarity,
+        text,
+        udfs,
         windows,
     )
 
     merged: dict[str, QuerySpec] = {}
-    for mod in (relational, joins, windows, ingest):
+    for mod in (relational, joins, windows, ingest, text, dedup, similarity, multimodal, udfs):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {sorted(overlap)}")

@@ -1,0 +1,204 @@
+"""Deduplication operators (SURVEY §2.9 L1/L2 + the mandated dedup family):
+exact normalized dedup, exact n-gram Jaccard, MinHash LSH, SimHash buckets,
+and embedding-cosine near-dup.
+
+Scale design:
+* exact dedup is a hash groupBy on the normalization key — one shuffle, the
+  cheapest possible formulation at any scale;
+* exact Jaccard blocks candidate pairs by shared token (here) — at 100 TB
+  you block by *rare* tokens or switch to the MinHash-LSH path (provided),
+  which is the textbook shingle -> minhash -> band -> bucket-join pipeline
+  with O(n) candidates instead of O(n^2);
+* SimHash bucket dedup is a single groupBy on a 16-bit fingerprint;
+* embedding near-dup prefilters by a sign-bit LSH bucket so the quadratic
+  cosine check runs only within buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions.vector import cosine, sign_bucket, sql_cosine, sql_sign_bucket
+from ..registry import QuerySpec, spec
+
+# normalization used for exact dedup (L1): collapse whitespace, lowercase, trim
+SQL_NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+
+def _norm() -> F.Column:
+    return F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+
+
+@spec(
+    f"""
+    SELECT md5({SQL_NORM}) AS norm_key,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5({SQL_NORM})
+    """,
+    doc="L1 exact dedup on normalized text: keep lowest doc_id per group "
+    "(one hash-shuffle; norm key surfaced as md5 to keep rows narrow).",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.md5(_norm()).alias("norm_key"))
+        .groupBy("norm_key")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@spec(
+    f"""
+    WITH keep AS (
+      SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5({SQL_NORM})
+    )
+    SELECT d.doc_id, d.lang, d.source FROM documents d
+    JOIN keep k ON d.doc_id = k.doc_id
+    """,
+    doc="L1 exact dedup, surviving-rows form (what a pipeline actually emits).",
+)
+def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5(_norm())).orderBy("doc_id")
+    return (
+        d.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "lang", "source")
+    )
+
+
+@spec(
+    """
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+      FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT da, db,
+           round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON da = sa.doc_id
+    JOIN sizes sb ON db = sb.doc_id
+    WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.6
+    """,
+    doc="L2 exact token-set Jaccard pairs (threshold 0.6), blocked by shared "
+    "token.  The exact twin of the MinHash-LSH path, per SURVEY §5.2; at scale "
+    "block by rare tokens or use dedup_minhash_lsh.",
+)
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")).distinct()
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = tok.alias("a")
+    b = tok.alias("b")
+    inter = (
+        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.round(F.col("i").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("i")), 6)
+    return (
+        inter.join(sa, F.col("da") == F.col("sa.doc_id"))
+        .join(sb, F.col("db") == F.col("sb.doc_id"))
+        .select("da", "db", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.6)
+    )
+
+
+@spec(
+    None,
+    doc="L2 MinHash-LSH near-dup candidates: word-shingle -> HashingTF binary "
+    "vector -> MinHashLSH(seed=42) -> approxSimilarityJoin at Jaccard distance "
+    "< 0.45 (covers exact Jaccard >= 0.6, a closed boundary).  Probabilistic candidates (superset recall vs the exact twin "
+    "dedup_jaccard_pairs) — rows-only check; agreement with the exact twin is "
+    "asserted in tests/test_llm_ops.py.",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    d = load(spark, sf_dir, "documents")
+    tokens = d.select("doc_id", F.split(F.col("text"), " ").alias("tokens"))
+    tf = HashingTF(inputCol="tokens", outputCol="features", numFeatures=1 << 16, binary=True)
+    feat = tf.transform(tokens)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    model = lsh.fit(feat)
+    pairs = model.approxSimilarityJoin(feat, feat, 0.45, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("da"),
+            F.col("datasetB.doc_id").alias("db"),
+            F.round("jaccard_dist", 6).alias("jaccard_dist"),
+        )
+    )
+
+
+@spec(
+    None,
+    doc="SimHash near-dup buckets: groups of documents sharing a 16-bit "
+    "SimHash fingerprint (single groupBy on the fingerprint — the cheapest "
+    "near-dup blocking at scale).  Fingerprint values are oracle-checked via "
+    "text_simhash; the grouping itself is rows-only.",
+)
+def dedup_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import text_simhash
+
+    fp = text_simhash.builder(spark, sf_dir)
+    return (
+        fp.groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+@spec(
+    f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    b AS (SELECT vec_id, e, {sql_sign_bucket('e', 4)} AS bucket FROM v)
+    SELECT a.vec_id AS va, c.vec_id AS vb,
+           round({sql_cosine('a.e', 'c.e')}, 6) AS cos_sim
+    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    WHERE round({sql_cosine('a.e', 'c.e')}, 6) >= 0.30
+    """,
+    doc="L2/L3 embedding-cosine near-dup pairs, prefiltered by a 4-bit "
+    "sign-LSH bucket (threshold 0.30 on the fixture's random embeddings; a real "
+    "corpus uses ~0.95) so the pairwise check is per-bucket (the 100 TB path: "
+    "bucket -> shuffle by bucket -> local pairs).",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    b = v.select("vec_id", "e", sign_bucket(F.col("e"), 4).alias("bucket"))
+    a = b.alias("a")
+    c = b.alias("c")
+    cos = F.round(cosine(F.col("a.e"), F.col("c.e")), 6)
+    return (
+        a.join(c, (F.col("a.bucket") == F.col("c.bucket")) & (F.col("a.vec_id") < F.col("c.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("va"),
+            F.col("c.vec_id").alias("vb"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.30)
+    )
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "dedup_exact": dedup_exact,
+    "dedup_exact_survivors": dedup_exact_survivors,
+    "dedup_jaccard_pairs": dedup_jaccard_pairs,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash_buckets": dedup_simhash_buckets,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+}

@@ -1,0 +1,146 @@
+"""Similarity search over embeddings (SURVEY §2.9 L3): brute-force cosine
+top-k as the exactness baseline, and a bucketed (IVF/LSH-style) variant as
+the scale path.
+
+Scale design: brute-force is O(Q x N) — correct but only viable for small Q
+or as a per-bucket kernel.  The bucketed variant assigns every vector to a
+coarse bucket (sign-LSH here; k-means centroids in a production IVF), joins
+query->bucket, and ranks only within the bucket: the join is an equi-join on
+the bucket id, so at 100 TB it shuffles by bucket instead of exploding the
+cross product.  Both paths are pure DataFrame ops (zip_with/aggregate dot
+products, window top-k) — no Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions.vector import as_double, cosine, sign_bucket, sql_cosine, sql_sign_bucket
+from ..registry import QuerySpec, spec
+
+N_QUERIES = 25  # bounded query set for the brute-force baseline
+TOP_K = 5
+
+
+@spec(
+    f"""
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+    q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.qid, v.vec_id AS neighbor_id, v.label,
+             round({sql_cosine('q.qe', 'v.e')}, 6) AS cos_sim
+      FROM q JOIN v ON q.qid <> v.vec_id
+    )
+    SELECT qid, neighbor_id, label, cos_sim FROM scored
+    QUALIFY row_number() OVER (PARTITION BY qid
+                               ORDER BY cos_sim DESC, neighbor_id) <= {TOP_K}
+    """,
+    doc="L3 brute-force cosine top-k (exact ANN baseline): bounded query set "
+    "x full corpus, ranked by rounded cosine with a deterministic tie-break.",
+)
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double("embedding").alias("e")
+    )
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(v, F.col("qid") != F.col("vec_id"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("neighbor_id"),
+            "label",
+            F.round(cosine(F.col("qe"), F.col("e")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= TOP_K)
+        .select("qid", "neighbor_id", "label", "cos_sim")
+    )
+
+
+@spec(
+    f"""
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+    b AS (SELECT vec_id, label, e, {sql_sign_bucket('e', 4)} AS bucket FROM v),
+    scored AS (
+      SELECT q.vec_id AS qid, n.vec_id AS neighbor_id, n.label,
+             round({sql_cosine('q.e', 'n.e')}, 6) AS cos_sim
+      FROM b q JOIN b n ON q.bucket = n.bucket AND q.vec_id <> n.vec_id
+    )
+    SELECT qid, neighbor_id, label, cos_sim FROM scored
+    QUALIFY row_number() OVER (PARTITION BY qid
+                               ORDER BY cos_sim DESC, neighbor_id) <= 3
+    """,
+    doc="L3 bucketed ANN (IVF/LSH-style): sign-LSH coarse buckets, equi-join "
+    "on bucket id, top-3 within bucket — the shuffle-by-bucket scale path.",
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double("embedding").alias("e")
+    )
+    b = v.select("vec_id", "label", "e", sign_bucket(F.col("e"), 4).alias("bucket"))
+    q = b.alias("q")
+    n = b.alias("n")
+    scored = q.join(
+        n, (F.col("q.bucket") == F.col("n.bucket")) & (F.col("q.vec_id") != F.col("n.vec_id"))
+    ).select(
+        F.col("q.vec_id").alias("qid"),
+        F.col("n.vec_id").alias("neighbor_id"),
+        F.col("n.label").alias("label"),
+        F.round(cosine(F.col("q.e"), F.col("n.e")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 3)
+        .select("qid", "neighbor_id", "label", "cos_sim")
+    )
+
+
+@spec(
+    f"""
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+    q AS (SELECT vec_id AS qid, label AS qlabel, e AS qe FROM v WHERE vec_id < {N_QUERIES}),
+    nn AS (
+      SELECT q.qid, q.qlabel, v.label,
+             row_number() OVER (PARTITION BY q.qid
+                                ORDER BY round({sql_cosine('q.qe', 'v.e')}, 6) DESC,
+                                         v.vec_id) AS rn
+      FROM q JOIN v ON q.qid <> v.vec_id
+    )
+    SELECT qid, CAST(qlabel = label AS BOOLEAN) AS top1_label_match
+    FROM nn WHERE rn = 1
+    """,
+    doc="L3 neighbor-quality check: does the top-1 neighbor share the query's "
+    "class label (the fixture's sanity metric for embedding search).",
+)
+def ann_label_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double("embedding").alias("e")
+    )
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("label").alias("qlabel"), F.col("e").alias("qe")
+    )
+    scored = F.broadcast(q).join(v, F.col("qid") != F.col("vec_id"))
+    w = Window.partitionBy("qid").orderBy(
+        F.round(cosine(F.col("qe"), F.col("e")), 6).desc(), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("qid", (F.col("qlabel") == F.col("label")).alias("top1_label_match"))
+    )
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "ann_bruteforce_topk": ann_bruteforce_topk,
+    "ann_lsh_topk": ann_lsh_topk,
+    "ann_label_match": ann_label_match,
+}

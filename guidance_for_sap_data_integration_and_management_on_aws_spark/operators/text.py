@@ -1,0 +1,217 @@
+"""Text-analysis operators for training-data pipelines (SURVEY §2.9 L4 +
+the mandated text ops: language-ID, quality scoring, token counting,
+fingerprinting, SimHash).
+
+All hot paths are built-in Catalyst expressions over the ``documents`` table
+— split/explode/higher-order array functions, no Python in the row path — so
+they scale to 100 TB of text: tokenization is per-row (no shuffle), the
+per-word aggregations shuffle on high-cardinality keys, and fingerprints are
+fixed-width per-doc reductions.
+
+Cross-engine hashing uses md5 hex digits decoded positionally
+(functions.exprs.md5_byte) so the DuckDB oracle computes bit-identical
+values — engine-native hash() functions differ and would not be checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions.exprs import md5_byte, sql_md5_byte
+from ..registry import QuerySpec, spec
+
+# Tiny deterministic English stopword list for the n-gram/stopword heuristic.
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
+
+
+def _words() -> Column:
+    return F.split(F.col("text"), " ")
+
+
+def _sql_stoplist() -> str:
+    return "[" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
+
+
+@spec(
+    """
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS INTEGER) AS n_bpe_ish
+    FROM documents
+    """,
+    doc="L4 token counting: whitespace tokens + a BPE-ish regex token count.",
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(_words()).alias("n_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z]+|[0-9]+"), 0)).alias("n_bpe_ish"),
+    )
+
+
+@spec(
+    f"""
+    WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS w FROM documents)
+    SELECT doc_id,
+           len(w) AS n_tokens,
+           CAST(n_chars AS DOUBLE) / len(w) AS avg_token_len,
+           CAST(len(list_filter(w, x -> list_contains({_sql_stoplist()}, x))) AS DOUBLE)
+             / len(w) AS stopword_ratio,
+           CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS uniq_ratio,
+           (len(w) BETWEEN 20 AND 1000)
+             AND (CAST(len(list_distinct(w)) AS DOUBLE) / len(w) > 0.1) AS quality_pass
+    FROM t
+    """,
+    doc="L4 quality scoring: length / stopword / uniqueness ratios and a "
+    "pass-fail gate (the usual pretraining-corpus filters).",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    w = _words()
+    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    n = F.size(w)
+    uniq = F.size(F.array_distinct(w))
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        (F.col("n_chars").cast("double") / n).alias("avg_token_len"),
+        (
+            F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x))).cast("double") / n
+        ).alias("stopword_ratio"),
+        (uniq.cast("double") / n).alias("uniq_ratio"),
+        (n.between(20, 1000) & (uniq.cast("double") / n > 0.1)).alias("quality_pass"),
+    )
+
+
+@spec(
+    f"""
+    WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents)
+    SELECT doc_id, lang,
+           CAST(len(list_filter(w, x -> list_contains({_sql_stoplist()}, x))) AS DOUBLE)
+             / len(w) AS en_stop_frac,
+           CAST(len(list_filter(w, x -> list_contains({_sql_stoplist()}, x))) AS DOUBLE)
+             / len(w) >= 0.08 AS pred_en
+    FROM t
+    """,
+    doc="L4 language-ID heuristic: EN-stopword fraction thresholded "
+    "(an n-gram/stopword heuristic — no external models in-container).",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    w = _words()
+    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    frac = F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x))).cast("double") / F.size(w)
+    return d.select(
+        "doc_id",
+        "lang",
+        frac.alias("en_stop_frac"),
+        (frac >= 0.08).alias("pred_en"),
+    )
+
+
+@spec(
+    f"""
+    WITH tok AS (
+      SELECT doc_id, w, CAST(ord AS BIGINT) AS pos
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                   generate_subscripts(string_split(text, ' '), 1) AS ord
+            FROM documents)
+    )
+    SELECT doc_id,
+           CAST(SUM({sql_md5_byte('w', 0)} * ((pos % 31) + 1)) % 1000000007
+                AS BIGINT) AS fingerprint
+    FROM tok GROUP BY doc_id
+    """,
+    doc="L4 document fingerprint: position-weighted rolling hash over tokens "
+    "(md5-byte token values so the oracle computes the identical fingerprint).",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.posexplode(_words()).alias("pos0", "w")).select(
+        "doc_id", F.col("w"), (F.col("pos0") + 1).cast("bigint").alias("pos")
+    )
+    val = md5_byte(F.col("w"), 0).cast("bigint")
+    return tok.groupBy("doc_id").agg(
+        (F.sum(val * ((F.col("pos") % 31) + 1)) % F.lit(1000000007)).alias("fingerprint")
+    )
+
+
+def _simhash_bits() -> int:
+    return 16
+
+
+def simhash16(doc_col: str = "doc_id") -> list[Column]:
+    """SimHash-16 per doc: tokens hashed to 16 bits (4 md5 hex digits);
+    each bit contributes +1/-1; fingerprint bit = sign of the sum."""
+    bits = []
+    for b in range(_simhash_bits()):
+        digit = md5_byte(F.col("w"), b // 8)  # reuse bytes 0,1
+        bit = F.shiftright(digit, b % 8).bitwiseAND(F.lit(1))
+        bits.append(F.when(bit == 1, 1).otherwise(-1).alias(f"b{b}"))
+    return bits
+
+
+@spec(
+    f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    contrib AS (
+      SELECT doc_id,
+             {', '.join(
+                 f"SUM(CASE WHEN ({sql_md5_byte('w', b // 8)} // {1 << (b % 8)}) % 2 = 1 "
+                 f"THEN 1 ELSE -1 END) AS s{b}" for b in range(16)
+             )}
+      FROM tok GROUP BY doc_id
+    )
+    SELECT doc_id,
+           {' + '.join(f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16))}
+             AS simhash
+    FROM contrib
+    """,
+    doc="SimHash-16 fingerprint per document over distinct tokens — near-dup "
+    "candidates share fingerprints.  Portable md5-derived bits; oracle computes "
+    "the identical value.",
+)
+def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_words()).alias("w")).distinct()
+    sums = tok.groupBy("doc_id").agg(
+        *[F.sum(c).alias(f"s{b}") for b, c in enumerate(simhash16())]
+    )
+    fp = None
+    for b in range(_simhash_bits()):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return sums.select("doc_id", fp.cast("bigint").alias("simhash"))
+
+
+@spec(
+    """
+    SELECT w AS word, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+    GROUP BY w
+    """,
+    doc="U4-flavored corpus word count: one row in, many out (explode), then "
+    "a high-cardinality-key aggregation — the canonical map-side-combine shape.",
+)
+def text_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(_words()).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "text_token_count": text_token_count,
+    "text_quality": text_quality,
+    "text_lang_id": text_lang_id,
+    "text_fingerprint": text_fingerprint,
+    "text_simhash": text_simhash,
+    "text_word_count": text_word_count,
+}

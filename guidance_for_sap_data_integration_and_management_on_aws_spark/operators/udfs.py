@@ -1,0 +1,102 @@
+"""UDF / UDAF / UDTF surface U1-U4 (SURVEY §2.10).
+
+UDFs are the engine's slow path — these exist to prove the surface, and each
+docstring says what the fast path is.  U2/U3 are Arrow-batched (pandas);
+U1 is a row-at-a-time Python UDF kept off any hot path by design.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udf
+
+from ..catalog import load
+from ..registry import QuerySpec, spec
+
+
+@spec(
+    """
+    SELECT doc_id, reverse(text) AS rev_text FROM documents
+    """,
+    doc="U1 scalar row-at-a-time Python UDF (the slow path — builtin "
+    "F.reverse is the fast path; oracle uses the builtin, proving equivalence).",
+)
+def udf_scalar_reverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @udf("string")
+    def py_reverse(s: str) -> str:
+        return s[::-1] if s is not None else None
+
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", py_reverse("text").alias("rev_text"))
+
+
+@spec(
+    """
+    SELECT vec_id,
+           round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 6)
+             AS l2_norm
+    FROM embeddings
+    """,
+    doc="U2 vectorized pandas UDF (Arrow batches): L2 norm per embedding — "
+    "10-100x the throughput of U1 on numeric kernels.",
+)
+def udf_pandas_l2norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @pandas_udf("double")
+    def l2(col: pd.Series) -> pd.Series:
+        # sum via Python floats sequentially to match the oracle's fold
+        return col.map(lambda v: round(sum(float(x) * float(x) for x in v) ** 0.5, 6))
+
+    e = load(spark, sf_dir, "embeddings")
+    return e.select("vec_id", l2("embedding").alias("l2_norm"))
+
+
+@spec(
+    """
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS mean_chars,
+           MAX(n_chars) AS max_chars
+    FROM documents GROUP BY lang
+    """,
+    doc="U3 grouped-map applyInPandas (UDAF-style): per-language corpus stats "
+    "computed in pandas per group; integer sums keep it engine-exact.",
+)
+def udf_grouped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        total = int(pdf["n_chars"].sum())
+        n = len(pdf)
+        return pd.DataFrame(
+            {
+                "lang": [pdf["lang"].iloc[0]],
+                "n_docs": [n],
+                "mean_chars": [float(total) / n],
+                "max_chars": [int(pdf["n_chars"].max())],
+            }
+        )
+
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang").applyInPandas(
+        stats, "lang STRING, n_docs BIGINT, mean_chars DOUBLE, max_chars BIGINT"
+    )
+
+
+@spec(
+    """
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    WHERE doc_id < 50
+    """,
+    doc="U4 UDTF shape (one row -> many): explode over a function-produced "
+    "array; bounded to doc_id < 50 to keep the oracle comparison small.",
+)
+def udtf_explode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("word"))
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "udf_scalar_reverse": udf_scalar_reverse,
+    "udf_pandas_l2norm": udf_pandas_l2norm,
+    "udf_grouped_stats": udf_grouped_stats,
+    "udtf_explode_words": udtf_explode_words,
+}

@@ -1,0 +1,62 @@
+"""LLM-data-pipeline op tests beyond the oracle gate: LSH recall vs the
+exact twin, decode plumbing, and fixture sanity (the documents table plants
+near-duplicates — the operators must actually find them)."""
+
+from __future__ import annotations
+
+from guidance_for_sap_data_integration_and_management_on_aws_spark.operators.dedup import (
+    dedup_exact,
+    dedup_jaccard_pairs,
+    dedup_minhash_lsh,
+)
+from guidance_for_sap_data_integration_and_management_on_aws_spark.operators.multimodal import (
+    build_media_frame,
+    mm_decode,
+)
+from guidance_for_sap_data_integration_and_management_on_aws_spark.operators.similarity import (
+    ann_label_match,
+)
+
+
+def test_fixture_has_near_dups(spark, sf_dir):
+    pairs = dedup_jaccard_pairs.builder(spark, sf_dir).collect()
+    assert len(pairs) > 0, "fixture should contain planted near-duplicates"
+    assert all(0.6 <= r["jaccard"] <= 1.0 for r in pairs)
+
+
+def test_minhash_lsh_finds_exact_pairs(spark, sf_dir):
+    """MinHashLSH at distance <= 0.4 must recover the exact-Jaccard >= 0.6
+    pairs with high recall (8 hash tables make misses unlikely; on the
+    fixture we require every exact pair found — seed fixed, deterministic)."""
+    exact = {(r["da"], r["db"]) for r in dedup_jaccard_pairs.builder(spark, sf_dir).collect()}
+    lsh = {(r["da"], r["db"]) for r in dedup_minhash_lsh.builder(spark, sf_dir).collect()}
+    assert exact, "need non-empty exact pairs for a meaningful recall check"
+    recall = len(exact & lsh) / len(exact)
+    # per-pair miss probability at jac=0.6 with 8 tables is (1-0.6)^8 ~ 0.07%
+    assert recall >= 0.99, f"LSH recall {recall:.4f} over {len(exact)} exact pairs"
+
+
+def test_dedup_exact_partitions_corpus(spark, sf_dir):
+    groups = dedup_exact.builder(spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r["n_copies"] for r in groups) == n_docs
+
+
+def test_decode_plumbing_one_row_per_asset(spark, sf_dir):
+    media = build_media_frame(spark, sf_dir)
+    decoded = mm_decode.builder(spark, sf_dir)
+    assert decoded.count() == media.count()
+    assert dict(decoded.dtypes)["n_pixels"] == "bigint"
+    r = decoded.orderBy("doc_id").first()
+    assert r["n_pixels"] == r["width"] * r["height"]
+    assert r["decoder"] == "stub-v1"
+
+
+def test_ann_top1_label_quality(spark, sf_dir):
+    rows = ann_label_match.builder(spark, sf_dir).collect()
+    acc = sum(r["top1_label_match"] for r in rows) / len(rows)
+    # NOTE: the fixture embeddings are i.i.d. random (verified: same-label and
+    # cross-label mean cosine are both ~0), so top-1 label match is ~1/10 by
+    # construction.  This checks the metric runs and stays in range.
+    assert 0.0 <= acc <= 1.0
+    assert len(rows) == 25
