@@ -1,0 +1,80 @@
+"""Benchmark harness: times the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with a noop-format write (full materialization
+of every row/column the plan produces — unlike ``count()``, which lets Spark
+prune the world).  A warmup run of the flagship query absorbs JVM/codegen
+startup so the numbers reflect steady-state execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+# Headline set: one per operator family (relational agg, join incl. as-of,
+# window, ingest parse, dedup, ANN, text, multimodal, UDF surface).
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "agg_rollup",
+    "join_inner",
+    "join_asof",
+    "window_topk_per_group",
+    "rfc_ingest_invariant",
+    "dedup_exact",
+    "dedup_simhash_buckets",
+    "text_word_count",
+    "ann_bruteforce_topk",
+    "mm_decode",
+    "udf_pandas_l2norm",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    import __spark_entry__ as entrymod
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.session import get_spark
+
+    spark = get_spark("bench")
+    qs = entrymod.queries()
+
+    def run(name: str) -> float:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        return time.perf_counter() - t0
+
+    run("q1_pricing_summary")  # warmup: JVM + codegen + parquet footer cache
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        timings[name] = round(run(name), 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    sys.stdout.flush()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

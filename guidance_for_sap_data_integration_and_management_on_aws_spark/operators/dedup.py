@@ -115,31 +115,60 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_MINHASHES = 8  # b=8 bands of r=1: P(candidate | jac=0.6) = 1-(0.4)^8 ~ 0.9993
+
+
 @spec(
     None,
-    doc="L2 MinHash-LSH near-dup candidates: word-shingle -> HashingTF binary "
-    "vector -> MinHashLSH(seed=42) -> approxSimilarityJoin at Jaccard distance "
-    "< 0.45 (covers exact Jaccard >= 0.6, a closed boundary).  Probabilistic candidates (superset recall vs the exact twin "
-    "dedup_jaccard_pairs) — rows-only check; agreement with the exact twin is "
-    "asserted in tests/test_llm_ops.py.",
+    doc="L2 MinHash-LSH near-dup pairs at Jaccard distance < 0.45 (covers "
+    "exact Jaccard >= 0.6, a closed boundary).  Native DataFrame pipeline — "
+    "distinct word shingles -> 8 seeded xxhash64 minhashes (per-row "
+    "array_min(transform(...)), no shuffle) -> band buckets via posexplode -> "
+    "equi-self-join on (band, minhash) for candidates -> exact Jaccard verify "
+    "via array_intersect/array_union.  Everything JVM-side; one shuffle for "
+    "the bucket join.  At 100 TB, join signatures only and re-attach token "
+    "sets by doc_id for the verify stage instead of carrying arrays through "
+    "the shuffle.  Probabilistic recall (superset of the exact twin "
+    "dedup_jaccard_pairs with prob ~0.9993/pair) -> rows-only check; "
+    "agreement with the exact twin is asserted in tests/test_llm_ops.py.",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.ml.feature import HashingTF, MinHashLSH
-
     d = load(spark, sf_dir, "documents")
-    tokens = d.select("doc_id", F.split(F.col("text"), " ").alias("tokens"))
-    tf = HashingTF(inputCol="tokens", outputCol="features", numFeatures=1 << 16, binary=True)
-    feat = tf.transform(tokens)
-    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
-    model = lsh.fit(feat)
-    pairs = model.approxSimilarityJoin(feat, feat, 0.45, distCol="jaccard_dist")
-    return (
-        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
-        .select(
-            F.col("datasetA.doc_id").alias("da"),
-            F.col("datasetB.doc_id").alias("db"),
-            F.round("jaccard_dist", 6).alias("jaccard_dist"),
+    toks = d.select("doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("toks"))
+
+    def minhash(seed: int) -> F.Column:
+        # NB: the lambda must take exactly one arg — F.transform passes the
+        # element index to a second parameter, which would clobber the seed.
+        return F.array_min(F.transform("toks", lambda w: F.xxhash64(F.lit(seed), w)))
+
+    sig = toks.select(
+        "doc_id",
+        "toks",
+        F.array(*[minhash(i) for i in range(N_MINHASHES)]).alias("sig"),
+    )
+    banded = sig.select("doc_id", "toks", F.posexplode("sig").alias("band", "h"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .select(
+            F.col("a.doc_id").alias("da"),
+            F.col("b.doc_id").alias("db"),
+            F.col("a.toks").alias("ta"),
+            F.col("b.toks").alias("tb"),
+        )
+        .dropDuplicates(["da", "db"])
+    )
+    inter = F.size(F.array_intersect("ta", "tb")).cast("double")
+    union = F.size(F.array_union("ta", "tb")).cast("double")
+    jd = F.round(F.lit(1.0) - inter / union, 6)
+    return cand.select("da", "db", jd.alias("jaccard_dist")).filter(
+        F.col("jaccard_dist") < 0.45
     )
 
 
