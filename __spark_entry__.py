@@ -30,9 +30,21 @@ def _registry() -> dict[str, QuerySpec]:
         udfs,
         windows,
     )
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.streaming import ops as streaming_ops
 
     merged: dict[str, QuerySpec] = {}
-    for mod in (relational, joins, windows, ingest, text, dedup, similarity, multimodal, udfs):
+    for mod in (
+        relational,
+        joins,
+        windows,
+        ingest,
+        text,
+        dedup,
+        similarity,
+        multimodal,
+        udfs,
+        streaming_ops,
+    ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {sorted(overlap)}")

@@ -33,6 +33,7 @@ HEADLINE = [
     "ann_bruteforce_topk",
     "mm_decode",
     "udf_pandas_l2norm",
+    "stream_tumbling_agg",
 ]
 
 

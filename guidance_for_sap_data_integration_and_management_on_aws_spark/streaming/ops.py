@@ -1,0 +1,282 @@
+"""Structured Streaming operators T1–T8 (SURVEY §2.8).
+
+The reference has zero streaming; its serial page loop
+(`/root/reference/pyrfc_read_table/pyrfc_read_table.py:68-83`) is the moral
+ancestor of a microbatch source, and its valid/error dual-sink
+(`pyrfc_read_table.py:143-149,210-221`) reappears here as the T8
+foreachBatch dead-letter split.
+
+Every query here is a *real* Structured Streaming job — file source →
+transformations → sink, drained deterministically with
+``Trigger.AvailableNow`` over the mtime-ordered replay chunks
+(see ``replay.py``) — whose final output is returned as a batch DataFrame
+for the driver's oracle comparison.  Complete-mode window aggregations are
+batch-equivalent by construction; watermark-dependent queries (T4) are
+rows-only checked, as SURVEY §5.2 prescribes.
+
+Scale design: state (window aggs, dedup keys, per-key state) is partitioned
+by grouping key across executors by Spark's streaming state store; the
+watermark bounds state size — at 100 TB/day the same topology holds with
+checkpointing to object storage and more shuffle partitions.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions.exprs import dec_money, sql_sum_money, sum_money
+from ..registry import QuerySpec, spec
+from .replay import build_replay, read_events_stream, run_to_table, scratch_dir
+
+TS_FMT = "yyyy-MM-dd HH:mm:ss"
+SQL_TS_FMT = "%Y-%m-%d %H:%M:%S"
+
+
+def _fmt(c) -> F.Column:
+    return F.date_format(c, TS_FMT)
+
+
+@spec(
+    f"""
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '{SQL_TS_FMT}') AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {sql_sum_money('CAST(value AS DECIMAL(12,2))', 'total_value')}
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="T1 tumbling-window aggregation (1h windows per event_type), complete "
+    "output mode over the deterministic replay — batch-equivalent exactly.",
+)
+def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = read_events_stream(spark, build_replay(spark, sf_dir, "ordered"))
+    agg = s.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        sum_money(dec_money("value"), "total_value"),
+    )
+    out = agg.select(
+        _fmt("window.start").alias("window_start"), "event_type", "n_events", "total_value"
+    )
+    return run_to_table(out, "mem_stream_tumbling_agg", "complete")
+
+
+@spec(
+    f"""
+    WITH slid AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) - h.off AS ws, event_type
+      FROM events e,
+           (VALUES (INTERVAL '0 hour'), (INTERVAL '1 hour')) h(off)
+    )
+    SELECT strftime(ws, '{SQL_TS_FMT}') AS window_start,
+           event_type, COUNT(*) AS n_events
+    FROM slid GROUP BY 1, 2
+    """,
+    doc="T2 sliding-window count (2h window, 1h slide): every event lands in "
+    "two windows; complete mode, batch-equivalent (oracle materializes both "
+    "covering window starts per row).",
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = read_events_stream(spark, build_replay(spark, sf_dir, "ordered"))
+    agg = s.groupBy(F.window("ts", "2 hours", "1 hour"), "event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    out = agg.select(_fmt("window.start").alias("window_start"), "event_type", "n_events")
+    return run_to_table(out, "mem_stream_sliding_window", "complete")
+
+
+@spec(
+    f"""
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL '5 minutes'
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '{SQL_TS_FMT}') AS session_start,
+           strftime(MAX(ts) + INTERVAL '5 minutes', '{SQL_TS_FMT}') AS session_end,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+    doc="T3 session windows (5-minute gap) per user, complete mode; oracle is "
+    "the classic lag+cumulative-sum island SQL (session_end = last event + "
+    "gap, matching Spark's session_window semantics).",
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = read_events_stream(spark, build_replay(spark, sf_dir, "ordered"))
+    agg = s.groupBy(F.session_window("ts", "5 minutes"), "user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    out = agg.select(
+        "user_id",
+        _fmt("session_window.start").alias("session_start"),
+        _fmt("session_window.end").alias("session_end"),
+        "n_events",
+    )
+    return run_to_table(out, "mem_stream_session_window", "complete")
+
+
+@spec(
+    None,
+    doc="T4 watermark + late-data drop: 1h tumbling counts with a 10-minute "
+    "watermark in append mode over the 'late' replay (events withheld and "
+    "re-injected days late).  Late rows are dropped and only finalized "
+    "windows are emitted — inherently watermark-dependent, so rows-only "
+    "check; exclusion is asserted in tests/test_streaming.py.",
+)
+def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = read_events_stream(spark, build_replay(spark, sf_dir, "late"))
+    agg = (
+        s.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = agg.select(_fmt("window.start").alias("window_start"), "n_events")
+    return run_to_table(out, "mem_stream_watermark_late_drop", "append")
+
+
+@spec(
+    f"""
+    SELECT event_id, strftime(ts, '{SQL_TS_FMT}') AS ts_s, user_id, event_type, value
+    FROM events
+    """,
+    doc="T5 streaming dedup: dropDuplicatesWithinWatermark on event_id over "
+    "the 'dups' replay (every 10th event arrives twice) — output equals the "
+    "original duplicate-free events table, an exact oracle.",
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = read_events_stream(spark, build_replay(spark, sf_dir, "dups"))
+    dedup = s.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(["event_id"])
+    out = dedup.select(
+        "event_id", _fmt("ts").alias("ts_s"), "user_id", "event_type", "value"
+    )
+    return run_to_table(out, "mem_stream_dedup_within_watermark", "append")
+
+
+def _running_totals(key, pdfs, state):
+    """T6 state kernel: per-user cumulative (count, cents).  Integer cents
+    keep the arithmetic exact and engine-independent."""
+    n, cents = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        cents += int((pdf["value"] * 100).round().sum())
+    state.update((n, cents))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_cents": [cents]})
+
+
+@spec(
+    """
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM events GROUP BY user_id
+    """,
+    doc="T6 custom stateful per-key logic via applyInPandasWithState: running "
+    "(count, cents) per user emitted each microbatch in update mode; the "
+    "final update per user equals the batch GROUP BY — an exact oracle.",
+)
+def stream_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql import Window
+
+    s = read_events_stream(spark, build_replay(spark, sf_dir, "ordered"))
+    updates = s.groupBy("user_id").applyInPandasWithState(
+        _running_totals,
+        "user_id BIGINT, n_events BIGINT, total_cents BIGINT",
+        "n BIGINT, cents BIGINT",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    log = run_to_table(updates, "mem_stream_stateful_running_totals", "update")
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        log.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "n_events", "total_cents")
+    )
+
+
+@spec(
+    f"""
+    SELECT e.event_id, strftime(e.ts, '{SQL_TS_FMT}') AS ts_s,
+           e.user_id, c.c_name, e.value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+    doc="T7 stream-static join: streaming events joined to the static "
+    "customer dimension (broadcast — no stream-side shuffle), append mode; "
+    "batch-equivalent exactly.",
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = read_events_stream(spark, build_replay(spark, sf_dir, "ordered"))
+    dim = F.broadcast(load(spark, sf_dir, "customer").select("c_custkey", "c_name"))
+    joined = s.join(dim, s.user_id == dim.c_custkey, "inner").select(
+        "event_id", _fmt("ts").alias("ts_s"), "user_id", "c_name", "value"
+    )
+    return run_to_table(joined, "mem_stream_static_join", "append")
+
+
+@spec(
+    f"""
+    SELECT CASE WHEN event_id % 101 = 0 THEN 'err' ELSE 'valid' END AS side,
+           COUNT(*) AS n_events,
+           {sql_sum_money('CAST(value AS DECIMAL(12,2))', 'total_value')}
+    FROM events
+    GROUP BY 1
+    """,
+    doc="T8 dual-sink dead-letter split via foreachBatch (mirrors the "
+    "reference's valid/error S3 prefixes, pyrfc_read_table.py:143-149,"
+    "210-221): rows with unparseable props JSON go to the error sink, the "
+    "rest to the data sink; returns per-side counts + totals, which must "
+    "match the batch split — the count-sum invariant of SURVEY §2.8 T8.",
+)
+def stream_deadletter_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = read_events_stream(spark, build_replay(spark, sf_dir, "bad"))
+    valid_dir = scratch_dir("t8-valid")
+    err_dir = scratch_dir("t8-err")
+    ok = F.get_json_object("props", "$.k").isNotNull()
+
+    def split_sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.filter(ok).write.mode("append").parquet(valid_dir)
+        batch_df.filter(~ok).write.mode("append").parquet(err_dir)
+
+    q = (
+        s.writeStream.foreachBatch(split_sink)
+        .option("checkpointLocation", scratch_dir("ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    valid = spark.read.parquet(valid_dir).withColumn("side", F.lit("valid"))
+    err = spark.read.parquet(err_dir).withColumn("side", F.lit("err"))
+    return (
+        valid.unionByName(err)
+        .groupBy("side")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            sum_money(dec_money("value"), "total_value"),
+        )
+    )
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "stream_tumbling_agg": stream_tumbling_agg,
+    "stream_sliding_window": stream_sliding_window,
+    "stream_session_window": stream_session_window,
+    "stream_watermark_late_drop": stream_watermark_late_drop,
+    "stream_dedup_within_watermark": stream_dedup_within_watermark,
+    "stream_stateful_running_totals": stream_stateful_running_totals,
+    "stream_static_join": stream_static_join,
+    "stream_deadletter_split": stream_deadletter_split,
+}

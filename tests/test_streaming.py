@@ -1,0 +1,64 @@
+"""Streaming-specific semantics beyond the oracle gate (SURVEY §5.2 item 3):
+watermark late-data exclusion is asserted against an exact, replay-aware
+expectation, and the replay harness itself is deterministic."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from guidance_for_sap_data_integration_and_management_on_aws_spark.operators import ingest  # noqa: F401  (keeps import graph warm)
+from guidance_for_sap_data_integration_and_management_on_aws_spark.streaming.ops import (
+    stream_watermark_late_drop,
+)
+from guidance_for_sap_data_integration_and_management_on_aws_spark.streaming.replay import N_CHUNKS
+
+
+def _expected_late_drop(spark, sf_dir) -> dict[str, int]:
+    """Replicate the 'late' replay + watermark semantics exactly:
+
+    * events sorted by (ts, event_id), split into N_CHUNKS quartiles;
+    * rows with event_id % 97 == 0 from chunks 0..N-2 arrive in the final
+      batch (index N-1);
+    * Spark's input filter for batch i uses the watermark committed *before*
+      batch i starts, which was computed from the max event time of batches
+      0..i-2 (one batch of lag — verified empirically: chunk-(N-2) planted
+      rows survive).  So late rows are dropped iff
+      ts < max ts(arrivals in batches 0..N-3) - 10 min;
+    * append mode emits a window only once watermark passes its end; the
+      final (post-drain) watermark is (global max kept ts - 10 min).
+    """
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.catalog import load
+
+    pdf = load(spark, sf_dir, "events").orderBy("ts", "event_id").toPandas()
+    n = len(pdf)
+    bounds = [round(i * n / N_CHUNKS) for i in range(N_CHUNKS + 1)]
+    planted = (pdf["event_id"] % 97 == 0) & (pd.Series(range(n)) < bounds[N_CHUNKS - 1])
+
+    early_max = pdf.loc[~planted & (pd.Series(range(n)) < bounds[N_CHUNKS - 2]), "ts"].max()
+    wm_final_batch = early_max - pd.Timedelta(minutes=10)
+    dropped = planted & (pdf["ts"] < wm_final_batch)
+    kept = pdf[~dropped]
+
+    final_wm = kept["ts"].max() - pd.Timedelta(minutes=10)
+    win_start = kept["ts"].dt.floor("h")
+    emitted = kept[(win_start + pd.Timedelta(hours=1)) <= final_wm]
+    counts = emitted.groupby(emitted["ts"].dt.floor("h")).size()
+    return {ts.strftime("%Y-%m-%d %H:%M:%S"): int(c) for ts, c in counts.items()}
+
+
+def test_watermark_drops_late_rows_exactly(spark, sf_dir):
+    got = {
+        r["window_start"]: r["n_events"]
+        for r in stream_watermark_late_drop.builder(spark, sf_dir).collect()
+    }
+    expected = _expected_late_drop(spark, sf_dir)
+    assert got == expected
+    # and the drop is real: fewer events than the full table
+    total = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert sum(got.values()) < total
+
+
+def test_replay_is_deterministic(spark, sf_dir):
+    a = stream_watermark_late_drop.builder(spark, sf_dir)
+    b = stream_watermark_late_drop.builder(spark, sf_dir)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
