@@ -155,9 +155,106 @@ def try_cast_best_effort(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# saprfc DataSource V2 (SURVEY §7 M7): the mock transport's DD03L generator is
+# deterministic, so DuckDB can replicate the entire scan from range() — a full
+# oracle over a custom Spark source.
+# ---------------------------------------------------------------------------
+
+MOCK_ROWS = 2500
+
+SQL_MOCK_DD03L = f"""
+    SELECT CAST(range AS BIGINT) AS i FROM range({MOCK_ROWS})
+"""
+
+
+def _saprfc_df(spark: SparkSession, **options: str) -> DataFrame:
+    from ..sources.saprfc_dsv2 import register
+
+    register(spark)
+    r = spark.read.format("saprfc").option("table", "DD03L")
+    for k, v in options.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+@spec(
+    f"""
+    WITH r AS ({SQL_MOCK_DD03L})
+    SELECT
+      CASE WHEN i%37=0 THEN NULL ELSE 'TAB'||CAST(i%7 AS VARCHAR) END AS TABNAME,
+      CASE WHEN i%37=0 THEN NULL ELSE 'FLD_'||lpad(CAST(i AS VARCHAR),5,'0') END AS FIELDNAME,
+      CASE WHEN i%37=0 OR i%13=0 THEN NULL ELSE i%500 END AS POSITION,
+      CASE WHEN i%37=0 THEN NULL WHEN i%5=0 THEN 'X' ELSE '' END AS KEYFLAG,
+      CASE WHEN i%37=0 THEN NULL ELSE 'ROLL'||CAST(i%11 AS VARCHAR) END AS ROLLNAME,
+      CASE WHEN i%37=0 THEN NULL WHEN i%3<>0 THEN 'CHAR' ELSE 'NUMC' END AS DATATYPE,
+      CASE WHEN i%37=0 THEN NULL ELSE (i*7)%120 END AS LENG,
+      CASE WHEN i%37=0 OR i%11=0 THEN NULL
+           ELSE make_date(CAST(1995+i%25 AS INT), CAST(1+i%12 AS INT), CAST(1+i%28 AS INT))
+      END AS ASDATE,
+      i%37=0 AS is_corrupt
+    FROM r
+    """,
+    doc="S1/S2/S3 as a DataSource V2: spark.read.format('saprfc') full scan — "
+    "partition-per-page planning, DDIC-typed schema from FIELDS metadata, "
+    "corrupt rows surfaced via _corrupt_record (S6).  The oracle replicates "
+    "the deterministic mock generator from range().",
+)
+def saprfc_scan_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _saprfc_df(spark, mockrows=str(MOCK_ROWS))
+    return df.select(
+        *[c for c in df.columns if c != "_corrupt_record"],
+        F.col("_corrupt_record").isNotNull().alias("is_corrupt"),
+    )
+
+
+@spec(
+    f"""
+    WITH r AS ({SQL_MOCK_DD03L})
+    SELECT 'TAB'||CAST(i%7 AS VARCHAR) AS TABNAME,
+           'FLD_'||lpad(CAST(i AS VARCHAR),5,'0') AS FIELDNAME,
+           i%500 AS POSITION,
+           (i*7)%120 AS LENG
+    FROM r
+    WHERE i%37<>0 AND i%7=3 AND i%13<>0 AND i%500 < 250
+    """,
+    doc="P7 filter pushdown through the saprfc DSv2: predicates render into "
+    "the BAPI OPTIONS where-clause (the parameter the reference never "
+    "passes, pyrfc_read_table.py:71) and are re-verified on typed values "
+    "source-side; the Spark plan contains no residual Filter node.",
+)
+def saprfc_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _saprfc_df(spark, mockrows=str(MOCK_ROWS))
+    return df.filter((F.col("TABNAME") == "TAB3") & (F.col("POSITION") < 250)).select(
+        "TABNAME", "FIELDNAME", "POSITION", "LENG"
+    )
+
+
+@spec(
+    f"""
+    WITH r AS ({SQL_MOCK_DD03L})
+    SELECT 'TAB'||CAST(i%7 AS VARCHAR) AS TABNAME,
+           CASE WHEN i%11=0 THEN NULL
+                ELSE make_date(CAST(1995+i%25 AS INT), CAST(1+i%12 AS INT), CAST(1+i%28 AS INT))
+           END AS ASDATE
+    FROM r
+    """,
+    doc="P8 projection pushdown: the 'fields' option becomes the BAPI FIELDS "
+    "input parameter, so only requested columns cross the wire — and the "
+    "corruption planted in ROLLNAME never reaches the client (all 2500 rows "
+    "arrive well-formed).",
+)
+def saprfc_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _saprfc_df(spark, mockrows=str(MOCK_ROWS), fields="TABNAME,ASDATE")
+    return df.select("TABNAME", "ASDATE")
+
+
 QUERIES: dict[str, QuerySpec] = {
     "rfc_parse_valid": rfc_parse_valid,
     "rfc_parse_errors": rfc_parse_errors,
     "rfc_ingest_invariant": rfc_ingest_invariant,
     "try_cast_best_effort": try_cast_best_effort,
+    "saprfc_scan_typed": saprfc_scan_typed,
+    "saprfc_pushdown": saprfc_pushdown,
+    "saprfc_projection": saprfc_projection,
 }

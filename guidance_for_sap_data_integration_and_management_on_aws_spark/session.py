@@ -36,6 +36,8 @@ _LOCAL_DEFAULTS: dict[str, str] = {
     # fits) should broadcast; AQE also converts to broadcast at runtime.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.parquet.filterPushdown": "true",
+    # Filter pushdown into Python data sources (the saprfc DSv2 connector).
+    "spark.sql.python.filterPushdown.enabled": "true",
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
 }

@@ -104,22 +104,59 @@ class MockRfcTransport(RfcTransport):
     def __init__(self, n_rows: int = 2500):
         self.n_rows = n_rows
 
-    def _row(self, i: int) -> str:
-        tab = f"TAB{i % 7}"
-        fieldname = f" FLD_{i:05d} "  # padded: exercises trim (ref :169)
-        position = f"00X{i % 97}" if i % 13 == 0 else f"{i % 500:04d}"  # bad N sometimes
-        keyflag = "X" if i % 5 == 0 else ""
-        rollname = f"ROLL{i % 11}"
-        datatype = "CHAR" if i % 3 else "NUMC"
-        leng = f"{(i * 7) % 120:03d}"
-        asdate = "00000000" if i % 11 == 0 else f"{1995 + i % 25:04d}{1 + i % 12:02d}{1 + i % 28:02d}"
-        vals = [tab, fieldname, position, keyflag, rollname, datatype, leng, asdate]
+    def _vals(self, i: int) -> list[str]:
+        """Raw wire values for row i, pre-corruption."""
+        return [
+            f"TAB{i % 7}",
+            f" FLD_{i:05d} ",  # padded: exercises trim (ref :169)
+            f"00X{i % 97}" if i % 13 == 0 else f"{i % 500:04d}",  # bad N sometimes
+            "X" if i % 5 == 0 else "",
+            f"ROLL{i % 11}",
+            "CHAR" if i % 3 else "NUMC",
+            f"{(i * 7) % 120:03d}",
+            "00000000" if i % 11 == 0 else f"{1995 + i % 25:04d}{1 + i % 12:02d}{1 + i % 28:02d}",
+        ]
+
+    def _row(self, i: int, keep: Sequence[int] | None = None) -> str:
+        vals = self._vals(i)
         if i % 37 == 0:  # malformed: stray delimiter -> arity mismatch (ref :143-149)
             vals[4] = "ROLL`BAD"
+        if keep is not None:
+            vals = [vals[j] for j in keep]
         return DEFAULT_DELIMITER.join(vals)
 
     def row_count(self, query_table: str) -> int:
         return self.n_rows
+
+    _OPT_RE = __import__("re").compile(r"^(\w+)\s+(EQ|NE|GT|GE|LT|LE)\s+'(.*)'$")
+
+    def _matches(self, i: int, options: Sequence[str]) -> bool:
+        """Server-side OPTIONS evaluation (what SAP's open-SQL WHERE does):
+        NUMC-style numeric coercion when both sides parse as ints, else
+        trimmed-string comparison."""
+        names = [f.name for f in self.FIELDS]
+        raw = dict(zip(names, (v.strip() for v in self._vals(i))))
+        for opt in options:
+            m = self._OPT_RE.match(opt)
+            if not m:
+                raise ValueError(f"unparseable OPTIONS line: {opt!r}")
+            name, op, lit = m.groups()
+            v = raw[name]
+            try:
+                a, b = int(v), int(lit)
+            except ValueError:
+                a, b = v, lit
+            ok = {
+                "EQ": a == b,
+                "NE": a != b,
+                "GT": a > b,
+                "GE": a >= b,
+                "LT": a < b,
+                "LE": a <= b,
+            }[op]
+            if not ok:
+                return False
+        return True
 
     def call(
         self,
@@ -130,11 +167,14 @@ class MockRfcTransport(RfcTransport):
         options: Sequence[str] = (),
         fields: Sequence[str] = (),
     ) -> dict:
-        lo = min(rowskips, self.n_rows)
-        hi = min(rowskips + rowcount, self.n_rows)
-        rows = [{"WA": self._row(i)} for i in range(lo, hi)]
+        names = [f.name for f in self.FIELDS]
+        keep = [names.index(f) for f in fields] if fields else None
+        meta = [self.FIELDS[j] for j in keep] if keep is not None else list(self.FIELDS)
+        ids = (i for i in range(self.n_rows) if not options or self._matches(i, options))
+        ids = list(ids)[rowskips : rowskips + rowcount]
+        rows = [{"WA": self._row(i, keep)} for i in ids]
         return {
-            "FIELDS": [{"FIELDNAME": f.name, "TYPE": f.type_code} for f in self.FIELDS],
+            "FIELDS": [{"FIELDNAME": f.name, "TYPE": f.type_code} for f in meta],
             "OUT_TABLE": "DATA",
             "DATA": rows,
         }

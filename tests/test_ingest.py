@@ -95,8 +95,10 @@ def test_dual_sink_roundtrip(spark, parsed, fmt):
 
 
 def test_projection_pushdown_capable_transport():
-    """P7/P8: the transport accepts OPTIONS/FIELDS (the BAPI supports them;
-    the reference never passes them — SURVEY §2.2)."""
-    t = MockRfcTransport(10)
-    res = t.call("DD03L", "`", 0, 5, options=["POSITION > 0"], fields=["TABNAME"])
-    assert len(res["DATA"]) == 5
+    """P7/P8: the transport applies OPTIONS (ABAP-op where clauses) and
+    FIELDS (the BAPI supports them; the reference never passes them —
+    SURVEY §2.2)."""
+    t = MockRfcTransport(100)
+    res = t.call("DD03L", "`", 0, 1000, options=["KEYFLAG EQ 'X'"], fields=["TABNAME"])
+    assert len(res["DATA"]) == sum(1 for i in range(100) if i % 5 == 0)
+    assert all("`" not in r["WA"] for r in res["DATA"])  # single column on the wire
