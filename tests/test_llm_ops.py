@@ -60,3 +60,12 @@ def test_ann_top1_label_quality(spark, sf_dir):
     # construction.  This checks the metric runs and stays in range.
     assert 0.0 <= acc <= 1.0
     assert len(rows) == 25
+
+
+def test_documents_ascii_assumption(spark, sf_dir):
+    """mm_frame_sample's oracle slices text by character; equality with the
+    byte-slicing kernel requires ASCII payloads — assert that holds."""
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert d.filter(F.octet_length("text") != F.length("text")).count() == 0
