@@ -45,6 +45,9 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer arithmetic (exact — no double round-trip), matching DuckDB's
     ns -> us truncation."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Formatted-timestamp outputs (streaming ops) must agree with the DuckDB
+    # oracle's naive rendering regardless of the host session's timezone.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     from pyspark.sql import functions as F
 
     df = spark.read.parquet(f"{sf_dir}/events.parquet")

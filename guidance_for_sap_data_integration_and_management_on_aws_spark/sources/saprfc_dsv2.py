@@ -311,3 +311,10 @@ class SapRfcDataSource(DataSource):
 
 def register(spark) -> None:
     spark.dataSource.register(SapRfcDataSource)
+    try:
+        # without this Spark never calls pushFilters (results are identical,
+        # just with a residual FilterExec); set defensively for host sessions
+        # that lack our session.py defaults
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:
+        pass  # static conf in this session: the residual filter is still correct

@@ -98,6 +98,9 @@ def build_replay(spark: SparkSession, sf_dir: str, variant: str = "ordered") -> 
 
 
 def read_events_stream(spark: SparkSession, replay_path: str) -> DataFrame:
+    # oracle-parity for date_format output is timezone-sensitive; pin UTC
+    # even when the host session (e.g. the driver's) is configured otherwise
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 1)
