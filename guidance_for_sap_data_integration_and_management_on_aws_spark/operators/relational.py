@@ -670,6 +670,89 @@ def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Subqueries, SQL entry path, pivot (Catalyst decorrelation + parser surface).
+# ---------------------------------------------------------------------------
+
+
+@spec(
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+    """,
+    doc="Correlated EXISTS subquery via the spark.sql() entry path — Catalyst "
+    "decorrelates it to a left-semi join (SURVEY §4: subquery decorrelation "
+    "is a zero-custom-code rewrite).",
+)
+def subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import load
+
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+        """
+    )
+
+
+@spec(
+    """
+    SELECT p_partkey, p_name,
+           CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+    FROM part
+    WHERE CAST(p_retailprice AS DECIMAL(12,2)) >
+          (SELECT CAST(AVG(CAST(p_retailprice AS DECIMAL(12,2))) AS DECIMAL(12,2))
+           FROM part)
+    """,
+    doc="Scalar subquery (uncorrelated aggregate) via spark.sql(): parts "
+    "above the average retail price; decimal-exact threshold on both engines.",
+)
+def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import load
+
+    load(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_name,
+               CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+        FROM part
+        WHERE CAST(p_retailprice AS DECIMAL(12,2)) >
+              (SELECT CAST(AVG(CAST(p_retailprice AS DECIMAL(12,2))) AS DECIMAL(12,2))
+               FROM part)
+        """
+    )
+
+
+@spec(
+    f"""
+    SELECT l_returnflag,
+           {sql_sum_money("CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(12,2)) END", 'qty_F')},
+           {sql_sum_money("CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(12,2)) END", 'qty_O')}
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Pivot (groupBy().pivot() with an explicit value list — one shuffle, "
+    "no value-discovery pass, the scalable form); oracle expresses the same "
+    "thing as conditional aggregation.",
+)
+def pivot_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum(dec_money("l_quantity")).cast("double"))
+        .withColumnRenamed("F", "qty_F")
+        .withColumnRenamed("O", "qty_O")
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -698,4 +781,7 @@ QUERIES: dict[str, QuerySpec] = {
     "fn_map": fn_map,
     "fn_json": fn_json,
     "fn_conditional": fn_conditional,
+    "subquery_exists": subquery_exists,
+    "subquery_scalar": subquery_scalar,
+    "pivot_linestatus": pivot_linestatus,
 }

@@ -270,8 +270,62 @@ def stream_deadletter_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec(
+    f"""
+    SELECT a.event_id AS view_id, b.event_id AS click_id, a.user_id,
+           strftime(a.ts, '{SQL_TS_FMT}') AS view_ts,
+           strftime(b.ts, '{SQL_TS_FMT}') AS click_ts
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'view' AND b.event_type = 'click'
+     AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL '30 minutes'
+    """,
+    doc="T7+ stream-stream interval join (view followed by a click from the "
+    "same user within 30 min), watermarked on both sides so join state is "
+    "bounded — inner-join matches are emitted eagerly, so the drained output "
+    "equals the batch interval join exactly.",
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rdir = build_replay(spark, sf_dir, "ordered")
+    views = (
+        read_events_stream(spark, rdir)
+        .filter(F.col("event_type") == "view")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+    )
+    clicks = (
+        read_events_stream(spark, rdir)
+        .filter(F.col("event_type") == "click")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    joined = views.join(
+        clicks,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("c_ts") > F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "inner",
+    ).select(
+        "view_id",
+        "click_id",
+        F.col("v_user").alias("user_id"),
+        _fmt("v_ts").alias("view_ts"),
+        _fmt("c_ts").alias("click_ts"),
+    )
+    return run_to_table(joined, "mem_stream_stream_join", "append")
+
+
 QUERIES: dict[str, QuerySpec] = {
     "stream_tumbling_agg": stream_tumbling_agg,
+    "stream_stream_join": stream_stream_join,
     "stream_sliding_window": stream_sliding_window,
     "stream_session_window": stream_session_window,
     "stream_watermark_late_drop": stream_watermark_late_drop,
