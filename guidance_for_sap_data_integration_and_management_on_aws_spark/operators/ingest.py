@@ -249,6 +249,42 @@ def saprfc_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("TABNAME", "ASDATE")
 
 
+@spec(
+    f"""
+    WITH src AS ({SQL_WA}),
+    a AS (SELECT len(string_split(trim(wa), chr(96))) = 7 AS ok FROM src),
+    c AS (SELECT COUNT(*) FILTER (WHERE ok) AS v,
+                 COUNT(*) FILTER (WHERE NOT ok) AS e FROM a)
+    SELECT 'parquet' AS fmt, 'valid' AS channel, v AS n_rows FROM c
+    UNION ALL SELECT 'parquet', 'error', e FROM c
+    UNION ALL SELECT 'json', 'valid', v FROM c
+    UNION ALL SELECT 'json', 'error', e FROM c
+    """,
+    doc="S4/S5/S6/S7 sinks, round-tripped: parse -> dual-sink write (parquet "
+    "AND json-lines, run-partitioned layout with the dead-letter channel "
+    "beside the data, mirroring glue/result vs glue/result-err) -> read back "
+    "-> per-(format, channel) row counts.  The oracle states the expected "
+    "counts from the WA construction.",
+)
+def sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from ..sources.lake import read_back, write_dual_sink
+    from ..streaming.replay import scratch_dir
+
+    base = scratch_dir(f"sink-{uuid.uuid4().hex[:8]}")
+    parsed = parse_rfc_frame(_wa_frame(spark, sf_dir), FIELDS)
+    rows = []
+    for fmt in ("parquet", "json"):
+        report = write_dual_sink(parsed, base, "PARTWA", fmt=fmt, run_ts="2026-01-01-00-00-00")
+        rows.append((fmt, "valid", read_back(spark, report.data_path, fmt).count()))
+        err_n = (
+            read_back(spark, report.error_path, fmt).count() if report.err_count else 0
+        )
+        rows.append((fmt, "error", err_n))
+    return spark.createDataFrame(rows, "fmt STRING, channel STRING, n_rows BIGINT")
+
+
 QUERIES: dict[str, QuerySpec] = {
     "rfc_parse_valid": rfc_parse_valid,
     "rfc_parse_errors": rfc_parse_errors,
@@ -257,4 +293,5 @@ QUERIES: dict[str, QuerySpec] = {
     "saprfc_scan_typed": saprfc_scan_typed,
     "saprfc_pushdown": saprfc_pushdown,
     "saprfc_projection": saprfc_projection,
+    "sink_roundtrip": sink_roundtrip,
 }

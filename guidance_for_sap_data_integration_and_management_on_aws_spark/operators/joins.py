@@ -297,3 +297,36 @@ QUERIES: dict[str, QuerySpec] = {
     "join_range_bands": join_range_bands,
     "join_asof": join_asof,
 }
+
+# ---------------------------------------------------------------------------
+# Skew mitigation: salted join (SURVEY "salting for skew"; AQE's skew-join
+# split is the automatic path — this is the explicit one for keys so hot a
+# single salt range must be spread *before* the shuffle).
+# ---------------------------------------------------------------------------
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    *,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join where the fact side's hot keys would skew the shuffle:
+    the fact side gets a deterministic per-row salt in [0, n_salts), the dim
+    side is replicated once per salt, and the join key becomes (key, salt) —
+    spreading each hot key over ``n_salts`` reducers.  Dim replication costs
+    n_salts x |dim|, so use it for dimension-sized right sides only; for
+    fact-fact skew prefer AQE's skew-join splitting (enabled in session.py).
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(n_salts))
+    f = fact.withColumn("__salt", salt)
+    d = dim.crossJoin(
+        F.broadcast(
+            fact.sparkSession.range(n_salts).select(F.col("id").cast("int").alias("__salt"))
+        )
+    )
+    out = f.join(d, [key, "__salt"], how)
+    return out.drop("__salt")
+
