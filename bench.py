@@ -27,6 +27,7 @@ HEADLINE = [
     "join_asof",
     "window_topk_per_group",
     "rfc_ingest_invariant",
+    "saprfc_scan_typed",
     "dedup_exact",
     "dedup_simhash_buckets",
     "text_word_count",

@@ -53,9 +53,17 @@ def scratch_dir(kind: str) -> str:
     return d
 
 
+_REPLAY_CACHE: dict[tuple[str, str], str] = {}
+
+
 def build_replay(spark: SparkSession, sf_dir: str, variant: str = "ordered") -> str:
     """Materialize the events fixture as N_CHUNKS mtime-ordered parquet files;
-    returns the directory to point ``readStream`` at."""
+    returns the directory to point ``readStream`` at.  Cached per
+    (sf_dir, variant) within the process — the chunk content is a pure
+    function of both."""
+    cached = _REPLAY_CACHE.get((sf_dir, variant))
+    if cached is not None and os.path.isdir(cached):
+        return cached
     pdf = (
         load(spark, sf_dir, "events")
         .orderBy("ts", "event_id")
@@ -94,6 +102,7 @@ def build_replay(spark: SparkSession, sf_dir: str, variant: str = "ordered") -> 
             allow_truncated_timestamps=True,
         )
         os.utime(path, (base_mtime + i, base_mtime + i))
+    _REPLAY_CACHE[(sf_dir, variant)] = out
     return out
 
 
