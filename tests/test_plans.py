@@ -1,0 +1,56 @@
+"""Plan-shape regression tests: lock in the physical-plan properties the
+100 TB design depends on (pushdown reaching the scan, dims broadcast,
+no gratuitous exchanges).  A change that silently loses one of these would
+still pass the value oracle — these tests fail it."""
+
+from __future__ import annotations
+
+import re
+
+import __spark_entry__ as entrymod
+
+REG = entrymod._registry()
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    return REG[name].builder(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_filter_pushed_to_parquet_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q1_pricing_summary")
+    assert re.search(r"PushedFilters: \[.*LessThanOrEqual\(l_shipdate", plan)
+    # exactly two exchanges: partial->final agg, then the output sort
+    assert plan.count("Exchange") == 2
+
+
+def test_q1_column_pruning(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q1_pricing_summary")
+    m = re.search(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert m, "no FileScan in plan"
+    cols = {c.split("#")[0] for c in m.group(1).split(",") if c}
+    assert "l_comment" not in cols and "l_partkey" not in cols
+    assert len(cols) == 7  # exactly the referenced lineitem columns
+
+
+def test_q5_dimension_joins_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q5_local_supplier")
+    assert plan.count("BroadcastHashJoin") >= 4  # region/nation/supplier/customer side
+    assert "SortMergeJoin" not in plan  # nothing shuffles a small dim at this SF
+
+
+def test_dedup_exact_single_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "dedup_exact")
+    assert plan.count("Exchange") == 1  # one hash shuffle on the norm key
+
+
+def test_asof_join_single_key_shuffle_no_explosion(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "join_asof")
+    # union+window formulation: no join node at all, no cross/range explosion
+    assert "Join" not in plan.replace("join", "Join") or "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning(__k") == 1
+
+
+def test_ann_bruteforce_broadcasts_query_side(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "ann_bruteforce_topk")
+    assert "BroadcastNestedLoopJoin" in plan  # tiny query set x corpus scan
