@@ -27,6 +27,7 @@ def _registry() -> dict[str, QuerySpec]:
         relational,
         similarity,
         text,
+        tpch,
         udfs,
         windows,
     )
@@ -35,6 +36,7 @@ def _registry() -> dict[str, QuerySpec]:
     merged: dict[str, QuerySpec] = {}
     for mod in (
         relational,
+        tpch,
         joins,
         windows,
         ingest,

@@ -22,6 +22,8 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q18_large_orders",
     "agg_rollup",
     "join_inner",
     "join_asof",

@@ -1,0 +1,354 @@
+"""TPC-H-shaped headline query suite (beyond the flagship q1/q3/q5 in
+``relational.py``), adapted to the fixture schemas in FIXTURES.md.
+
+These exercise the full relational engine at realistic plan complexity —
+multi-way joins with broadcastable dims, semi-join subqueries, scalar
+subqueries over CTEs, disjunctive pushdown predicates — the query surface a
+user of the reference's data lake runs downstream of the SAP extract
+(`/root/reference/README.md:21`: the lake exists "for AWS data lake"
+consumption; SURVEY §0 consequence 2).
+
+Scale notes (100 TB): every query here shuffles only on its group/join keys;
+dimension sides (part/supplier/nation) are broadcast so the fact-table scan
+joins map-side; all filters are expressed on scan columns so Catalyst pushes
+them into the parquet reader (verified by the plan-shape tests in
+tests/test_plans.py for the same patterns).
+
+Fixture-schema adaptations vs. canonical TPC-H (no partsupp table; lineitem
+has no commitdate/receiptdate/shipmode; part has no container; customer has
+no phone):
+
+* q6  — verbatim shape (filter + single agg).
+* q7  — volume shipping by (supp_nation, cust_nation, year); verbatim shape.
+* q10 — returned-items top-20; drops the missing address/phone/comment cols.
+* q14 — promo revenue; ``p_type = 'PROMO'`` (fixture p_type is categorical).
+* q15 — top supplier by quarterly revenue via CTE + scalar-subquery max.
+* q18 — large-quantity orders (HAVING-IN subquery + 3-way join).
+* q19 — disjunctive brand/size/quantity predicates (OR-of-ANDs pushdown).
+* q22 — "idle customers": above-average acctbal, no orders since 2000-01-01,
+        grouped by nation (nation stands in for the missing phone prefix).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load, register_temp_views
+from ..functions.exprs import (
+    SQL_DISC_PRICE,
+    dec_money,
+    dec_rate,
+    disc_price,
+    sql_sum_money,
+    sum_money,
+)
+from ..registry import QuerySpec, spec
+
+# ---------------------------------------------------------------------------
+# q6 — forecast revenue change: filter-only scan + single aggregate.
+# ---------------------------------------------------------------------------
+
+
+@spec(
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(5,2))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H q6 shape: all predicates push to the parquet scan; one "
+    "partial+final agg, no shuffle of data rows (A2/P6).",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(sum_money(dec_money("l_extendedprice") * dec_rate("l_discount"), "revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q7 — volume shipping between two nations, by shipment year.
+# ---------------------------------------------------------------------------
+
+
+@spec(
+    f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l_shipdate) AS l_year,
+           {sql_sum_money(SQL_DISC_PRICE, 'revenue')}
+    FROM supplier
+    JOIN lineitem ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+       OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    doc="TPC-H q7 shape: fact-fact join (lineitem x orders) with broadcast "
+    "nation dims on both legs; the OR pair-filter prunes before the group-by.",
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = F.broadcast(load(spark, sf_dir, "supplier"))
+    n1 = F.broadcast(load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")))
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
+    ) | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+    return (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
+        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .withColumn("l_year", F.year("l_shipdate"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(sum_money(disc_price(), "revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q10 — returned-item revenue report (top 20 customers).
+# ---------------------------------------------------------------------------
+
+
+@spec(
+    f"""
+    SELECT c_custkey, c_name,
+           {sql_sum_money(SQL_DISC_PRICE, 'revenue')},
+           c_acctbal, n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1997-04-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H q10 shape: returned-item revenue top-20; quarter filter on "
+    "orders prunes before the lineitem join; nation broadcast.",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("date"))
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = F.broadcast(load(spark, sf_dir, "nation"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(sum_money(disc_price(), "revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q14 — promotion-revenue share.
+# ---------------------------------------------------------------------------
+
+
+@spec(
+    f"""
+    SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                                 THEN {SQL_DISC_PRICE}
+                                 ELSE CAST(0 AS DECIMAL(22,6)) END) AS DOUBLE)
+                 / CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS promo_revenue
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= DATE '1997-09-01' AND l_shipdate < DATE '1997-10-01'
+    """,
+    doc="TPC-H q14 shape: conditional agg over a broadcast part join "
+    "(A7 filtered-agg pattern as a CASE).",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("date"))
+    )
+    part = F.broadcast(load(spark, sf_dir, "part"))
+    promo = F.when(F.col("p_type") == "PROMO", disc_price()).otherwise(
+        F.lit(0).cast("decimal(22,6)")
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .agg(
+            (
+                F.lit(100.0) * F.sum(promo).cast("double")
+                / F.sum(disc_price()).cast("double")
+            ).alias("promo_revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q15 — top supplier(s) by quarterly revenue (CTE + scalar-subquery max).
+# ---------------------------------------------------------------------------
+
+_Q15_SQL = f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             {sql_sum_money(SQL_DISC_PRICE, 'total_revenue')}
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+"""
+
+
+@spec(
+    _Q15_SQL,
+    doc="TPC-H q15 shape: CTE revenue view + uncorrelated scalar-subquery "
+    "max, via the spark.sql entry path (SURVEY §3.4). The revenue values "
+    "are decimal-exact doubles on both engines, so the = max() comparison "
+    "is deterministic.",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_temp_views(spark, sf_dir)
+    return spark.sql(_Q15_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q18 — large-quantity orders.
+# ---------------------------------------------------------------------------
+
+_Q18_SQL = """
+    SELECT c_name, c_custkey, o_orderkey,
+           CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 150
+    )
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+"""
+
+
+@spec(
+    _Q18_SQL,
+    doc="TPC-H q18 shape: HAVING-filtered IN subquery (Catalyst plans a "
+    "left-semi join on l_orderkey — the same shuffle key as the outer "
+    "aggregate, so AQE coalesces the exchanges), top-100 by order value.",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_temp_views(spark, sf_dir)
+    return spark.sql(_Q18_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q19 — disjunctive predicate revenue (OR-of-ANDs).
+# ---------------------------------------------------------------------------
+
+
+@spec(
+    f"""
+    SELECT {sql_sum_money(SQL_DISC_PRICE, 'revenue')}
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#18' AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+    doc="TPC-H q19 shape: disjunction of conjunctive brand/size/quantity "
+    "bands across the join; Catalyst extracts the common l_quantity and "
+    "p_brand/p_size sub-predicates to push below the broadcast join.",
+)
+def q19_disjunctive_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = F.broadcast(load(spark, sf_dir, "part"))
+    q = F.col("l_quantity")
+    band = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#15") & F.col("p_size").between(1, 25) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#18") & F.col("p_size").between(1, 35) & q.between(20, 30))
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .filter(band)
+        .agg(sum_money(disc_price(), "revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q22 — idle high-balance customers by nation.
+# ---------------------------------------------------------------------------
+
+_Q22_SQL = """
+    SELECT n_name,
+           COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_acctbal > (
+            SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+            FROM customer WHERE c_acctbal > 0.0
+          )
+      AND NOT EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey
+              AND o_orderdate >= DATE '2000-01-01'
+          )
+    GROUP BY n_name
+    ORDER BY n_name
+"""
+
+
+@spec(
+    _Q22_SQL,
+    doc="TPC-H q22 shape (nation stands in for the missing phone prefix): "
+    "uncorrelated scalar-subquery average (decimal-exact, one IEEE division "
+    "on both engines) + correlated NOT EXISTS anti-join on orders.",
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_temp_views(spark, sf_dir)
+    return spark.sql(_Q22_SQL)
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q7_volume_shipping": q7_volume_shipping,
+    "q10_returned_items": q10_returned_items,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q15_top_supplier": q15_top_supplier,
+    "q18_large_orders": q18_large_orders,
+    "q19_disjunctive_bands": q19_disjunctive_bands,
+    "q22_idle_customers": q22_idle_customers,
+}
