@@ -53,7 +53,7 @@ def _fmt(c) -> F.Column:
     "output mode over the deterministic replay — batch-equivalent exactly.",
 )
 def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    s = read_events_stream(spark, build_replay(spark, sf_dir, "ordered"))
+    s = read_events_stream(spark, build_replay(spark, sf_dir, "ordered"), files_per_trigger=None)
     agg = s.groupBy(F.window("ts", "1 hour"), "event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         sum_money(dec_money("value"), "total_value"),
@@ -80,7 +80,7 @@ def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "covering window starts per row).",
 )
 def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    s = read_events_stream(spark, build_replay(spark, sf_dir, "ordered"))
+    s = read_events_stream(spark, build_replay(spark, sf_dir, "ordered"), files_per_trigger=None)
     agg = s.groupBy(F.window("ts", "2 hours", "1 hour"), "event_type").agg(
         F.count(F.lit(1)).alias("n_events")
     )
@@ -115,7 +115,7 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "gap, matching Spark's session_window semantics).",
 )
 def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    s = read_events_stream(spark, build_replay(spark, sf_dir, "ordered"))
+    s = read_events_stream(spark, build_replay(spark, sf_dir, "ordered"), files_per_trigger=None)
     agg = s.groupBy(F.session_window("ts", "5 minutes"), "user_id").agg(
         F.count(F.lit(1)).alias("n_events")
     )
@@ -218,7 +218,7 @@ def stream_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFram
     "batch-equivalent exactly.",
 )
 def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    s = read_events_stream(spark, build_replay(spark, sf_dir, "ordered"))
+    s = read_events_stream(spark, build_replay(spark, sf_dir, "ordered"), files_per_trigger=None)
     dim = F.broadcast(load(spark, sf_dir, "customer").select("c_custkey", "c_name"))
     joined = s.join(dim, s.user_id == dim.c_custkey, "inner").select(
         "event_id", _fmt("ts").alias("ts_s"), "user_id", "c_name", "value"

@@ -106,15 +106,24 @@ def build_replay(spark: SparkSession, sf_dir: str, variant: str = "ordered") -> 
     return out
 
 
-def read_events_stream(spark: SparkSession, replay_path: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession, replay_path: str, files_per_trigger: int | None = 1
+) -> DataFrame:
+    """``files_per_trigger=1`` (default) forces one microbatch per replay
+    chunk — required wherever results depend on batch boundaries (watermark
+    advancement, dropDuplicatesWithinWatermark eviction, stateful updates,
+    per-batch dead-letter writes).  Batch-count-insensitive ops (complete-mode
+    window aggs, stateless stream-static joins) pass ``None`` to let
+    Trigger.AvailableNow drain all files in one batch — the scale posture:
+    size microbatches to amortize per-batch overhead, don't fix them at one
+    file."""
     # oracle-parity for date_format output is timezone-sensitive; pin UTC
     # even when the host session (e.g. the driver's) is configured otherwise
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(replay_path)
-    )
+    r = spark.readStream.schema(EVENTS_SCHEMA)
+    if files_per_trigger is not None:
+        r = r.option("maxFilesPerTrigger", files_per_trigger)
+    return r.parquet(replay_path)
 
 
 def run_to_table(sdf: DataFrame, name: str, output_mode: str) -> DataFrame:
