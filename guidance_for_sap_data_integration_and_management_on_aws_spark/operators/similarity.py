@@ -139,8 +139,102 @@ def ann_label_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- IVF variant -----------------------------------------------------------
+#
+# Coarse quantizer: every 61st vector (vec_id % 61 == 3) doubles as a
+# centroid — deterministic, sf-proportional, and computable by both engines
+# with no training step.  Production swaps this for k-means centroids; the
+# dataflow (assign -> probe -> within-bucket rank) is identical.
+
+C_MOD = 61
+C_RESIDUE = 3
+N_PROBE = 2
+IVF_TOP_K = 3
+
+
+@spec(
+    f"""
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+    c AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id % {C_MOD} = {C_RESIDUE}),
+    assigned AS (
+      SELECT vec_id, label, e, cid AS bucket
+      FROM (SELECT v.vec_id, v.label, v.e, c.cid,
+                   row_number() OVER (PARTITION BY v.vec_id
+                                      ORDER BY round({sql_cosine('v.e', 'c.ce')}, 6) DESC,
+                                               c.cid) AS rn
+            FROM v, c)
+      WHERE rn = 1
+    ),
+    probes AS (
+      SELECT qid, qe, cid AS bucket
+      FROM (SELECT v.vec_id AS qid, v.e AS qe, c.cid,
+                   row_number() OVER (PARTITION BY v.vec_id
+                                      ORDER BY round({sql_cosine('v.e', 'c.ce')}, 6) DESC,
+                                               c.cid) AS rn
+            FROM v, c WHERE v.vec_id < {N_QUERIES})
+      WHERE rn <= {N_PROBE}
+    ),
+    scored AS (
+      SELECT p.qid, a.vec_id AS neighbor_id, a.label,
+             round({sql_cosine('p.qe', 'a.e')}, 6) AS cos_sim
+      FROM probes p JOIN assigned a ON p.bucket = a.bucket AND p.qid <> a.vec_id
+    )
+    SELECT qid, neighbor_id, label, cos_sim FROM scored
+    QUALIFY row_number() OVER (PARTITION BY qid
+                               ORDER BY cos_sim DESC, neighbor_id) <= {IVF_TOP_K}
+    """,
+    doc="L3 IVF ANN: nearest-centroid assignment, nprobe=2 probing, "
+    "within-bucket top-k.  Scale path: candidates shuffle on the centroid id "
+    "(bucket) only — the corpus x query cross product never materializes; at "
+    "100 TB the assignment stage runs as a broadcast of the (small) centroid "
+    "set against the corpus scan, and production replaces the declarative "
+    "argmax with a mapInPandas matmul over the broadcast centroid matrix "
+    "(zero shuffle).",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double("embedding").alias("e")
+    )
+    cent = F.broadcast(
+        v.filter(F.col("vec_id") % C_MOD == C_RESIDUE).select(
+            F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+        )
+    )
+
+    def nearest(df: DataFrame, id_col: str, keep: int) -> DataFrame:
+        w = Window.partitionBy(id_col).orderBy(F.desc("c_sim"), F.asc("cid"))
+        return (
+            df.join(cent)
+            .withColumn("c_sim", F.round(cosine(F.col("e"), F.col("ce")), 6))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= keep)
+            .drop("c_sim", "ce", "__rn")
+        )
+
+    assigned = nearest(v, "vec_id", 1).withColumnRenamed("cid", "bucket")
+    probes = (
+        nearest(v.filter(F.col("vec_id") < N_QUERIES), "vec_id", N_PROBE)
+        .select(F.col("vec_id").alias("qid"), F.col("e").alias("qe"), F.col("cid").alias("bucket"))
+    )
+    scored = probes.join(
+        assigned, (probes.bucket == assigned.bucket) & (F.col("qid") != F.col("vec_id"))
+    ).select(
+        "qid",
+        F.col("vec_id").alias("neighbor_id"),
+        "label",
+        F.round(cosine(F.col("qe"), F.col("e")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= IVF_TOP_K)
+        .select("qid", "neighbor_id", "label", "cos_sim")
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_lsh_topk": ann_lsh_topk,
+    "ann_ivf_topk": ann_ivf_topk,
     "ann_label_match": ann_label_match,
 }
