@@ -261,13 +261,38 @@ _Q18_SQL = """
 
 @spec(
     _Q18_SQL,
-    doc="TPC-H q18 shape: HAVING-filtered IN subquery (Catalyst plans a "
-    "left-semi join on l_orderkey — the same shuffle key as the outer "
-    "aggregate, so AQE coalesces the exchanges), top-100 by order value.",
+    doc="TPC-H q18 shape: large-quantity orders, top-100 by order value.  "
+    "The oracle states the canonical HAVING-IN form (two lineitem passes); "
+    "the Spark plan is the algebraic rewrite — aggregate lineitem ONCE by "
+    "l_orderkey, filter the sum, then join orders/customer.  Identical "
+    "result (the IN-set and the outer group are the same key), but one "
+    "lineitem scan and one shuffle instead of two of each — at 100 TB the "
+    "fact table is the cost, so halving its scans dominates.",
 )
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_temp_views(spark, sf_dir)
-    return spark.sql(_Q18_SQL)
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec_money("l_quantity")).alias("__qty"))
+        .filter(F.col("__qty") > 150)
+        .select("l_orderkey", F.col("__qty").cast("double").alias("sum_qty"))
+    )
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
 
 
 # ---------------------------------------------------------------------------

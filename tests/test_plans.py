@@ -54,3 +54,46 @@ def test_asof_join_single_key_shuffle_no_explosion(spark, sf_dir):
 def test_ann_bruteforce_broadcasts_query_side(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ann_bruteforce_topk")
     assert "BroadcastNestedLoopJoin" in plan  # tiny query set x corpus scan
+
+
+def test_q19_disjunctive_predicates_reach_both_scans(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q19_disjunctive_bands")
+    # Catalyst extracts the per-side OR sub-predicates and pushes them into
+    # BOTH parquet scans (quantity bands -> lineitem, brand/size -> part).
+    assert re.search(r"lineitem\.parquet.*", plan)
+    scans = re.findall(r"FileScan parquet \[([^\]]*)\][^\n]*PushedFilters: \[([^\]]*)", plan)
+    by_table = {("l_partkey" if "l_" in cols else "part"): pushed for cols, pushed in scans}
+    assert "l_quantity" in by_table["l_partkey"]
+    assert "p_brand" in by_table["part"] and "p_size" in by_table["part"]
+    assert "BroadcastHashJoin" in plan  # part is broadcast; lineitem never shuffles
+
+
+def test_q19_column_pruning_both_sides(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q19_disjunctive_bands")
+    for cols_str in re.findall(r"FileScan parquet \[([^\]]*)\]", plan):
+        cols = {c.split("#")[0] for c in cols_str.split(",") if c}
+        assert cols <= {
+            "l_partkey", "l_quantity", "l_extendedprice", "l_discount",
+            "p_partkey", "p_brand", "p_size",
+        }, f"unpruned scan: {cols}"
+
+
+def test_q18_single_lineitem_scan(spark, sf_dir):
+    # the algebraic rewrite of the HAVING-IN subquery: the fact table is
+    # scanned once (the canonical SQL form scans it twice)
+    plan = _plan(spark, sf_dir, "q18_large_orders")
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_q7_nation_dims_broadcast_no_dim_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q7_volume_shipping")
+    assert plan.count("BroadcastHashJoin") >= 3  # supplier + both nation legs
+    # only fact-side exchanges remain (lineitem x orders x customer + agg/sort)
+    assert "nation.parquet" in plan
+
+
+def test_ann_ivf_probe_join_is_bucket_equijoin(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "ann_ivf_topk")
+    # the candidate join must be an equi-join keyed on the bucket (centroid)
+    # id — never a cartesian corpus x query product
+    assert "CartesianProduct" not in plan
