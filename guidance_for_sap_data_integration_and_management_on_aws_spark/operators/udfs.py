@@ -94,9 +94,46 @@ def udtf_explode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("word"))
 
 
+@spec(
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+               FROM documents WHERE doc_id < 50),
+    i AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS pos FROM t)
+    SELECT doc_id, CAST(pos AS INTEGER) AS pos,
+           w[pos] || ' ' || w[pos + 1] AS bigram
+    FROM i
+    """,
+    doc="U4 as a REAL Python UDTF (Spark >= 3.5 @udtf class, lateral-joined "
+    "in SQL): one document row -> one row per adjacent-token bigram.  The "
+    "fast path for this particular expansion is builtin explode "
+    "(udtf_explode_words); the UDTF surface exists for expansions builtins "
+    "can't express (stateful tokenizers, model-backed extractors).",
+)
+def udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos INT, bigram STRING")
+    class Bigrams:
+        def eval(self, text: str):
+            if text is None:
+                return
+            w = text.split(" ")
+            for i in range(len(w) - 1):
+                yield i + 1, w[i] + " " + w[i + 1]
+
+    spark.udtf.register("bigrams", Bigrams)
+    load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50).createOrReplaceTempView(
+        "udtf_docs"
+    )
+    return spark.sql(
+        "SELECT doc_id, pos, bigram FROM udtf_docs, LATERAL bigrams(text)"
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "udf_scalar_reverse": udf_scalar_reverse,
     "udf_pandas_l2norm": udf_pandas_l2norm,
     "udf_grouped_stats": udf_grouped_stats,
     "udtf_explode_words": udtf_explode_words,
+    "udtf_bigrams": udtf_bigrams,
 }

@@ -97,3 +97,28 @@ def test_ann_ivf_probe_join_is_bucket_equijoin(spark, sf_dir):
     # the candidate join must be an equi-join keyed on the bucket (centroid)
     # id — never a cartesian corpus x query product
     assert "CartesianProduct" not in plan
+
+
+def test_partitioned_lake_partition_pruning(spark, sf_dir):
+    # S7's run-partitioned layout, queried back: a filter on the partition
+    # column must prune directories (PartitionFilters), not just row-filter.
+    import os
+
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.catalog import load
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.streaming.replay import (
+        scratch_dir,
+    )
+
+    base = scratch_dir("partitioned-lineitem")
+    marker = os.path.join(base, "_SUCCESS")
+    if not os.path.exists(marker):
+        load(spark, sf_dir, "lineitem").write.mode("overwrite").partitionBy(
+            "l_returnflag"
+        ).parquet(base)
+    df = spark.read.parquet(base).filter("l_returnflag = 'R'").select("l_orderkey")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "l_returnflag" in m.group(1), plan
+    # and the pruned read returns exactly the R rows
+    expect = load(spark, sf_dir, "lineitem").filter("l_returnflag = 'R'").count()
+    assert df.count() == expect
