@@ -285,12 +285,57 @@ def sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "fmt STRING, channel STRING, n_rows BIGINT")
 
 
+@spec(
+    """
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="S8 CSV scan: write a lineitem projection as headered CSV, read it "
+    "back with an EXPLICIT schema (no inference pass — at 100 TB schema "
+    "inference is a second full scan), aggregate.  Round-trip through text "
+    "must be lossless for the types used (bigint, double, string, date).",
+)
+def csv_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.replay import scratch_dir
+
+    path = scratch_dir(f"csv-lineitem-{abs(hash(sf_dir)) % 10**8}")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_returnflag",
+        F.col("l_shipdate").cast("date").alias("l_shipdate"),
+    )
+    li.write.mode("overwrite").option("header", True).csv(path)
+    back = (
+        spark.read.schema(
+            "l_orderkey BIGINT, l_linenumber INT, l_quantity DOUBLE, "
+            "l_returnflag STRING, l_shipdate DATE"
+        )
+        .option("header", True)
+        .csv(path)
+    )
+    return (
+        back.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "rfc_parse_valid": rfc_parse_valid,
     "rfc_parse_errors": rfc_parse_errors,
     "rfc_ingest_invariant": rfc_ingest_invariant,
     "try_cast_best_effort": try_cast_best_effort,
     "saprfc_scan_typed": saprfc_scan_typed,
+    "csv_scan_roundtrip": csv_scan_roundtrip,
     "saprfc_pushdown": saprfc_pushdown,
     "saprfc_projection": saprfc_projection,
     "sink_roundtrip": sink_roundtrip,
