@@ -1,0 +1,19 @@
+"""Physical-plan introspection utilities (see ``plans.inspect``)."""
+
+from .inspect import (
+    executed_plan,
+    file_scans,
+    n_exchanges,
+    partition_filters,
+    pushed_filters,
+    scanned_columns,
+)
+
+__all__ = [
+    "executed_plan",
+    "file_scans",
+    "n_exchanges",
+    "partition_filters",
+    "pushed_filters",
+    "scanned_columns",
+]

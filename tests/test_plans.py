@@ -1,33 +1,40 @@
 """Plan-shape regression tests: lock in the physical-plan properties the
 100 TB design depends on (pushdown reaching the scan, dims broadcast,
 no gratuitous exchanges).  A change that silently loses one of these would
-still pass the value oracle — these tests fail it."""
+still pass the value oracle — these tests fail it.
+
+Plan introspection lives in
+``guidance_for_sap_data_integration_and_management_on_aws_spark.plans``."""
 
 from __future__ import annotations
 
-import re
-
 import __spark_entry__ as entrymod
+from guidance_for_sap_data_integration_and_management_on_aws_spark.plans import (
+    executed_plan,
+    file_scans,
+    n_exchanges,
+    partition_filters,
+    scanned_columns,
+)
 
 REG = entrymod._registry()
 
 
 def _plan(spark, sf_dir, name: str) -> str:
-    return REG[name].builder(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    return executed_plan(REG[name].builder(spark, sf_dir))
 
 
 def test_q1_filter_pushed_to_parquet_scan(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q1_pricing_summary")
-    assert re.search(r"PushedFilters: \[.*LessThanOrEqual\(l_shipdate", plan)
+    [scan] = file_scans(plan)
+    assert "LessThanOrEqual(l_shipdate" in scan.pushed_filters
     # exactly two exchanges: partial->final agg, then the output sort
-    assert plan.count("Exchange") == 2
+    assert n_exchanges(plan) == 2
 
 
 def test_q1_column_pruning(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q1_pricing_summary")
-    m = re.search(r"FileScan parquet \[([^\]]*)\]", plan)
-    assert m, "no FileScan in plan"
-    cols = {c.split("#")[0] for c in m.group(1).split(",") if c}
+    [cols] = scanned_columns(plan)
     assert "l_comment" not in cols and "l_partkey" not in cols
     assert len(cols) == 7  # exactly the referenced lineitem columns
 
@@ -40,7 +47,7 @@ def test_q5_dimension_joins_broadcast(spark, sf_dir):
 
 def test_dedup_exact_single_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "dedup_exact")
-    assert plan.count("Exchange") == 1  # one hash shuffle on the norm key
+    assert n_exchanges(plan) == 1  # one hash shuffle on the norm key
 
 
 def test_asof_join_single_key_shuffle_no_explosion(spark, sf_dir):
@@ -60,18 +67,18 @@ def test_q19_disjunctive_predicates_reach_both_scans(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q19_disjunctive_bands")
     # Catalyst extracts the per-side OR sub-predicates and pushes them into
     # BOTH parquet scans (quantity bands -> lineitem, brand/size -> part).
-    assert re.search(r"lineitem\.parquet.*", plan)
-    scans = re.findall(r"FileScan parquet \[([^\]]*)\][^\n]*PushedFilters: \[([^\]]*)", plan)
-    by_table = {("l_partkey" if "l_" in cols else "part"): pushed for cols, pushed in scans}
-    assert "l_quantity" in by_table["l_partkey"]
-    assert "p_brand" in by_table["part"] and "p_size" in by_table["part"]
+    by_table = {
+        ("lineitem" if s.reads_table("lineitem") else "part"): s for s in file_scans(plan)
+    }
+    assert "l_quantity" in by_table["lineitem"].pushed_filters
+    assert "p_brand" in by_table["part"].pushed_filters
+    assert "p_size" in by_table["part"].pushed_filters
     assert "BroadcastHashJoin" in plan  # part is broadcast; lineitem never shuffles
 
 
 def test_q19_column_pruning_both_sides(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q19_disjunctive_bands")
-    for cols_str in re.findall(r"FileScan parquet \[([^\]]*)\]", plan):
-        cols = {c.split("#")[0] for c in cols_str.split(",") if c}
+    for cols in scanned_columns(plan):
         assert cols <= {
             "l_partkey", "l_quantity", "l_extendedprice", "l_discount",
             "p_partkey", "p_brand", "p_size",
@@ -82,14 +89,13 @@ def test_q18_single_lineitem_scan(spark, sf_dir):
     # the algebraic rewrite of the HAVING-IN subquery: the fact table is
     # scanned once (the canonical SQL form scans it twice)
     plan = _plan(spark, sf_dir, "q18_large_orders")
-    assert plan.count("lineitem.parquet") == 1
+    assert sum(s.reads_table("lineitem") for s in file_scans(plan)) == 1
 
 
 def test_q7_nation_dims_broadcast_no_dim_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q7_volume_shipping")
     assert plan.count("BroadcastHashJoin") >= 3  # supplier + both nation legs
-    # only fact-side exchanges remain (lineitem x orders x customer + agg/sort)
-    assert "nation.parquet" in plan
+    assert any(s.reads_table("nation") for s in file_scans(plan))
 
 
 def test_ann_ivf_probe_join_is_bucket_equijoin(spark, sf_dir):
@@ -116,9 +122,9 @@ def test_partitioned_lake_partition_pruning(spark, sf_dir):
             "l_returnflag"
         ).parquet(base)
     df = spark.read.parquet(base).filter("l_returnflag = 'R'").select("l_orderkey")
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
-    assert m and "l_returnflag" in m.group(1), plan
+    plan = executed_plan(df)
+    pf = [f for f in partition_filters(plan) if f]
+    assert pf and "l_returnflag" in pf[0], plan
     # and the pruned read returns exactly the R rows
     expect = load(spark, sf_dir, "lineitem").filter("l_returnflag = 'R'").count()
     assert df.count() == expect
