@@ -223,8 +223,62 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec(
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang, source, text, n_chars,
+             string_split(text, ' ') AS w
+      FROM documents
+    ),
+    gated AS (
+      SELECT * FROM t
+      WHERE lang = 'en'
+        AND len(w) BETWEEN 20 AND 1000
+        AND CAST(len(list_distinct(w)) AS DOUBLE) / len(w) > 0.1
+    ),
+    kept AS (
+      SELECT * FROM gated
+      QUALIFY row_number() OVER (PARTITION BY md5({SQL_NORM})
+                                 ORDER BY doc_id) = 1
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(w)) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM kept GROUP BY source ORDER BY source
+    """,
+    doc="End-to-end training-corpus curation pipeline as ONE operator chain: "
+    "language gate -> quality gate (length + uniqueness, the text_quality "
+    "criteria) -> exact dedup keeping the lowest doc_id -> per-source corpus "
+    "stats.  Scale shape: the gates are stateless scan-side filters (pushed "
+    "before any shuffle), dedup is one hash-shuffle on the narrow md5 key, "
+    "and the final agg reuses map-side combine — two exchanges total for the "
+    "whole pipeline regardless of corpus size.",
+)
+def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    n = F.size(w)
+    uniq_ratio = F.size(F.array_distinct(w)).cast("double") / n
+    gated = d.filter(
+        (F.col("lang") == "en") & n.between(20, 1000) & (uniq_ratio > 0.1)
+    ).select("doc_id", "source", "n_chars", F.md5(_norm()).alias("__key"), n.alias("__n_tok"))
+    win = Window.partitionBy("__key").orderBy("doc_id")
+    kept = gated.withColumn("__rn", F.row_number().over(win)).filter(F.col("__rn") == 1)
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__n_tok").cast("bigint").alias("total_tokens"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_exact": dedup_exact,
+    "pipeline_curation": pipeline_curation,
     "dedup_exact_survivors": dedup_exact_survivors,
     "dedup_jaccard_pairs": dedup_jaccard_pairs,
     "dedup_minhash_lsh": dedup_minhash_lsh,

@@ -753,6 +753,31 @@ def pivot_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec(
+    """
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value
+    FROM lineitem WHERE l_orderkey < 100
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+    FROM lineitem WHERE l_orderkey < 100
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+    FROM lineitem WHERE l_orderkey < 100
+    """,
+    doc="Unpivot/melt (pivot's inverse): three measure columns to long form "
+    "via df.unpivot — a zero-shuffle narrow transform (each row expands "
+    "in place); oracle states it as the UNION ALL it's equivalent to.",
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure",
+        "value",
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -784,4 +809,5 @@ QUERIES: dict[str, QuerySpec] = {
     "subquery_exists": subquery_exists,
     "subquery_scalar": subquery_scalar,
     "pivot_linestatus": pivot_linestatus,
+    "unpivot_measures": unpivot_measures,
 }
