@@ -31,6 +31,7 @@ HEADLINE = [
     "rfc_ingest_invariant",
     "saprfc_scan_typed",
     "dedup_exact",
+    "pipeline_curation",
     "dedup_simhash_buckets",
     "text_word_count",
     "ann_bruteforce_topk",
