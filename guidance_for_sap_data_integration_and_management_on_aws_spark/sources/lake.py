@@ -14,7 +14,8 @@ from __future__ import annotations
 from dataclasses import dataclass
 from datetime import datetime, timezone
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
 
 from .rfc import ParsedRfc
 
@@ -66,16 +67,22 @@ def write_dual_sink(
     data_path = layout_path(base, RESULT_PREFIX, fmt, table, ts)
     err_path = layout_path(base, ERROR_PREFIX, fmt, table, ts)
 
-    valid = parsed.valid.cache()
+    # Asymmetric counting, sized for scale: the valid side (arbitrarily large)
+    # is counted via observe() as a side effect of its own write — no cache,
+    # no second scan; only the error side (small by construction, ~% of rows)
+    # is cached for its count-then-conditionally-write sequence.  The counts
+    # are the distributed twin of the reference's per-page counters
+    # (pyrfc_read_table.py:119-122,151-153).
+    obs = Observation()
+    valid = parsed.valid.observe(obs, F.count(F.lit(1)).alias("n_valid"))
     errors = parsed.errors.cache()
     try:
         valid.write.mode("append").format(fmt).save(data_path)
         n_err = errors.count()
         if n_err:  # reference only writes an error object when err rows exist (:219-221)
             errors.write.mode("append").format(fmt).save(err_path)
-        return IngestReport(data_path, err_path, valid.count(), n_err)
+        return IngestReport(data_path, err_path, int(obs.get["n_valid"]), n_err)
     finally:
-        valid.unpersist()
         errors.unpersist()
 
 
