@@ -31,7 +31,7 @@ no phone):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load, register_temp_views
@@ -367,11 +367,130 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q22_SQL)
 
 
+# ---------------------------------------------------------------------------
+# q4 — order-priority checking (date-correlated EXISTS on the fact table).
+# ---------------------------------------------------------------------------
+
+
+@spec(
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1997-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="TPC-H q4 shape: correlated EXISTS with a non-equi date condition — "
+    "planned as a left-semi join on l_orderkey with the l_shipdate > "
+    "o_orderdate predicate evaluated join-side; quarter filter prunes orders "
+    "before the semi join.",
+)
+def q4_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("date"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q13 — customer order-count distribution (outer join + double aggregation).
+# ---------------------------------------------------------------------------
+
+
+@spec(
+    """
+    WITH c_orders AS (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    doc="TPC-H q13 shape: left-outer customer x orders so zero-order "
+    "customers survive (COUNT(col) skips their NULLs), then a second "
+    "aggregation over the per-customer counts.  Both shuffles are on "
+    "high-cardinality keys with map-side partial aggregation.",
+)
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q17 — small-quantity-order revenue (correlated scalar avg per part).
+# ---------------------------------------------------------------------------
+
+
+@spec(
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
+             AS avg_yearly
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#12'
+      AND l.l_quantity < (SELECT 0.5 * AVG(l_quantity) FROM lineitem
+                          WHERE l_partkey = p.p_partkey)
+    """,
+    doc="TPC-H q17 shape.  The oracle states the canonical correlated scalar "
+    "subquery (per-part average quantity); the Spark plan is the single-scan "
+    "window formulation: broadcast-semi-prune lineitem to the brand's parts, "
+    "then AVG(l_quantity) OVER (PARTITION BY l_partkey) — one shuffle on "
+    "l_partkey, one fact scan, where the decorrelated aggregate-then-join "
+    "form scans and shuffles lineitem twice.  (l_quantity values are "
+    "integer-valued doubles, so the average is order-independent and "
+    "engine-exact.)",
+)
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    brand_parts = F.broadcast(
+        load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#12").select("p_partkey")
+    )
+    pruned = li.join(brand_parts, li.l_partkey == brand_parts.p_partkey, "left_semi")
+    w = Window.partitionBy("l_partkey")
+    return (
+        pruned.withColumn("__avg_qty", F.avg("l_quantity").over(w))
+        .filter(F.col("l_quantity") < 0.5 * F.col("__avg_qty"))
+        .agg(
+            (F.sum(dec_money("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "q4_priority_check": q4_priority_check,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q7_volume_shipping": q7_volume_shipping,
     "q10_returned_items": q10_returned_items,
+    "q13_order_distribution": q13_order_distribution,
     "q14_promo_revenue": q14_promo_revenue,
+    "q17_small_quantity": q17_small_quantity,
     "q15_top_supplier": q15_top_supplier,
     "q18_large_orders": q18_large_orders,
     "q19_disjunctive_bands": q19_disjunctive_bands,
