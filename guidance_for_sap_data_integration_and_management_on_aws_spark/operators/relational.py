@@ -550,8 +550,8 @@ def fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_orderkey, l_linenumber,
            round(l_extendedprice, 1) AS price_r1,
            abs(l_discount - 0.05) AS disc_dev,
-           ceil(l_quantity / 7.0) AS q_ceil,
-           floor(l_quantity / 7.0) AS q_floor,
+           CAST(ceil(l_quantity / 7.0) AS BIGINT) AS q_ceil,
+           CAST(floor(l_quantity / 7.0) AS BIGINT) AS q_floor,
            CAST(pow(2, l_linenumber) AS DOUBLE) AS pow2,
            ((l_orderkey % 7) + 7) % 7 AS key_mod7
     FROM lineitem

@@ -23,12 +23,17 @@ def _norm_cell(v):
     if isinstance(v, bool):
         return f"bool:{v}"
     if isinstance(v, Decimal):
-        # compare decimals by numeric value (scale may differ across engines)
+        # compare decimals by numeric value (scale may differ across engines;
+        # the driver floats DECIMAL via pandas before hashing)
         return f"num:{float(v)!r}"
     if isinstance(v, float):
         return f"num:{v!r}"
     if isinstance(v, int):
-        return f"num:{float(v)!r}" if abs(v) < 2**52 else f"int:{v}"
+        # Deliberately DISTINCT from float: the driver's value-hash keeps
+        # integer and double columns apart ('3' vs '3.0' hash differently —
+        # the round-1 fn_math failure).  An int here only matches an int on
+        # the other engine.
+        return f"int:{v}"
     if isinstance(v, pd.Timestamp):
         return f"ts:{v.isoformat()}"
     if isinstance(v, datetime.datetime):
