@@ -5,10 +5,11 @@ and embedding-cosine near-dup.
 Scale design:
 * exact dedup is a hash groupBy on the normalization key — one shuffle, the
   cheapest possible formulation at any scale;
-* exact Jaccard blocks candidate pairs by shared token (here) — at 100 TB
-  you block by *rare* tokens or switch to the MinHash-LSH path (provided),
-  which is the textbook shingle -> minhash -> band -> bucket-join pipeline
-  with O(n) candidates instead of O(n^2);
+* exact Jaccard blocks candidate pairs by prefix filtering (rarest tokens
+  under a global df order — exact, and hot tokens can't go quadratic); the
+  MinHash-LSH path is the probabilistic alternative, the textbook
+  shingle -> minhash -> band -> bucket-join pipeline whose banded shuffle
+  carries only narrow (doc_id, band, h) rows;
 * SimHash bucket dedup is a single groupBy on a 16-bit fingerprint;
 * embedding near-dup prefilters by a sign-bit LSH bucket so the quadratic
   cosine check runs only within buckets.
@@ -89,29 +90,59 @@ def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes sb ON db = sb.doc_id
     WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.6
     """,
-    doc="L2 exact token-set Jaccard pairs (threshold 0.6), blocked by shared "
-    "token.  The exact twin of the MinHash-LSH path, per SURVEY §5.2; at scale "
-    "block by rare tokens or use dedup_minhash_lsh.",
+    doc="L2 exact token-set Jaccard pairs (threshold 0.6), blocked by "
+    "PREFIX FILTERING (PPJoin/SSJoin, Xiao et al. 2008): tokens are globally "
+    "ordered by ascending document frequency and each doc blocks only on its "
+    "|x| - ceil(t*|x|) + 1 rarest tokens — any pair with Jaccard >= t "
+    "provably shares a prefix token, so the output is EXACTLY the naive "
+    "all-shared-token blocking's, while a corpus-wide stop token (df = N) "
+    "sorts into every suffix and can no longer generate k^2 candidate pairs "
+    "(regression-locked in tests/test_llm_ops.py with a planted stop token). "
+    "The exact twin of the MinHash-LSH path, per SURVEY §5.2.",
 )
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")).distinct()
-    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = tok.alias("a")
-    b = tok.alias("b")
-    inter = (
-        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
-        .agg(F.count(F.lit(1)).alias("i"))
+    cand = _prefix_candidates(d, JACCARD_T)
+    toks = d.select("doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("toks"))
+    ta = toks.select(F.col("doc_id").alias("da"), F.col("toks").alias("ta"))
+    tb = toks.select(F.col("doc_id").alias("db"), F.col("toks").alias("tb"))
+    pairs = cand.join(ta, "da").join(tb, "db")
+    inter = F.size(F.array_intersect("ta", "tb")).cast("double")
+    union = F.size(F.array_union("ta", "tb")).cast("double")
+    jac = F.round(inter / union, 6)
+    return pairs.select("da", "db", jac.alias("jaccard")).filter(F.col("jaccard") >= JACCARD_T)
+
+
+JACCARD_T = 0.6
+
+
+def _prefix_candidates(documents: DataFrame, t: float) -> DataFrame:
+    """Candidate (da, db) pairs for token-set Jaccard >= t via prefix
+    filtering.  Exact (never misses a qualifying pair): if
+    |A∩B| >= ceil(t*|A|) then the common tokens cannot all fit in A's
+    ceil(t*|A|) - 1 element suffix, so both docs expose a shared token in
+    their prefixes under the common (df, w) total order."""
+    tok = documents.select(
+        "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("w")
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = F.round(F.col("i").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("i")), 6)
+    dfreq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        tok.join(dfreq, "w")
+        .withColumn(
+            "rnk",
+            F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "w")),
+        )
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+    )
+    prefix = ranked.filter(
+        F.col("rnk") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1
+    ).select("doc_id", "w")
+    a = prefix.alias("a")
+    b = prefix.alias("b")
     return (
-        inter.join(sa, F.col("da") == F.col("sa.doc_id"))
-        .join(sb, F.col("db") == F.col("sb.doc_id"))
-        .select("da", "db", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.6)
+        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .dropDuplicates(["da", "db"])
     )
 
 
@@ -124,12 +155,14 @@ N_MINHASHES = 8  # b=8 bands of r=1: P(candidate | jac=0.6) = 1-(0.4)^8 ~ 0.9993
     "exact Jaccard >= 0.6, a closed boundary).  Native DataFrame pipeline — "
     "distinct word shingles -> 8 seeded xxhash64 minhashes (per-row "
     "array_min(transform(...)), no shuffle) -> band buckets via posexplode -> "
-    "equi-self-join on (band, minhash) for candidates -> exact Jaccard verify "
-    "via array_intersect/array_union.  Everything JVM-side; one shuffle for "
-    "the bucket join.  At 100 TB, join signatures only and re-attach token "
-    "sets by doc_id for the verify stage instead of carrying arrays through "
-    "the shuffle.  Probabilistic recall (superset of the exact twin "
-    "dedup_jaccard_pairs with prob ~0.9993/pair) -> rows-only check; "
+    "equi-self-join on (band, minhash) over NARROW (doc_id, band, h) rows for "
+    "candidates -> re-attach token sets by doc_id -> exact Jaccard verify via "
+    "array_intersect/array_union.  Everything JVM-side.  The 100 TB shape: "
+    "only 16-byte rows cross the 8x-posexploded banded shuffle; token arrays "
+    "cross one doc_id-keyed exchange each, once per candidate side "
+    "(regression-locked by a plan test: no ArrayType output on any "
+    "band-partitioned Exchange).  Probabilistic recall (superset of the exact "
+    "twin dedup_jaccard_pairs with prob ~0.9993/pair) -> rows-only check; "
     "agreement with the exact twin is asserted in tests/test_llm_ops.py.",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -143,10 +176,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sig = toks.select(
         "doc_id",
-        "toks",
         F.array(*[minhash(i) for i in range(N_MINHASHES)]).alias("sig"),
     )
-    banded = sig.select("doc_id", "toks", F.posexplode("sig").alias("band", "h"))
+    banded = sig.select("doc_id", F.posexplode("sig").alias("band", "h"))
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -156,18 +188,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.h") == F.col("b.h"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("da"),
-            F.col("b.doc_id").alias("db"),
-            F.col("a.toks").alias("ta"),
-            F.col("b.toks").alias("tb"),
-        )
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
         .dropDuplicates(["da", "db"])
     )
+    ta = toks.select(F.col("doc_id").alias("da"), F.col("toks").alias("ta"))
+    tb = toks.select(F.col("doc_id").alias("db"), F.col("toks").alias("tb"))
+    pairs = cand.join(ta, "da").join(tb, "db")
     inter = F.size(F.array_intersect("ta", "tb")).cast("double")
     union = F.size(F.array_union("ta", "tb")).cast("double")
     jd = F.round(F.lit(1.0) - inter / union, 6)
-    return cand.select("da", "db", jd.alias("jaccard_dist")).filter(
+    return pairs.select("da", "db", jd.alias("jaccard_dist")).filter(
         F.col("jaccard_dist") < 0.45
     )
 

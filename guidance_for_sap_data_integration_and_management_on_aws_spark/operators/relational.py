@@ -263,7 +263,10 @@ def intersect_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
 def except_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
     b = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
-    return a.exceptAll(b).distinct()
+    # subtract() IS SQL EXCEPT (distinct set difference); exceptAll().distinct()
+    # differs whenever a value occurs more on the left than the right
+    # (round-1 advice — the fixture's unique keys masked it).
+    return a.subtract(b)
 
 
 @spec(

@@ -1,6 +1,7 @@
 """Physical-plan introspection utilities (see ``plans.inspect``)."""
 
 from .inspect import (
+    exchange_schemas,
     executed_plan,
     file_scans,
     n_exchanges,
@@ -10,6 +11,7 @@ from .inspect import (
 )
 
 __all__ = [
+    "exchange_schemas",
     "executed_plan",
     "file_scans",
     "n_exchanges",

@@ -83,3 +83,48 @@ def n_exchanges(plan: str) -> int:
     """Shuffle count: every Exchange is a full network materialization of
     its input — the quantity to minimize at 100 TB."""
     return plan.count("Exchange")
+
+
+@dataclass
+class ExchangeInfo:
+    """One shuffle: its partitioning expression and the schema it carries.
+
+    The *payload* of an exchange is what actually crosses the network, so
+    a wide column (ArrayType token sets, embeddings) riding a hot shuffle
+    is the canonical 100 TB scale bug — ``exchange_schemas`` makes it
+    assertable (see tests/test_plans.py on dedup_minhash_lsh)."""
+
+    partitioning: str
+    columns: list[tuple[str, str]]  # (name, typeName)
+
+    def array_columns(self) -> list[str]:
+        return [n for n, t in self.columns if t == "array"]
+
+    def partitions_on(self, name: str) -> bool:
+        return name in self.partitioning
+
+
+def exchange_schemas(df: DataFrame) -> list[ExchangeInfo]:
+    """Every Exchange node in the executed plan with its output schema,
+    via the JVM plan tree (the text plan doesn't show exchange payloads)."""
+    out: list[ExchangeInfo] = []
+
+    def walk(node) -> None:
+        name = node.nodeName()
+        if name == "AdaptiveSparkPlan":
+            # AQE wrapper reports no children; descend into the plan it wraps
+            walk(node.initialPlan())
+            return
+        if "Exchange" in name:
+            attrs = node.output()
+            cols = [
+                (attrs.apply(i).name(), attrs.apply(i).dataType().typeName())
+                for i in range(attrs.size())
+            ]
+            out.append(ExchangeInfo(partitioning=node.outputPartitioning().toString(), columns=cols))
+        kids = node.children()
+        for i in range(kids.size()):
+            walk(kids.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return out

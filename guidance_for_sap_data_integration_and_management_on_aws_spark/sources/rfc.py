@@ -29,6 +29,7 @@ fixture payloads so everything is testable offline (SURVEY §7 M7).
 from __future__ import annotations
 
 import math
+import re
 from collections.abc import Callable, Iterator, Sequence
 from dataclasses import dataclass, field
 
@@ -257,7 +258,11 @@ def parse_rfc_frame(
     short rows never raise under ANSI mode.
     """
     n = len(fields)
-    arr = F.split(F.trim(F.col(wa_col)), delimiter, -1)
+    # F.split's pattern is a Java regex; escape so a metacharacter delimiter
+    # ('|', '.') splits literally, matching the DSv2 twin's str.split and the
+    # reference's literal split (round-1 advice).  re.escape backslash-escapes
+    # every non-alphanumeric, which Java regex reads as the literal char.
+    arr = F.split(F.trim(F.col(wa_col)), re.escape(delimiter), -1)
     tagged = raw.withColumn("__arr", arr).withColumn("__arity", F.size(F.col("__arr")))
 
     typed: list[Column] = [

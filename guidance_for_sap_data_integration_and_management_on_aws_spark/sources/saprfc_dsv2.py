@@ -22,8 +22,11 @@ as a first-class Spark source:
 * **dead-letter channel** (S6) — rows whose delimited arity mismatches the
   field count surface with all data columns NULL and the raw line in
   ``_corrupt_record``, Spark's CSV convention for the reference's error
-  split (`pyrfc_read_table.py:143-149`).  Under pushdown, corrupt rows are
-  dropped (a pushed predicate can never be verified against them).
+  split (`pyrfc_read_table.py:143-149`).  Under pushdown, a corrupt row
+  survives iff every accepted predicate evaluates True against its
+  all-NULL data columns (so null-accepting predicates like ``IS NULL``
+  keep it, value comparisons drop it) — identical to evaluating the
+  residual plan over the materialized scan.
 
 Row materialization is Python-side by necessity (the RFC wire format is
 pre-relational text; a real deployment is RFC-I/O-bound), but each page is
@@ -183,6 +186,33 @@ def _eval_filter(flt: Filter, row: dict) -> bool | None:
     raise NotImplementedError(type(flt).__name__)
 
 
+# Explicit whitelist of Filter types _eval_filter fully handles.  pushFilters
+# used to *probe* with an all-None row, but value-comparing filters return
+# early on None and so could never raise for an unknown future Filter type —
+# which would then be accepted, never re-applied by Spark, and crash (or
+# silently drop rows) at read() time.  A whitelist is deterministic.
+_HANDLED_FILTERS = (
+    EqualTo,
+    EqualNullSafe,
+    GreaterThan,
+    GreaterThanOrEqual,
+    LessThan,
+    LessThanOrEqual,
+    In,
+    IsNull,
+    IsNotNull,
+    StringStartsWith,
+    StringEndsWith,
+    StringContains,
+)
+
+
+def _filter_handled(flt: Filter) -> bool:
+    if isinstance(flt, Not):
+        return _filter_handled(flt.child)
+    return isinstance(flt, _HANDLED_FILTERS)
+
+
 _OPTIONS_OPS = {
     EqualTo: "EQ",
     GreaterThan: "GT",
@@ -235,15 +265,11 @@ class SapRfcReader(DataSourceReader):
         for flt in filters:
             try:
                 name = ref(flt)
-                if name in known and (
-                    not isinstance(flt, Not) or ref(flt.child) in known
-                ):
-                    # probe: raise NotImplementedError now if we can't evaluate
-                    _eval_filter(flt, dict.fromkeys(known))
+                if name in known and _filter_handled(flt):
                     self.accepted.append(flt)
                     continue
-            except NotImplementedError:
-                pass
+            except AttributeError:
+                pass  # filter shape we don't know (no .attribute/.child chain)
             yield flt  # unsupported -> Spark applies it
 
     def partitions(self) -> list[InputPartition]:
@@ -263,12 +289,21 @@ class SapRfcReader(DataSourceReader):
         )
         fields = self.fields
         n = len(fields)
+        # A corrupt row surfaces with every data column NULL, so a pushed
+        # predicate evaluates against the all-NULL dict — null-accepting
+        # predicates (IsNull, EqualNullSafe null, Not(IsNotNull)) ARE
+        # satisfied by it and must not lose the row (round-1 advice:
+        # unconditionally dropping under pushdown diverged from the
+        # unpushed plan by the 14 corrupt fixture rows).
+        null_row = dict.fromkeys(f.name for f in fields)
+        emit_corrupt = all(
+            _eval_filter(flt, null_row) is True for flt in self.accepted
+        )
         for line in res[res["OUT_TABLE"]]:
             parts = line["WA"].strip().split(self.delimiter)
             if len(parts) != n:
-                if self.accepted:
-                    continue  # corrupt rows can't satisfy a pushed predicate
-                yield (None,) * n + (line["WA"],)
+                if emit_corrupt:
+                    yield (None,) * n + (line["WA"],)
                 continue
             vals = {f.name: _py_cast(p, f) for f, p in zip(fields, parts)}
             if all(_eval_filter(flt, vals) is True for flt in self.accepted):

@@ -1,0 +1,84 @@
+"""Regression tests for the round-1 advisor findings (ADVICE.md):
+
+1. null-accepting pushed predicates (IS NULL, <=> NULL, NOT IS NOT NULL)
+   must keep the all-NULL corrupt rows the saprfc source emits;
+2. an unknown future Filter type must be declined by pushFilters (whitelist),
+   never accepted-and-crash-later;
+3. parse_rfc_frame must treat a regex-metacharacter delimiter literally;
+4. EXCEPT semantics: left-side duplicates beyond right multiplicity are
+   still removed (subtract, not exceptAll+distinct).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from guidance_for_sap_data_integration_and_management_on_aws_spark.operators.relational import except_custkeys
+from guidance_for_sap_data_integration_and_management_on_aws_spark.sources.rfc import (
+    MockRfcTransport,
+    RfcField,
+    parse_rfc_frame,
+)
+from guidance_for_sap_data_integration_and_management_on_aws_spark.sources.saprfc_dsv2 import (
+    SapRfcReader,
+    _filter_handled,
+    register,
+)
+
+
+def _df(spark):
+    register(spark)
+    return spark.read.format("saprfc").option("table", "DD03L").load()
+
+
+def test_null_accepting_pushdown_keeps_corrupt_rows(spark):
+    df = _df(spark)
+    rows = df.collect()  # materialized scan = ground truth (no pushdown)
+    want_null = sum(1 for r in rows if r["ASDATE"] is None)
+    want_corrupt_null = sum(
+        1 for r in rows if r["ASDATE"] is None and r["_corrupt_record"] is not None
+    )
+    assert want_corrupt_null > 0  # fixture plants corrupt rows
+    assert df.filter(F.col("ASDATE").isNull()).count() == want_null
+    got = df.filter(
+        F.col("ASDATE").isNull() & F.col("_corrupt_record").isNotNull()
+    ).count()
+    assert got == want_corrupt_null
+
+
+def test_value_pushdown_matches_materialized_scan(spark):
+    df = _df(spark)
+    rows = df.collect()
+    want = sum(1 for r in rows if r["TABNAME"] == "TAB3")
+    assert df.filter(F.col("TABNAME") == "TAB3").count() == want
+
+
+def test_unknown_filter_type_declined():
+    class FutureFilter:  # a Filter subclass Spark might add later
+        attribute = ("ASDATE",)
+
+    reader = SapRfcReader({"table": "DD03L"}, list(MockRfcTransport.FIELDS))
+    yielded = list(reader.pushFilters([FutureFilter()]))
+    assert len(yielded) == 1 and reader.accepted == []
+    assert not _filter_handled(FutureFilter())
+
+
+@pytest.mark.parametrize("delim", ["|", "."])
+def test_regex_metachar_delimiter_splits_literally(spark, delim):
+    raw = spark.createDataFrame([(f"a{delim}b{delim}c",)], "wa STRING")
+    fields = [RfcField("X", "C"), RfcField("Y", "C"), RfcField("Z", "C")]
+    p = parse_rfc_frame(raw, fields, delimiter=delim)
+    assert p.errors.count() == 0
+    assert p.valid.collect()[0].asDict() == {"X": "a", "Y": "b", "Z": "c"}
+
+
+def test_except_removes_excess_left_duplicates(spark, tmp_path):
+    # customer key 1 twice, key 2 once; orders references 1 once.
+    # SQL EXCEPT -> {2}; the old exceptAll().distinct() would keep {1, 2}.
+    pq.write_table(pa.table({"c_custkey": [1, 1, 2]}), tmp_path / "customer.parquet")
+    pq.write_table(pa.table({"o_custkey": [1]}), tmp_path / "orders.parquet")
+    got = {r["k"] for r in except_custkeys.builder(spark, str(tmp_path)).collect()}
+    assert got == {2}

@@ -5,6 +5,8 @@ near-duplicates — the operators must actually find them)."""
 from __future__ import annotations
 
 from guidance_for_sap_data_integration_and_management_on_aws_spark.operators.dedup import (
+    JACCARD_T,
+    _prefix_candidates,
     dedup_exact,
     dedup_jaccard_pairs,
     dedup_minhash_lsh,
@@ -34,6 +36,49 @@ def test_minhash_lsh_finds_exact_pairs(spark, sf_dir):
     recall = len(exact & lsh) / len(exact)
     # per-pair miss probability at jac=0.6 with 8 tables is (1-0.6)^8 ~ 0.07%
     assert recall >= 0.99, f"LSH recall {recall:.4f} over {len(exact)} exact pairs"
+
+
+def test_prefix_filter_bounds_stop_token_candidates(spark):
+    """A corpus-wide stop token must NOT produce k^2 candidate pairs: it has
+    maximal document frequency, so the (df, w) prefix order pushes it into
+    every suffix.  50 otherwise-disjoint docs sharing only 'the' -> zero
+    candidates (naive any-shared-token blocking would emit C(50,2) = 1225)."""
+    docs = spark.createDataFrame(
+        [(i, f"the uniq{i}a uniq{i}b uniq{i}c uniq{i}d") for i in range(50)],
+        "doc_id BIGINT, text STRING",
+    )
+    assert _prefix_candidates(docs, JACCARD_T).count() == 0
+
+
+def test_prefix_filter_exact_vs_naive_blocking(spark):
+    """Prefix filtering must find every qualifying pair a naive all-pairs
+    check finds (exactness of the blocking, on a corpus with shared hot
+    tokens AND real near-duplicates)."""
+    rows = []
+    for i in range(30):
+        base = f"the a of x{i} y{i} z{i} w{i} v{i}"
+        rows.append((2 * i, base))
+        # near-duplicate of even docs: differs by one token -> jac 8/10 = 0.8
+        rows.append((2 * i + 1, base.replace(f"v{i}", f"q{i}") + f" v{i}"))
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    from pyspark.sql import functions as F
+
+    toks = docs.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+    ).collect()
+    want = set()
+    for ra in toks:
+        for rb in toks:
+            if ra["doc_id"] < rb["doc_id"]:
+                a, b = set(ra["toks"]), set(rb["toks"])
+                if len(a & b) / len(a | b) >= JACCARD_T:
+                    want.add((ra["doc_id"], rb["doc_id"]))
+    got = {
+        (r["da"], r["db"])
+        for r in _prefix_candidates(docs, JACCARD_T).collect()
+    }
+    assert want, "fixture must contain qualifying pairs"
+    assert want <= got, f"prefix filter missed pairs: {want - got}"
 
 
 def test_dedup_exact_partitions_corpus(spark, sf_dir):

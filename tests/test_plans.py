@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import __spark_entry__ as entrymod
 from guidance_for_sap_data_integration_and_management_on_aws_spark.plans import (
+    exchange_schemas,
     executed_plan,
     file_scans,
     n_exchanges,
@@ -128,3 +129,57 @@ def test_partitioned_lake_partition_pruning(spark, sf_dir):
     # and the pruned read returns exactly the R rows
     expect = load(spark, sf_dir, "lineitem").filter("l_returnflag = 'R'").count()
     assert df.count() == expect
+
+
+def _no_broadcast(spark):
+    """Context: plan as a big cluster would (fixture-scale frames all fit
+    under the broadcast threshold, which hides the shuffles we must audit)."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def ctx():
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    return ctx()
+
+
+def test_minhash_banded_shuffle_carries_no_arrays(spark, sf_dir):
+    """The LSH banded self-join duplicates every row 8x (posexplode): if the
+    token arrays rode that exchange, shuffle volume would be ~8x the corpus
+    token mass at 100 TB.  Lock in the narrow shape: any Exchange partitioned
+    on the band/h bucket key must carry zero ArrayType columns (token sets
+    cross only the later doc_id-keyed re-attach exchanges)."""
+    with _no_broadcast(spark):
+        df = REG["dedup_minhash_lsh"].builder(spark, sf_dir)
+        exchanges = exchange_schemas(df)
+    banded = [ex for ex in exchanges if ex.partitions_on("band")]
+    assert banded, "expected at least one band-keyed exchange in the LSH plan"
+    for ex in banded:
+        assert ex.array_columns() == [], (
+            f"ArrayType columns {ex.array_columns()} cross the banded exchange "
+            f"({ex.partitioning})"
+        )
+
+
+def test_jaccard_prefix_exchanges_stay_narrow(spark, sf_dir):
+    """The prefix-filter candidate join shuffles on the blocking token: that
+    exchange must carry only (doc_id, w)-narrow rows, never token arrays."""
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.operators.dedup import (
+        _prefix_candidates,
+    )
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.catalog import load
+
+    with _no_broadcast(spark):
+        df = _prefix_candidates(load(spark, sf_dir, "documents"), 0.6)
+        exchanges = exchange_schemas(df)
+    assert exchanges, "expected shuffles in the candidate plan"
+    for ex in exchanges:
+        assert ex.array_columns() == [], (
+            f"ArrayType columns {ex.array_columns()} cross a candidate-side "
+            f"exchange ({ex.partitioning})"
+        )
