@@ -1,11 +1,23 @@
-"""Benchmark harness: times the headline queries at $SPARK_GRAFT_SF_DIR
+"""Benchmark harness: times every registered query at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line:  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline suite (one query per operator family) is timed first and its
+total is the cross-round regression metric; every remaining registered query
+is then timed too, so regressions anywhere in the surface are visible
+round-over-round ("queries" holds all of them).
 
 Each query is forced end-to-end with a noop-format write (full materialization
 of every row/column the plan produces — unlike ``count()``, which lets Spark
 prune the world).  A warmup run of the flagship query absorbs JVM/codegen
 startup so the numbers reflect steady-state execution.
+
+REDUCED_SF queries run against sf0.01 instead (flagged in the JSON under
+"reduced_sf"): the exact all-pairs Jaccard twin emits ~7M pairs at sf0.1
+(the fixture corpus is a dense near-dup graph — 57% of ALL doc pairs
+qualify), which is oracle-twin duty, not the production path; the
+production-scale near-dup representative at full bench SF is
+dedup_minhash_lsh.
 """
 
 from __future__ import annotations
@@ -40,6 +52,8 @@ HEADLINE = [
     "stream_tumbling_agg",
 ]
 
+REDUCED_SF = {"dedup_jaccard_pairs": "/root/testdata/sf0.01"}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -53,8 +67,9 @@ def main() -> None:
     qs = entrymod.queries()
 
     def run(name: str) -> float:
+        where = REDUCED_SF.get(name, sf_dir)
         t0 = time.perf_counter()
-        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        qs[name](spark, where).write.mode("overwrite").format("noop").save()
         return time.perf_counter() - t0
 
     run("q1_pricing_summary")  # warmup: JVM + codegen + parquet footer cache
@@ -64,31 +79,42 @@ def main() -> None:
     from guidance_for_sap_data_integration_and_management_on_aws_spark.operators.ingest import _saprfc_df
 
     _saprfc_df(spark, mockrows="10").write.mode("overwrite").format("noop").save()
-    # warmup 3: materialize the streaming replay fixture (chunked parquet copy
-    # of events) outside the timed region — it's test-fixture prep, not query
-    # execution; the per-(sf_dir, variant) cache makes later builds free.
+    # warmup 3: materialize the streaming replay fixtures (chunked parquet
+    # copies of events) outside the timed region — test-fixture prep, not
+    # query execution; the per-(sf_dir, variant) cache makes later builds free.
     from guidance_for_sap_data_integration_and_management_on_aws_spark.streaming.replay import build_replay
 
-    build_replay(spark, sf_dir, "ordered")
+    for variant in ("ordered", "dups", "late", "bad"):
+        build_replay(spark, sf_dir, variant)
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
-        if name not in qs:
-            continue
-        timings[name] = round(run(name), 3)
-
+        if name in qs:
+            timings[name] = round(run(name), 3)
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+
+    for name in qs:
+        if name in timings:
+            continue
+        try:
+            timings[name] = round(run(name), 3)
+        except Exception as e:  # keep the bench line intact; surface the error
+            errors[name] = f"{type(e).__name__}: {e}"[:200]
+
+    out = {
+        "metric": "headline_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "all_queries_total": round(sum(timings.values()), 3),
+        "n_queries": len(timings),
+        "reduced_sf": {k: v for k, v in REDUCED_SF.items() if k in timings},
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     sys.stdout.flush()
     spark.stop()
 

@@ -103,7 +103,7 @@ def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     cand = _prefix_candidates(d, JACCARD_T)
-    toks = d.select("doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("toks"))
+    toks = _hashed_token_sets(d)
     ta = toks.select(F.col("doc_id").alias("da"), F.col("toks").alias("ta"))
     tb = toks.select(F.col("doc_id").alias("db"), F.col("toks").alias("tb"))
     pairs = cand.join(ta, "da").join(tb, "db")
@@ -111,6 +111,31 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     union = F.size(F.array_union("ta", "tb")).cast("double")
     jac = F.round(inter / union, 6)
     return pairs.select("da", "db", jac.alias("jaccard")).filter(F.col("jaccard") >= JACCARD_T)
+
+
+def _parallelize_scan(df: DataFrame) -> DataFrame:
+    """Tokenization is CPU-bound: when the scan has fewer partitions than the
+    shuffle width (a small-fixture artifact — one parquet file = one task),
+    spread it.  At production scale the scan already has thousands of input
+    splits and this is a no-op (no shuffle added)."""
+    want = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    if df.rdd.getNumPartitions() < want:
+        return df.repartition(want, "doc_id")
+    return df
+
+
+def _hashed_token_sets(documents: DataFrame) -> DataFrame:
+    """(doc_id, toks) with tokens replaced by xxhash64 values: Jaccard only
+    needs intersection/union SIZES, and intersecting long arrays is several
+    times cheaper than string arrays when millions of candidate pairs reach
+    the verify stage (64-bit collisions are negligible at corpus scale, and
+    both near-dup paths verify on the same hashed universe)."""
+    return documents.select(
+        "doc_id",
+        F.transform(
+            F.array_distinct(F.split(F.col("text"), " ")), lambda w: F.xxhash64(w)
+        ).alias("toks"),
+    )
 
 
 JACCARD_T = 0.6
@@ -122,17 +147,18 @@ def _prefix_candidates(documents: DataFrame, t: float) -> DataFrame:
     |A∩B| >= ceil(t*|A|) then the common tokens cannot all fit in A's
     ceil(t*|A|) - 1 element suffix, so both docs expose a shared token in
     their prefixes under the common (df, w) total order."""
-    tok = documents.select(
-        "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("w")
+    toks = _parallelize_scan(documents).select(
+        "doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("toks")
+    )
+    # |x| computed scan-side and carried with each token row — avoids a
+    # second window pass over the exploded frame
+    tok = toks.select(
+        "doc_id", F.size("toks").alias("n"), F.explode("toks").alias("w")
     )
     dfreq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
-    ranked = (
-        tok.join(dfreq, "w")
-        .withColumn(
-            "rnk",
-            F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "w")),
-        )
-        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+    ranked = tok.join(dfreq, "w").withColumn(
+        "rnk",
+        F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "w")),
     )
     prefix = ranked.filter(
         F.col("rnk") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1
@@ -167,7 +193,10 @@ N_MINHASHES = 8  # b=8 bands of r=1: P(candidate | jac=0.6) = 1-(0.4)^8 ~ 0.9993
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("toks"))
+    toks = _parallelize_scan(d).select(
+        "doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("toks")
+    )
+    hashed = _hashed_token_sets(d)
 
     def minhash(seed: int) -> F.Column:
         # NB: the lambda must take exactly one arg — F.transform passes the
@@ -191,8 +220,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
         .dropDuplicates(["da", "db"])
     )
-    ta = toks.select(F.col("doc_id").alias("da"), F.col("toks").alias("ta"))
-    tb = toks.select(F.col("doc_id").alias("db"), F.col("toks").alias("tb"))
+    ta = hashed.select(F.col("doc_id").alias("da"), F.col("toks").alias("ta"))
+    tb = hashed.select(F.col("doc_id").alias("db"), F.col("toks").alias("tb"))
     pairs = cand.join(ta, "da").join(tb, "db")
     inter = F.size(F.array_intersect("ta", "tb")).cast("double")
     union = F.size(F.array_union("ta", "tb")).cast("double")

@@ -7,6 +7,7 @@ U1 is a row-at-a-time Python UDF kept off any hot path by design.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -45,8 +46,14 @@ def udf_scalar_reverse(spark: SparkSession, sf_dir: str) -> DataFrame:
 def udf_pandas_l2norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     @pandas_udf("double")
     def l2(col: pd.Series) -> pd.Series:
-        # sum via Python floats sequentially to match the oracle's fold
-        return col.map(lambda v: round(sum(float(x) * float(x) for x in v) ** 0.5, 6))
+        # whole-batch numpy kernel: stack the fixed-dim embeddings into an
+        # (n, d) matrix, one einsum-style reduction — no per-row Python.
+        # float64 squares are exact images of the float32 inputs, and numpy's
+        # pairwise summation agrees with the oracle's sequential fold to well
+        # inside the round(…, 6) comparison grain (asserted row-exactly by
+        # the parity gate at both test SFs).
+        mat = np.stack(col.to_numpy()).astype(np.float64)
+        return pd.Series(np.round(np.sqrt(np.einsum("ij,ij->i", mat, mat)), 6))
 
     e = load(spark, sf_dir, "embeddings")
     return e.select("vec_id", l2("embedding").alias("l2_norm"))

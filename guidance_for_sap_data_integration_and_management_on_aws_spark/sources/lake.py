@@ -46,6 +46,42 @@ class IngestReport:
         return self.valid_count + self.err_count
 
 
+def _apply_reference_naming(path: str, table: str, fmt: str) -> list[str]:
+    """Rename part files to the reference's ``<table><cumulativeRowCount>.<fmt>``
+    object names (pyrfc_read_table.py:120-122: ``tableName +
+    str(totalRowCount) + '.' + fileFormat`` where totalRowCount accumulates
+    across pages).
+
+    Distributed writers name by task id; the reference's names encode the
+    serial running total, so this is a driver-side METADATA pass after the
+    write: part files in name order (= page/partition order) get the running
+    row total from parquet footers / JSON-line counts — no data moves.
+    Returns the new file names in order."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    parts = sorted(
+        f for f in os.listdir(path) if f.startswith("part-") and not f.endswith(".crc")
+    )
+    total = 0
+    named: list[str] = []
+    for f in parts:
+        full = os.path.join(path, f)
+        if fmt == "parquet":
+            total += pq.ParquetFile(full).metadata.num_rows
+        else:
+            with open(full, "rb") as fh:
+                total += sum(1 for _ in fh)
+        new = f"{table}{total}.{fmt}"
+        os.replace(full, os.path.join(path, new))
+        crc = os.path.join(path, f".{f}.crc")
+        if os.path.exists(crc):  # Hadoop local-FS checksum would go stale
+            os.remove(crc)
+        named.append(new)
+    return named
+
+
 def write_dual_sink(
     parsed: ParsedRfc,
     base: str,
@@ -53,6 +89,7 @@ def write_dual_sink(
     *,
     fmt: str = "parquet",
     run_ts: str | None = None,
+    reference_naming: bool = False,
 ) -> IngestReport:
     """S4/S5 data sink + S6 dead-letter sink in the reference's S7 layout.
 
@@ -60,6 +97,8 @@ def write_dual_sink(
     ``orient='records', lines=True`` produced in the reference, :180-182).
     The error channel keeps the *original* WA line, like the reference's
     schema-less error file (:186,197), plus the observed arity for triage.
+    ``reference_naming=True`` additionally renames output objects to the
+    reference's ``<table><cumulativeRowCount>.<fmt>`` scheme.
     """
     if fmt not in ("parquet", "json"):
         raise ValueError(f"fmt must be 'parquet' or 'json', got {fmt!r}")
@@ -78,9 +117,13 @@ def write_dual_sink(
     errors = parsed.errors.cache()
     try:
         valid.write.mode("append").format(fmt).save(data_path)
+        if reference_naming:
+            _apply_reference_naming(data_path, table, fmt)
         n_err = errors.count()
         if n_err:  # reference only writes an error object when err rows exist (:219-221)
             errors.write.mode("append").format(fmt).save(err_path)
+            if reference_naming:
+                _apply_reference_naming(err_path, table, fmt)
         return IngestReport(data_path, err_path, int(obs.get["n_valid"]), n_err)
     finally:
         errors.unpersist()

@@ -72,7 +72,15 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from .rfc import DEFAULT_DELIMITER, DEFAULT_PAGE_SIZE, MockRfcTransport, RfcField, RfcTransport
+from .rfc import (
+    DEFAULT_DELIMITER,
+    DEFAULT_PAGE_SIZE,
+    MockRfcTransport,
+    PyRfcTransport,
+    RfcField,
+    RfcTransport,
+)
+from .secrets import REQUIRED_KEYS, resolve_secret
 
 CORRUPT_COL = "_corrupt_record"
 
@@ -81,9 +89,26 @@ def _transport_from_options(options: dict) -> RfcTransport:
     kind = options.get("transport", "mock")
     if kind == "mock":
         return MockRfcTransport(n_rows=int(options.get("mockrows", 2500)))
+    if kind == "pyrfc":
+        # S10: connection config from a secret (provider chain in
+        # sources.secrets, mirroring the reference's Secrets Manager fetch,
+        # pyrfc_read_table.py:91-109) or from explicit reader options.
+        if "secretId" in options or "secretid" in options:
+            auth = resolve_secret(
+                options.get("secretId", options.get("secretid")),
+                region_name=options.get("region"),
+            )
+        else:
+            try:
+                auth = {k: options[k] for k in REQUIRED_KEYS}
+            except KeyError as e:
+                raise ValueError(
+                    f"pyrfc transport needs option {e.args[0]!r} (or secretId)"
+                ) from None
+        return PyRfcTransport(**{k: auth[k] for k in REQUIRED_KEYS})
     raise ValueError(
-        f"unknown transport {kind!r}; a live deployment registers a pyrfc-backed "
-        "transport here (connection config via secret options, SURVEY §2.1 S10)"
+        f"unknown transport {kind!r}; expected 'mock' or 'pyrfc' "
+        "(connection config via secretId/explicit options, SURVEY §2.1 S10)"
     )
 
 

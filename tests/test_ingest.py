@@ -94,6 +94,32 @@ def test_dual_sink_roundtrip(spark, parsed, fmt):
         assert errs.count() == report.err_count
 
 
+@pytest.mark.parametrize("fmt", ["parquet", "json"])
+def test_reference_object_naming(spark, parsed, fmt):
+    """S7 fidelity: reference_naming=True reproduces the reference's
+    <table><cumulativeRowCount>.<fmt> object names (pyrfc_read_table.py:
+    120-122) — names strictly increasing, the last one equal to the
+    channel's row count, and the directory still readable."""
+    import re
+
+    _, _, p = parsed
+    with tempfile.TemporaryDirectory() as tmp:
+        report = write_dual_sink(
+            p, tmp, "DD03L", fmt=fmt, run_ts="2026-01-01-00-00-00", reference_naming=True
+        )
+        names = sorted(
+            f for f in Path(report.data_path).iterdir() if f.name.startswith("DD03L")
+        )
+        assert names, "expected renamed data objects"
+        counts = sorted(int(re.match(rf"DD03L(\d+)\.{fmt}", f.name).group(1)) for f in names)
+        assert counts == sorted(set(counts)) and counts[-1] == report.valid_count
+        assert read_back(spark, report.data_path, fmt).count() == report.valid_count
+        err_names = [
+            f.name for f in Path(report.error_path).iterdir() if f.name.startswith("DD03L")
+        ]
+        assert err_names and read_back(spark, report.error_path, fmt).count() == report.err_count
+
+
 def test_projection_pushdown_capable_transport():
     """P7/P8: the transport applies OPTIONS (ABAP-op where clauses) and
     FIELDS (the BAPI supports them; the reference never passes them —
