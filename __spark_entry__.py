@@ -91,6 +91,15 @@ _PRIORITY = [
     "dedup_minhash_lsh",
     "dedup_simhash_buckets",
     "stream_watermark_late_drop",
+    # TPC-H queries added in round 2 (never driver-checked; next in line)
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q12_late_shipments",
+    "q16_supplier_counts",
+    "q20_promotion_suppliers",
+    "q21_waiting_suppliers",
 ]
 
 

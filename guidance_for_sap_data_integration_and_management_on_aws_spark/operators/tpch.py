@@ -18,7 +18,19 @@ Fixture-schema adaptations vs. canonical TPC-H (no partsupp table; lineitem
 has no commitdate/receiptdate/shipmode; part has no container; customer has
 no phone):
 
+* q2  — min-cost supplier per part; lineitem avg sell price stands in for
+        the missing ps_supplycost.
 * q6  — verbatim shape (filter + single agg).
+* q8  — national market share; verbatim shape.
+* q9  — product profit; 0.8 * p_retailprice stands in for ps_supplycost.
+* q11 — important parts; one nation's shipped revenue stands in for stock
+        value (no partsupp).
+* q12 — late-shipment priority counts; l_linestatus stands in for the
+        missing l_shipmode, shipdate-vs-orderdate lag for receipt/commit.
+* q16 — supplier counts per part attrs; negative acctbal stands in for the
+        complaints exclusion.
+* q20 — promotion candidates; half-of-part's-shipped-volume threshold.
+* q21 — waiting suppliers; shipdate lag stands in for receipt/commit lag.
 * q7  — volume shipping by (supp_nation, cust_nation, year); verbatim shape.
 * q10 — returned-items top-20; drops the missing address/phone/comment cols.
 * q14 — promo revenue; ``p_type = 'PROMO'`` (fixture p_type is categorical).
@@ -37,6 +49,7 @@ from pyspark.sql import functions as F
 from ..catalog import load, register_temp_views
 from ..functions.exprs import (
     SQL_DISC_PRICE,
+    avg_money,
     dec_money,
     dec_rate,
     disc_price,
@@ -483,7 +496,455 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# q2 — min-cost supplier per part (correlated-min over a dim join).
+# Fixture has no partsupp: "cost" is the supplier's realized average sell
+# price of the part from lineitem, which preserves q2's plan shape
+# (multi-dim join + per-part minimum + tie-keeping filter).
+# ---------------------------------------------------------------------------
+
+
+@spec(
+    """
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+               / COUNT(*) AS supp_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    ranked AS (
+      SELECT s_acctbal, s_name, n_name, p_partkey, p_name, supp_cost,
+             MIN(supp_cost) OVER (PARTITION BY p_partkey) AS min_cost
+      FROM cost
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE p_size = 15 AND r_name = 'EUROPE'
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name, supp_cost
+    FROM ranked WHERE supp_cost = min_cost
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+    doc="TPC-H q2 shape: cheapest supplier per part within a region.  The "
+    "per-(part, supplier) cost aggregates once from lineitem (decimal-exact "
+    "avg), dims broadcast, and the correlated MIN is a window over "
+    "p_partkey — one extra sort within the already-shuffled partition, no "
+    "second fact scan.  Ties kept, exactly like canonical q2.",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        avg_money(dec_money("l_extendedprice"), "supp_cost")
+    )
+    part = F.broadcast(load(spark, sf_dir, "part").filter(F.col("p_size") == 15))
+    supp = F.broadcast(load(spark, sf_dir, "supplier"))
+    nation = F.broadcast(load(spark, sf_dir, "nation"))
+    region = F.broadcast(load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE"))
+    w = Window.partitionBy("p_partkey")
+    return (
+        cost.join(part, cost.l_partkey == part.p_partkey)
+        .join(supp, cost.l_suppkey == supp.s_suppkey)
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .withColumn("min_cost", F.min("supp_cost").over(w))
+        .filter(F.col("supp_cost") == F.col("min_cost"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "supp_cost")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q8 — national market share.
+# ---------------------------------------------------------------------------
+
+
+@spec(
+    f"""
+    SELECT year(o_orderdate) AS o_year,
+           CAST(SUM(CASE WHEN n2.n_name = 'NATION_6' THEN {SQL_DISC_PRICE}
+                         ELSE CAST(0 AS DECIMAL(22,6)) END) AS DOUBLE)
+             / CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS mkt_share
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region   ON n1.n_regionkey = r_regionkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
+      AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1998-01-01'
+    GROUP BY o_year ORDER BY o_year
+    """,
+    doc="TPC-H q8 shape: NATION_6's share of AMERICA-region PROMO revenue by "
+    "order year.  Part/supplier/nation/region broadcast; the only data "
+    "shuffles are lineitem x orders and x customer on their keys; the share "
+    "is one double division of two decimal-exact sums.",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = F.broadcast(load(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO"))
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("date"))
+    )
+    cust = load(spark, sf_dir, "customer")
+    n1 = F.broadcast(load(spark, sf_dir, "nation"))
+    region = F.broadcast(load(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA"))
+    supp = F.broadcast(load(spark, sf_dir, "supplier"))
+    n2 = F.broadcast(
+        load(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    target = F.when(F.col("supp_nation") == "NATION_6", disc_price()).otherwise(
+        F.lit(0).cast("decimal(22,6)")
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(n1, cust.c_nationkey == n1.n_nationkey)
+        .join(region, n1.n_regionkey == region.r_regionkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(n2, supp.s_nationkey == F.col("n2_key"))
+        .withColumn("o_year", F.year("o_orderdate"))
+        .groupBy("o_year")
+        .agg(
+            (F.sum(target).cast("double") / F.sum(disc_price()).cast("double")).alias(
+                "mkt_share"
+            )
+        )
+        .orderBy("o_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q9 — product-type profit by nation and year.
+# Fixture has no partsupp: supply cost is modeled as 80% of p_retailprice,
+# which preserves q9's plan shape (fact x part-name-filter x supplier-nation,
+# profit expression inside the aggregate).
+# ---------------------------------------------------------------------------
+
+_SQL_Q9_PROFIT = (
+    f"{SQL_DISC_PRICE} - CAST(p_retailprice AS DECIMAL(12,2))"
+    " * CAST(0.80 AS DECIMAL(5,2)) * CAST(l_quantity AS DECIMAL(12,2))"
+)
+
+
+@spec(
+    f"""
+    SELECT n_name AS nation, year(o_orderdate) AS o_year,
+           {sql_sum_money(_SQL_Q9_PROFIT, 'sum_profit')}
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%gear%'
+    GROUP BY n_name, o_year
+    ORDER BY n_name, o_year DESC
+    """,
+    doc="TPC-H q9 shape: profit (disc_price - 0.8*retail*qty, decimal-exact) "
+    "on gear parts by supplier nation and order year.  The p_name LIKE "
+    "filter prunes via the broadcast part join before the orders shuffle.",
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = F.broadcast(load(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%")))
+    supp = F.broadcast(load(spark, sf_dir, "supplier"))
+    nation = F.broadcast(load(spark, sf_dir, "nation"))
+    orders = load(spark, sf_dir, "orders")
+    profit = disc_price() - dec_money("p_retailprice") * F.lit(0.80).cast(
+        "decimal(5,2)"
+    ) * dec_money("l_quantity")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            profit.alias("__p"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(sum_money(F.col("__p"), "sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q11 — important parts by stocked value (scalar-subquery HAVING threshold).
+# Fixture has no partsupp: value is NATION_5 suppliers' shipped revenue.
+# ---------------------------------------------------------------------------
+
+_Q11_SQL = f"""
+    WITH v AS (
+      SELECT l_partkey, {sql_sum_money(SQL_DISC_PRICE, 'value')}
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_5'
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey, value FROM v
+    WHERE value > (SELECT SUM(value) * 0.001 FROM v)
+    ORDER BY value DESC, l_partkey
+"""
+
+
+@spec(
+    _Q11_SQL,
+    doc="TPC-H q11 shape: per-part value for one nation's suppliers, kept "
+    "when above an uncorrelated scalar-subquery fraction of the total.  "
+    "Spark plans the scalar as a broadcast single-row cross join over the "
+    "reused aggregate — the fact table shuffles once.  (Both engines sum "
+    "the same decimal-exact doubles; the threshold multiply is one IEEE op.)",
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_temp_views(spark, sf_dir)
+    return spark.sql(_Q11_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q12 — late shipments by line status and order priority.
+# Fixture has no l_shipmode/commitdate/receiptdate: l_linestatus stands in
+# for the mode grouping and "late" is shipped >90 days after order date.
+# ---------------------------------------------------------------------------
+
+
+@spec(
+    """
+    SELECT l_linestatus,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    WHERE date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 90
+      AND l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+    GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+    doc="TPC-H q12 shape: conditional priority counts over late lines "
+    "(shipped >90 days after ordering).  The year filter pushes to the "
+    "lineitem scan; the lateness predicate evaluates join-side; CASE sums "
+    "combine map-side.",
+)
+def q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
+    )
+    orders = load(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date"))
+            > 90
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q16 — supplier counts by part attributes (NOT-IN exclusion subquery).
+# ---------------------------------------------------------------------------
+
+
+@spec(
+    """
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#12' AND p_type <> 'PROMO'
+      AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    doc="TPC-H q16 shape: distinct-supplier counts per (brand, type, size) "
+    "excluding negative-balance suppliers (fixture stand-in for the "
+    "complaints filter).  The NOT IN is a broadcast null-aware anti join; "
+    "part attribute filters push to the broadcast side's scan.",
+)
+def q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = F.broadcast(
+        load(spark, sf_dir, "part").filter(
+            (F.col("p_brand") != "Brand#12")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+        )
+    )
+    li = load(spark, sf_dir, "lineitem")
+    bad = F.broadcast(
+        load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    )
+    return (
+        li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q20 — promotion-candidate suppliers (correlated half-of-total threshold).
+# ---------------------------------------------------------------------------
+
+
+@spec(
+    """
+    WITH shipped AS (
+      SELECT l_suppkey, l_partkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE 'small%'
+        AND l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+      GROUP BY l_suppkey, l_partkey
+    )
+    SELECT DISTINCT s_name, n_name
+    FROM shipped
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_2'
+      AND qty > (SELECT 0.5 * SUM(s2.qty) FROM shipped s2
+                 WHERE s2.l_partkey = shipped.l_partkey)
+    ORDER BY s_name
+    """,
+    doc="TPC-H q20 shape: NATION_2 suppliers who shipped more than half of a "
+    "small-part's 1997 volume.  The oracle states the canonical correlated "
+    "scalar subquery; the Spark plan is the single-pass window formulation "
+    "(SUM(qty) OVER (PARTITION BY l_partkey) on the already-grouped frame — "
+    "no second aggregate or self-join of the fact table), the same "
+    "decorrelation as q17.  Quantities are integer-valued doubles, so the "
+    "half-of-total compare is engine-exact.",
+)
+def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
+    )
+    small = F.broadcast(
+        load(spark, sf_dir, "part").filter(F.col("p_name").like("small%")).select("p_partkey")
+    )
+    shipped = (
+        li.join(small, li.l_partkey == small.p_partkey, "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(dec_money("l_quantity")).cast("double").alias("qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    supp = F.broadcast(load(spark, sf_dir, "supplier"))
+    nation = F.broadcast(load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2"))
+    return (
+        shipped.withColumn("__total", F.sum("qty").over(w))
+        .filter(F.col("qty") > 0.5 * F.col("__total"))
+        .join(supp, shipped.l_suppkey == supp.s_suppkey)
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .select("s_name", "n_name")
+        .distinct()
+        .orderBy("s_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q21 — suppliers who kept orders waiting (EXISTS + NOT EXISTS self-joins).
+# Fixture has no receipt/commit dates: "late" is shipped >60 days after the
+# order date; multi-supplier structure is preserved.
+# ---------------------------------------------------------------------------
+
+_Q21_SQL = """
+    WITH lines AS (
+      SELECT l_orderkey, l_suppkey,
+             date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 60
+               AS late
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'F'
+    )
+    SELECT s_name, COUNT(*) AS numwait
+    FROM lines l1
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_1' AND l1.late
+      AND EXISTS (SELECT 1 FROM lines l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lines l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+"""
+
+
+@spec(
+    _Q21_SQL,
+    doc="TPC-H q21 shape: the sole-late-supplier pattern — a late line on a "
+    "finished multi-supplier order where no OTHER supplier was late — via "
+    "correlated EXISTS (left-semi on l_orderkey with the <> predicate "
+    "join-side) and NOT EXISTS (left-anti on the late subset).  All three "
+    "legs reuse one (lineitem x orders) derivation; shuffles are on "
+    "l_orderkey only.",
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    lines = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date"))
+            > 60
+        ).alias("late"),
+    )
+    l1 = lines.filter(F.col("late")).alias("l1")
+    l2 = lines.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = lines.filter(F.col("late")).select("l_orderkey", "l_suppkey").alias("l3")
+    supp = F.broadcast(load(spark, sf_dir, "supplier"))
+    nation = F.broadcast(load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1"))
+    return (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+            "left_anti",
+        )
+        .join(supp, F.col("l1.l_suppkey") == supp.s_suppkey)
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q8_market_share": q8_market_share,
+    "q9_product_profit": q9_product_profit,
+    "q11_important_parts": q11_important_parts,
+    "q12_late_shipments": q12_late_shipments,
+    "q16_supplier_counts": q16_supplier_counts,
+    "q20_promotion_suppliers": q20_promotion_suppliers,
+    "q21_waiting_suppliers": q21_waiting_suppliers,
     "q4_priority_check": q4_priority_check,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q7_volume_shipping": q7_volume_shipping,
