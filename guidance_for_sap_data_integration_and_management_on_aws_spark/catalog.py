@@ -56,6 +56,20 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def parallelize_small_scan(df: DataFrame, key: str) -> DataFrame:
+    """Spread a CPU-heavy derivation of a small scan across the shuffle width.
+
+    A fixture table is one parquet file = one input split, so tokenization /
+    pairwise-vector work downstream of it would run in a single task.  When
+    the scan has fewer partitions than ``spark.sql.shuffle.partitions``,
+    repartition by ``key``; at production scale the scan already has
+    thousands of splits and this is a no-op (no shuffle added)."""
+    want = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    if df.rdd.getNumPartitions() < want:
+        return df.repartition(want, key)
+    return df
+
+
 def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view for ``spark.sql`` use."""
     for name in TABLES:

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import load, parallelize_small_scan
 from ..functions.vector import cosine, sign_bucket, sql_cosine, sql_sign_bucket
 from ..registry import QuerySpec, spec
 
@@ -114,14 +114,8 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _parallelize_scan(df: DataFrame) -> DataFrame:
-    """Tokenization is CPU-bound: when the scan has fewer partitions than the
-    shuffle width (a small-fixture artifact — one parquet file = one task),
-    spread it.  At production scale the scan already has thousands of input
-    splits and this is a no-op (no shuffle added)."""
-    want = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    if df.rdd.getNumPartitions() < want:
-        return df.repartition(want, "doc_id")
-    return df
+    """Tokenization is CPU-bound — see catalog.parallelize_small_scan."""
+    return parallelize_small_scan(df, "doc_id")
 
 
 def _hashed_token_sets(documents: DataFrame) -> DataFrame:
@@ -264,7 +258,7 @@ def dedup_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bucket -> shuffle by bucket -> local pairs).",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    v = load(spark, sf_dir, "embeddings").select(
+    v = parallelize_small_scan(load(spark, sf_dir, "embeddings"), "vec_id").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
     )
     b = v.select("vec_id", "e", sign_bucket(F.col("e"), 4).alias("bucket"))

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import load, parallelize_small_scan
 from ..functions.vector import as_double, cosine, sign_bucket, sql_cosine, sql_sign_bucket
 from ..registry import QuerySpec, spec
 
@@ -82,7 +82,9 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "on bucket id, top-3 within bucket — the shuffle-by-bucket scale path.",
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    v = load(spark, sf_dir, "embeddings").select(
+    # pairwise within-bucket cosine is the CPU cost: spread the query side
+    # so it isn't serialized by the one-file fixture scan
+    v = parallelize_small_scan(load(spark, sf_dir, "embeddings"), "vec_id").select(
         "vec_id", "label", as_double("embedding").alias("e")
     )
     b = v.select("vec_id", "label", "e", sign_bucket(F.col("e"), 4).alias("bucket"))

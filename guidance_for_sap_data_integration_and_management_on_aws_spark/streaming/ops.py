@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from ..catalog import load
 from ..functions.exprs import dec_money, sql_sum_money, sum_money
 from ..registry import QuerySpec, spec
-from .replay import build_replay, read_events_stream, run_to_table, scratch_dir
+from .replay import build_replay, read_events_stream, run_to_table, scratch_dir, stream_shuffle
 
 TS_FMT = "yyyy-MM-dd HH:mm:ss"
 SQL_TS_FMT = "%Y-%m-%d %H:%M:%S"
@@ -250,13 +250,14 @@ def stream_deadletter_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch_df.filter(ok).write.mode("append").parquet(valid_dir)
         batch_df.filter(~ok).write.mode("append").parquet(err_dir)
 
-    q = (
-        s.writeStream.foreachBatch(split_sink)
-        .option("checkpointLocation", scratch_dir("ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_shuffle(spark):
+        q = (
+            s.writeStream.foreachBatch(split_sink)
+            .option("checkpointLocation", scratch_dir("ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
     valid = spark.read.parquet(valid_dir).withColumn("side", F.lit("valid"))
     err = spark.read.parquet(err_dir).withColumn("side", F.lit("err"))
