@@ -892,45 +892,46 @@ _Q21_SQL = """
 @spec(
     _Q21_SQL,
     doc="TPC-H q21 shape: the sole-late-supplier pattern — a late line on a "
-    "finished multi-supplier order where no OTHER supplier was late — via "
-    "correlated EXISTS (left-semi on l_orderkey with the <> predicate "
-    "join-side) and NOT EXISTS (left-anti on the late subset).  All three "
-    "legs reuse one (lineitem x orders) derivation; shuffles are on "
-    "l_orderkey only.",
+    "finished multi-supplier order where no OTHER supplier was late.  The "
+    "oracle states the canonical EXISTS + NOT EXISTS pair (three scans of "
+    "the lineitem x orders derivation); the Spark plan collapses both into "
+    "ONE per-order aggregate — EXISTS(other supplier) ⟺ "
+    "countDistinct(supplier) > 1 and NOT EXISTS(other late supplier) ⟺ "
+    "countDistinct(late supplier) = 1 (the probe line is itself late) — so "
+    "the fact derivation is aggregated to (order, supplier) grain once, a "
+    "window over l_orderkey derives both existence facts, and late-line "
+    "counts ride the same rows — ONE fact scan and narrow shuffles, "
+    "instead of three semi/anti passes over lineitem.",
 )
 def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
-    lines = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
-        "l_orderkey",
-        "l_suppkey",
-        (
-            F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date"))
-            > 60
-        ).alias("late"),
+    late = (
+        F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")) > 60
     )
-    l1 = lines.filter(F.col("late")).alias("l1")
-    l2 = lines.select("l_orderkey", "l_suppkey").alias("l2")
-    l3 = lines.filter(F.col("late")).select("l_orderkey", "l_suppkey").alias("l3")
+    per_supp = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.count(F.when(late, F.lit(1))).alias("__n_late_lines"))
+    )
+    w = Window.partitionBy("l_orderkey")
     supp = F.broadcast(load(spark, sf_dir, "supplier"))
     nation = F.broadcast(load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1"))
     return (
-        l1.join(
-            l2,
-            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
-            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
-            "left_semi",
+        per_supp.withColumn("__n_supp", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "__n_late_supp",
+            F.sum(F.when(F.col("__n_late_lines") > 0, 1).otherwise(0)).over(w),
         )
-        .join(
-            l3,
-            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
-            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
-            "left_anti",
+        .filter(
+            (F.col("__n_late_lines") > 0)
+            & (F.col("__n_supp") > 1)
+            & (F.col("__n_late_supp") == 1)
         )
-        .join(supp, F.col("l1.l_suppkey") == supp.s_suppkey)
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
         .join(nation, supp.s_nationkey == nation.n_nationkey)
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("__n_late_lines").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
         .limit(100)
     )

@@ -183,3 +183,32 @@ def test_jaccard_prefix_exchanges_stay_narrow(spark, sf_dir):
             f"ArrayType columns {ex.array_columns()} cross a candidate-side "
             f"exchange ({ex.partitioning})"
         )
+
+
+def test_q21_single_lineitem_scan(spark, sf_dir):
+    # canonical q21 is EXISTS + NOT EXISTS = three passes over the fact
+    # derivation; the rewrite derives both facts from one (order, supplier)
+    # aggregate + window — exactly one lineitem scan survives in the plan
+    plan = _plan(spark, sf_dir, "q21_waiting_suppliers")
+    assert sum(s.reads_table("lineitem") for s in file_scans(plan)) == 1
+
+
+def test_q20_single_lineitem_scan_window_decorrelation(spark, sf_dir):
+    # the correlated half-of-total threshold is a window over the grouped
+    # frame, not a second aggregate joined back: one fact scan
+    plan = _plan(spark, sf_dir, "q20_promotion_suppliers")
+    assert sum(s.reads_table("lineitem") for s in file_scans(plan)) == 1
+
+
+def test_q2_single_fact_scan_and_broadcast_dims(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q2_min_cost_supplier")
+    assert sum(s.reads_table("lineitem") for s in file_scans(plan)) == 1
+    assert plan.count("BroadcastHashJoin") >= 3  # part, supplier, nation(+region)
+
+
+def test_q8_dims_broadcast_facts_shuffle_on_keys(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q8_market_share")
+    # part/supplier/nation x2/region broadcast; only lineitem x orders x
+    # customer shuffle
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
