@@ -100,6 +100,8 @@ _PRIORITY = [
     "q16_supplier_counts",
     "q20_promotion_suppliers",
     "q21_waiting_suppliers",
+    "ingest_merge_upsert",
+    "ann_ivf_train_kmeans",
 ]
 
 

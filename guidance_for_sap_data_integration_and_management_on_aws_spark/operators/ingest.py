@@ -329,7 +329,75 @@ def csv_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Incremental (delta-load) merge: the reference does full-table extracts only;
+# real SAP pipelines re-extract changed rows and MERGE them into the lake.
+# ---------------------------------------------------------------------------
+
+
+def merge_upsert(
+    base: DataFrame, updates: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Last-write-wins MERGE (SCD1 upsert): rows from ``updates`` replace
+    same-key rows in ``base``; unmatched update rows insert.
+
+    Scale shape: unionByName + one row_number window over the merge key —
+    a single hash shuffle of (base + delta), the same topology Delta Lake's
+    MERGE resolves to for full-overlap updates.  No collect, no broadcast of
+    the (arbitrarily large) base; a production deployment with a table
+    format would push this through MERGE INTO, with file-level pruning on
+    the delta's key range.
+    """
+    from pyspark.sql import Window
+
+    tagged = updates.withColumn("__src", F.lit(1)).unionByName(
+        base.withColumn("__src", F.lit(0))
+    )
+    w = Window.partitionBy(*keys).orderBy(F.desc("__src"))
+    return (
+        tagged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__src", "__rn")
+    )
+
+
+@spec(
+    """
+    WITH updates AS (
+      SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice * 2 AS o_totalprice
+      FROM orders WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, 'N', o_totalprice
+      FROM orders WHERE o_orderkey % 97 = 0
+    )
+    SELECT * FROM updates
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+    """,
+    doc="Delta-load MERGE (upsert) into the lake: a deterministic change set "
+    "(every 10th order restated with doubled price, every 97th key inserted "
+    "as new) merged last-write-wins into orders.  One key shuffle; oracle "
+    "states the anti-join + union form.  (x2 on a double is exact — exponent "
+    "bump only.)",
+)
+def ingest_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    restated = (
+        o.filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_orderstatus", F.lit("U"))
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    )
+    inserted = (
+        o.filter(F.col("o_orderkey") % 97 == 0)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 10_000_000)
+        .withColumn("o_orderstatus", F.lit("N"))
+    )
+    return merge_upsert(o, restated.unionByName(inserted), ["o_orderkey"])
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "ingest_merge_upsert": ingest_merge_upsert,
     "rfc_parse_valid": rfc_parse_valid,
     "rfc_parse_errors": rfc_parse_errors,
     "rfc_ingest_invariant": rfc_ingest_invariant,

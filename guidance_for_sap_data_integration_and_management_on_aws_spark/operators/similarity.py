@@ -234,9 +234,95 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- k-means IVF training (iterative algorithm; SURVEY §2.9 L3 scale path) --
+
+KMEANS_ITERS = 3
+
+
+def _sq_dist(a, b) -> F.Column:
+    d = F.zip_with(a, b, lambda x, y: (x - y) * (x - y))
+    return F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def train_kmeans(
+    v: DataFrame, n_iters: int = KMEANS_ITERS
+) -> tuple[DataFrame, list[float], list]:
+    """Deterministic Lloyd iterations over (vec_id, e) rows.
+
+    The production IVF-training dataflow: centroids are SMALL (k x dim) and
+    live driver-side between iterations, broadcast into each assignment pass
+    (the exact topology of MLlib's KMeans); vectors never leave executors.
+    Assignment = broadcast-join + per-vector argmin window (ties to the
+    lowest centroid id), update = explode to (cluster, dim, value) and
+    mean-aggregate — one narrow shuffle per iteration.  Returns the final
+    (vec_id, e, bucket) assignment and the per-iteration inertia trace
+    (monotonically non-increasing; asserted in tests/test_llm_ops.py).
+    """
+    spark = v.sparkSession
+    cents = (
+        v.filter(F.col("vec_id") % C_MOD == C_RESIDUE)
+        .select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"))
+        .collect()
+    )
+    inertia_trace: list[float] = []
+    assigned = None
+    used_cents = cents
+    for _ in range(n_iters):
+        used_cents = cents
+        cdf = F.broadcast(spark.createDataFrame([(r["cid"], r["ce"]) for r in cents], "cid BIGINT, ce ARRAY<DOUBLE>"))
+        w = Window.partitionBy("vec_id").orderBy(F.asc("__d"), F.asc("cid"))
+        assigned = (
+            v.join(cdf)
+            .withColumn("__d", _sq_dist(F.col("e"), F.col("ce")))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("vec_id", "e", F.col("cid").alias("bucket"), "__d")
+        )
+        stats = (
+            assigned.select(
+                "bucket", "__d", F.posexplode("e").alias("dim", "val")
+            )
+            .groupBy("bucket", "dim")
+            .agg(F.avg("val").alias("mean"), F.sum("__d").alias("d_sum"), F.count(F.lit(1)).alias("n"))
+        )
+        rows = stats.collect()
+        inertia_trace.append(
+            sum(r["d_sum"] for r in rows if r["dim"] == 0)
+        )
+        by_cid: dict[int, list] = {}
+        for r in sorted(rows, key=lambda r: (r["bucket"], r["dim"])):
+            by_cid.setdefault(r["bucket"], []).append(float(r["mean"]))
+        cents = [{"cid": cid, "ce": ce} for cid, ce in sorted(by_cid.items())]
+    # used_cents = the centroid set the returned assignment is argmin against
+    return assigned.drop("__d"), inertia_trace, used_cents
+
+
+@spec(
+    None,
+    doc="L3 IVF coarse-quantizer TRAINING: deterministic Lloyd k-means "
+    "(3 iterations, centroids seeded from the vec_id %% 61 == 3 vectors, "
+    "ties to lowest centroid id) over the embedding corpus; returns per-"
+    "cluster sizes.  Iterative and floating-mean-dependent, hence rows-only; "
+    "inertia monotonicity and argmin-assignment correctness are asserted in "
+    "tests/test_llm_ops.py.  ann_ivf_topk is the serving-side counterpart "
+    "(same dataflow with fixed centroids).",
+)
+def ann_ivf_train_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = parallelize_small_scan(load(spark, sf_dir, "embeddings"), "vec_id").select(
+        "vec_id", as_double("embedding").alias("e")
+    )
+    assigned, _, _ = train_kmeans(v)
+    return (
+        assigned.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .orderBy("bucket")
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_ivf_train_kmeans": ann_ivf_train_kmeans,
     "ann_label_match": ann_label_match,
 }

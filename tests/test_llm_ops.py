@@ -81,6 +81,62 @@ def test_prefix_filter_exact_vs_naive_blocking(spark):
     assert want <= got, f"prefix filter missed pairs: {want - got}"
 
 
+def test_kmeans_inertia_monotone_and_argmin_assignment(spark, sf_dir):
+    """Lloyd guarantees: per-iteration inertia never increases, and the final
+    assignment is the true argmin over the final centroid set (ties to the
+    lowest centroid id)."""
+    from pyspark.sql import functions as F
+
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.functions.vector import as_double
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.operators.similarity import (
+        _sq_dist,
+        train_kmeans,
+    )
+
+    v = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", as_double("embedding").alias("e")
+    )
+    assigned, trace, used_cents = train_kmeans(v)
+    assert len(trace) == 3
+    assert all(b <= a * (1 + 1e-9) for a, b in zip(trace, trace[1:])), trace
+
+    # brute-force argmin against the centroids the final pass actually used
+    by_cid = {r["cid"]: list(r["ce"]) for r in used_cents}
+    rows = assigned.collect()
+    import math
+
+    for r in rows[:200]:  # spot-check a bounded sample
+        best = min(
+            by_cid,
+            key=lambda cid: (
+                math.fsum((x - y) ** 2 for x, y in zip(r["e"], by_cid[cid])),
+                cid,
+            ),
+        )
+        # fsum vs Spark's left fold can differ in ulps; accept either side of
+        # a numeric tie but require the distance gap to be negligible
+        if best != r["bucket"]:
+            d_best = math.fsum((x - y) ** 2 for x, y in zip(r["e"], by_cid[best]))
+            d_got = math.fsum((x - y) ** 2 for x, y in zip(r["e"], by_cid[r["bucket"]]))
+            assert abs(d_best - d_got) < 1e-9, (r["vec_id"], best, r["bucket"])
+
+
+def test_merge_upsert_semantics(spark):
+    """Updates replace same-key rows, inserts append, base-only rows survive
+    — and duplicate update keys are impossible by contract (row_number keeps
+    exactly one row per key)."""
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.operators.ingest import (
+        merge_upsert,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k BIGINT, v STRING"
+    )
+    updates = spark.createDataFrame([(2, "B"), (4, "D")], "k BIGINT, v STRING")
+    got = {(r["k"], r["v"]) for r in merge_upsert(base, updates, ["k"]).collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c"), (4, "D")}
+
+
 def test_dedup_exact_partitions_corpus(spark, sf_dir):
     groups = dedup_exact.builder(spark, sf_dir).collect()
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
