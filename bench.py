@@ -52,13 +52,21 @@ HEADLINE = [
     "stream_tumbling_agg",
 ]
 
-REDUCED_SF = {"dedup_jaccard_pairs": "/root/testdata/sf0.01"}
+# query -> scale-factor directory NAME (resolved against the configured
+# data root, not a hardcoded absolute path)
+REDUCED_SF = {"dedup_jaccard_pairs": "sf0.01"}
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+    reduced = {
+        name: os.path.join(os.path.dirname(sf_dir.rstrip("/")) or ".", leaf)
+        for name, leaf in REDUCED_SF.items()
+    }
+    # fall back to the bench SF when the sibling dir doesn't exist
+    reduced = {n: p for n, p in reduced.items() if os.path.isdir(p)}
 
     import __spark_entry__ as entrymod
     from guidance_for_sap_data_integration_and_management_on_aws_spark.session import get_spark
@@ -67,7 +75,7 @@ def main() -> None:
     qs = entrymod.queries()
 
     def run(name: str) -> float:
-        where = REDUCED_SF.get(name, sf_dir)
+        where = reduced.get(name, sf_dir)
         t0 = time.perf_counter()
         qs[name](spark, where).write.mode("overwrite").format("noop").save()
         return time.perf_counter() - t0
@@ -110,7 +118,7 @@ def main() -> None:
         "sf": sf,
         "all_queries_total": round(sum(timings.values()), 3),
         "n_queries": len(timings),
-        "reduced_sf": {k: v for k, v in REDUCED_SF.items() if k in timings},
+        "reduced_sf": {k: v for k, v in reduced.items() if k in timings},
     }
     if errors:
         out["errors"] = errors

@@ -123,8 +123,9 @@ def _hashed_token_sets(documents: DataFrame) -> DataFrame:
     needs intersection/union SIZES, and intersecting long arrays is several
     times cheaper than string arrays when millions of candidate pairs reach
     the verify stage (64-bit collisions are negligible at corpus scale, and
-    both near-dup paths verify on the same hashed universe)."""
-    return documents.select(
+    both near-dup paths verify on the same hashed universe).  Tokenize+hash
+    runs on the parallelized scan, not the raw one-file fixture partition."""
+    return parallelize_small_scan(documents, "doc_id").select(
         "doc_id",
         F.transform(
             F.array_distinct(F.split(F.col("text"), " ")), lambda w: F.xxhash64(w)

@@ -336,10 +336,20 @@ def csv_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def merge_upsert(
-    base: DataFrame, updates: DataFrame, keys: list[str]
+    base: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    version_cols: list[str] | None = None,
 ) -> DataFrame:
     """Last-write-wins MERGE (SCD1 upsert): rows from ``updates`` replace
     same-key rows in ``base``; unmatched update rows insert.
+
+    Duplicate-key contract: Delta Lake's MERGE *errors* on multiple source
+    matches; this helper instead resolves them deterministically — pass
+    ``version_cols`` (e.g. a change-sequence/timestamp column, highest wins)
+    when the delta can restate a key more than once.  Without it the caller
+    asserts update keys are unique (the window would otherwise pick a
+    partitioning-dependent row).
 
     Scale shape: unionByName + one row_number window over the merge key —
     a single hash shuffle of (base + delta), the same topology Delta Lake's
@@ -353,7 +363,8 @@ def merge_upsert(
     tagged = updates.withColumn("__src", F.lit(1)).unionByName(
         base.withColumn("__src", F.lit(0))
     )
-    w = Window.partitionBy(*keys).orderBy(F.desc("__src"))
+    order = [F.desc("__src")] + [F.desc(c) for c in (version_cols or [])]
+    w = Window.partitionBy(*keys).orderBy(*order)
     return (
         tagged.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

@@ -259,6 +259,10 @@ def train_kmeans(
     (monotonically non-increasing; asserted in tests/test_llm_ops.py).
     """
     spark = v.sparkSession
+    # each Lloyd iteration collects cluster stats: cache the (small relative
+    # to executors' memory) vector frame so the scan+conversion runs once,
+    # exactly as MLlib's KMeans requires of its input
+    v = v.persist()
     cents = (
         v.filter(F.col("vec_id") % C_MOD == C_RESIDUE)
         .select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"))
@@ -293,6 +297,9 @@ def train_kmeans(
         for r in sorted(rows, key=lambda r: (r["bucket"], r["dim"])):
             by_cid.setdefault(r["bucket"], []).append(float(r["mean"]))
         cents = [{"cid": cid, "ce": ce} for cid, ce in sorted(by_cid.items())]
+    # release the cache: the returned lazy frame recomputes one scan when
+    # consumed (correct, and no cache outlives this call)
+    v.unpersist(blocking=False)
     # used_cents = the centroid set the returned assignment is argmin against
     return assigned.drop("__d"), inertia_trace, used_cents
 

@@ -56,15 +56,22 @@ def _apply_reference_naming(path: str, table: str, fmt: str) -> list[str]:
     serial running total, so this is a driver-side METADATA pass after the
     write: part files in name order (= page/partition order) get the running
     row total from parquet footers / JSON-line counts — no data moves.
+    On an append into a run path that was renamed before, the total CONTINUES
+    from the largest existing cumulative count (the reference's counter also
+    runs on across pages), so a re-run can never clobber earlier objects.
     Returns the new file names in order."""
     import os
+    import re
 
     import pyarrow.parquet as pq
 
     parts = sorted(
         f for f in os.listdir(path) if f.startswith("part-") and not f.endswith(".crc")
     )
-    total = 0
+    done = re.compile(rf"^{re.escape(table)}(\d+)\.{re.escape(fmt)}$")
+    total = max(
+        (int(m.group(1)) for f in os.listdir(path) if (m := done.match(f))), default=0
+    )
     named: list[str] = []
     for f in parts:
         full = os.path.join(path, f)

@@ -46,6 +46,10 @@ def set_secret_client(client: SecretClient | None) -> None:
 
 
 def _env_key(secret_id: str) -> str:
+    """Env-var name for a secret id.  NB: every non-alphanumeric maps to '_'
+    (env-var charset), so ids differing only in punctuation ('sap/dev' vs
+    'sap-dev') share one variable — use the JSON-file or client providers
+    when two such ids must coexist."""
     return "SAPRFC_SECRET_" + re.sub(r"[^A-Za-z0-9]", "_", secret_id).upper()
 
 
@@ -64,8 +68,9 @@ def resolve_secret(secret_id: str, region_name: str | None = None) -> dict[str, 
                 entry = json.load(fh).get(secret_id)
             if entry is not None:
                 raw = json.dumps(entry)
+    aws_err: Exception | None = None
     if raw is None:
-        try:  # boto3 absent in this container; guarded exactly like pyrfc
+        try:  # boto3 absent in some containers; guarded exactly like pyrfc
             import boto3  # type: ignore[import-not-found]
         except ImportError:
             boto3 = None
@@ -75,13 +80,19 @@ def resolve_secret(secret_id: str, region_name: str | None = None) -> dict[str, 
                     service_name="secretsmanager", region_name=region_name
                 )
                 raw = client.get_secret_value(SecretId=secret_id)["SecretString"]
-            except Exception:
-                raw = None  # no AWS credentials/region/network -> next error
+            except Exception as e:
+                # fall through to the not-found error, but carry the real AWS
+                # failure (AccessDenied, NoRegion, throttling) — masking it as
+                # plain not-found would misdirect debugging
+                aws_err = e
     if raw is None:
-        raise KeyError(
+        msg = (
             f"secret {secret_id!r} not found (tried injected client, "
-            f"${_env_key(secret_id)}, $SAPRFC_SECRETS_FILE, boto3)"
+            f"${_env_key(secret_id)}, $SAPRFC_SECRETS_FILE, boto3"
+            + (f"; boto3 failed: {type(aws_err).__name__}: {aws_err}" if aws_err else "")
+            + ")"
         )
+        raise KeyError(msg) from aws_err
     auth = json.loads(raw)
     missing = [k for k in REQUIRED_KEYS if k not in auth]
     if missing:

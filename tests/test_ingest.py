@@ -120,6 +120,22 @@ def test_reference_object_naming(spark, parsed, fmt):
         assert err_names and read_back(spark, report.error_path, fmt).count() == report.err_count
 
 
+def test_reference_naming_append_continues_counter(spark, parsed):
+    """Appending a second run into the same renamed run path must CONTINUE
+    the cumulative counter (reference semantics) instead of restarting at 0
+    and clobbering run 1's objects via os.replace."""
+    _, _, p = parsed
+    with tempfile.TemporaryDirectory() as tmp:
+        r1 = write_dual_sink(
+            p, tmp, "DD03L", run_ts="2026-01-01-00-00-00", reference_naming=True
+        )
+        r2 = write_dual_sink(
+            p, tmp, "DD03L", run_ts="2026-01-01-00-00-00", reference_naming=True
+        )
+        total = read_back(spark, r2.data_path).count()
+        assert total == r1.valid_count + r2.valid_count  # nothing clobbered
+
+
 def test_projection_pushdown_capable_transport():
     """P7/P8: the transport applies OPTIONS (ABAP-op where clauses) and
     FIELDS (the BAPI supports them; the reference never passes them —
