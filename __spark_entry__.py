@@ -102,6 +102,10 @@ _PRIORITY = [
     "q21_waiting_suppliers",
     "ingest_merge_upsert",
     "ann_ivf_train_kmeans",
+    # real stdlib codecs (BMP/WAV) added in round 2
+    "mm_bmp_decode",
+    "mm_bmp_resize",
+    "mm_wav_decode",
 ]
 
 

@@ -1,14 +1,23 @@
 """Multimodal column handling (SURVEY §2.9 L5): opaque binary payloads with
 typed metadata, content-hash identity, and a Pandas-UDF decode pipeline.
 
-The container has no image/audio codecs, so the *decode kernel* is a
-clearly-marked deterministic stub (``fake_decode_meta``) — but the Spark-side
-plumbing is real and is what matters at scale: ``BinaryType`` payload
-columns, metadata structs, Arrow-batched ``mapInPandas`` with a bounded batch
-size (``spark.sql.execution.arrow.maxRecordsPerBatch`` governs memory per
-executor — binary payloads can be MBs each, so real deployments lower it).
-A production build swaps ``fake_decode_meta`` for Pillow/ffmpeg calls with
-no change to the dataflow.
+Two tiers of decode kernel:
+
+* **REAL stdlib codecs** — uncompressed 24-bit BMP (struct/numpy header +
+  pixel-array parsing, stride padding, bottom-up row order) and mono 16-bit
+  PCM WAV (stdlib ``wave``): `mm_bmp_decode`, `mm_bmp_resize`,
+  `mm_wav_decode` generate genuine files and parse the actual bytes back,
+  oracle-checked against the generators' closed-form arithmetic.
+* **Declared stubs** — `mm_decode`/`mm_resize`/`mm_frame_sample` keep the
+  deterministic length-derived kernels for formats whose codecs aren't in
+  this container (JPEG/video need Pillow/pyav/ffmpeg); the docstrings say
+  exactly what swaps in.
+
+Either way the Spark-side plumbing is what matters at scale: ``BinaryType``
+payload columns, metadata structs, Arrow-batched ``mapInPandas`` with a
+bounded batch size (``spark.sql.execution.arrow.maxRecordsPerBatch`` governs
+memory per executor — binary payloads can be MBs each, so real deployments
+lower it).
 """
 
 from __future__ import annotations
@@ -229,10 +238,266 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInPandas(fake_frame_sample, FRAME_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# REAL codecs (stdlib-only): uncompressed 24-bit BMP and PCM WAV.
+#
+# The container has no Pillow/ffmpeg, but BMP and WAV are fully specified
+# header+payload formats parseable with struct/wave/numpy — so these paths
+# decode REAL bytes end-to-end: a deterministic generator writes genuine
+# files, the Arrow-batched kernels parse the actual headers and pixel/sample
+# arrays (bottom-up BMP rows, 4-byte stride padding, little-endian PCM), and
+# the DuckDB oracle recomputes the expected values from the generator's
+# closed-form arithmetic.  Only video frame extraction remains a declared
+# stub (mm_frame_sample) — no container codec can parse real video.
+# ---------------------------------------------------------------------------
+
+import io
+import struct
+import wave
+
+import numpy as np
+
+
+def _gen_bmp(i: int) -> bytes:
+    """A real uncompressed 24-bit BMP: pixel byte j (row-major top-down,
+    BGR interleaved) has value (i*31 + j) % 256; stored bottom-up with
+    4-byte row stride padding, exactly per the BITMAPINFOHEADER spec."""
+    w, h, a = 4 + i % 13, 3 + i % 7, (i * 31) % 256
+    row_len = w * 3
+    pad = (-row_len) % 4
+    rows = []
+    for y in range(h - 1, -1, -1):  # bottom-up storage
+        row = bytes((a + (y * w + x) * 3 + c) % 256 for x in range(w) for c in range(3))
+        rows.append(row + b"\x00" * pad)
+    px = b"".join(rows)
+    off = 14 + 40
+    fh = struct.pack("<2sIHHI", b"BM", off + len(px), 0, 0, off)
+    ih = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(px), 2835, 2835, 0, 0)
+    return fh + ih + px
+
+
+def parse_bmp(payload: bytes) -> tuple[int, int, int, "np.ndarray"]:
+    """Parse a real BMP: validates the magic, reads the declared pixel-array
+    offset and dimensions from the headers, un-pads and un-flips the
+    bottom-up rows.  Returns (width, height, bpp, h x w x 3 uint8 array)."""
+    magic, _, _, _, off = struct.unpack_from("<2sIHHI", payload, 0)
+    if magic != b"BM":
+        raise ValueError(f"not a BMP payload (magic {magic!r})")
+    _, w, h, _, bpp = struct.unpack_from("<IiiHH", payload, 14)
+    if bpp != 24:
+        raise ValueError(f"only 24-bit BMP supported, got {bpp}")
+    stride = w * 3 + ((-w * 3) % 4)
+    arr = np.frombuffer(payload, dtype=np.uint8, offset=off, count=h * stride)
+    img = arr.reshape(h, stride)[:, : w * 3][::-1].reshape(h, w, 3)
+    return w, h, bpp, img
+
+
+def _gen_wav(i: int) -> bytes:
+    """A real mono 16-bit PCM WAV (stdlib ``wave`` writer): sample t is
+    ((i*7 + t*13) % 65536) - 32768, little-endian signed."""
+    rate, n, a = 8000 + (i % 3) * 4000, 50 + i % 50, (i * 7) % 65536
+    frames = b"".join(
+        struct.pack("<h", ((a + t * 13) % 65536) - 32768) for t in range(n)
+    )
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(2)
+        wv.setframerate(rate)
+        wv.writeframes(frames)
+    return buf.getvalue()
+
+
+def build_bmp_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def gen(doc_id: pd.Series) -> pd.Series:
+        return doc_id.map(lambda i: _gen_bmp(int(i)))
+
+    return load(spark, sf_dir, "documents").select("doc_id", gen("doc_id").alias("payload"))
+
+
+def build_wav_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def gen(doc_id: pd.Series) -> pd.Series:
+        return doc_id.map(lambda i: _gen_wav(int(i)))
+
+    return load(spark, sf_dir, "documents").select("doc_id", gen("doc_id").alias("payload"))
+
+
+_SQL_BMP_DIMS = """
+    SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h,
+           (doc_id * 31) % 256 AS a
+    FROM documents
+"""
+
+
+@spec(
+    f"""
+    WITH d AS ({_SQL_BMP_DIMS}),
+    s AS (
+      SELECT d.doc_id, d.w, d.h,
+             SUM((d.a + g.range) % 256) AS px_sum, COUNT(*) AS n
+      FROM d, range(0, 432) g WHERE g.range < d.w * d.h * 3
+      GROUP BY 1, 2, 3
+    )
+    SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+           24 AS bpp, CAST(px_sum AS DOUBLE) / n AS mean_px,
+           'bmp-stdlib' AS decoder
+    FROM s
+    """,
+    doc="L5 REAL image decode: deterministic genuine 24-bit BMPs generated "
+    "per doc, parsed back by an Arrow-batched kernel that validates the "
+    "magic, reads header-declared offsets/dimensions, strips stride padding "
+    "and un-flips the bottom-up rows; mean pixel value from the actual "
+    "decoded array.  Oracle recomputes from the generator's closed form — "
+    "header parsing, padding, or row-order bugs all surface as value "
+    "mismatches.",
+)
+def mm_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = {k: [] for k in ("doc_id", "width", "height", "bpp", "mean_px")}
+            for doc_id, payload in zip(b["doc_id"], b["payload"]):
+                w, h, bpp, img = parse_bmp(bytes(payload))
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["bpp"].append(bpp)
+                rows["mean_px"].append(int(img.astype(np.int64).sum()) / (w * h * 3))
+            out = pd.DataFrame(rows)
+            out["width"] = out["width"].astype("int32")
+            out["height"] = out["height"].astype("int32")
+            out["bpp"] = out["bpp"].astype("int32")
+            out["decoder"] = "bmp-stdlib"
+            yield out
+
+    return build_bmp_frame(spark, sf_dir).mapInPandas(
+        kernel, "doc_id BIGINT, width INT, height INT, bpp INT, mean_px DOUBLE, decoder STRING"
+    )
+
+
+@spec(
+    f"""
+    WITH d AS ({_SQL_BMP_DIMS}),
+    grid AS (
+      SELECT gx.range AS xp, gy.range AS yp, gc.range AS c
+      FROM range(0, 8) gx, range(0, 8) gy, range(0, 3) gc
+    ),
+    s AS (
+      SELECT d.doc_id,
+             SUM((d.a + (((yp * d.h) // 8) * d.w + ((xp * d.w) // 8)) * 3 + c) % 256)
+               AS rs,
+             COUNT(*) AS n
+      FROM d, grid GROUP BY 1
+    )
+    SELECT doc_id, 8 AS out_w, 8 AS out_h,
+           CAST(rs AS DOUBLE) / n AS mean_resized, 'bmp-stdlib' AS decoder
+    FROM s
+    """,
+    doc="L5 REAL image resize: nearest-neighbor 8x8 downsample of the "
+    "actually-decoded BMP pixel matrix (numpy index sampling, the same "
+    "sampling grid Pillow's NEAREST uses); oracle recomputes the sampled "
+    "coordinates' closed-form values.",
+)
+def mm_bmp_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = {k: [] for k in ("doc_id", "out_w", "out_h", "mean_resized")}
+            for doc_id, payload in zip(b["doc_id"], b["payload"]):
+                w, h, _, img = parse_bmp(bytes(payload))
+                sy = (np.arange(8) * h) // 8
+                sx = (np.arange(8) * w) // 8
+                small = img[np.ix_(sy, sx)]
+                rows["doc_id"].append(doc_id)
+                rows["out_w"].append(8)
+                rows["out_h"].append(8)
+                rows["mean_resized"].append(int(small.astype(np.int64).sum()) / small.size)
+            out = pd.DataFrame(rows)
+            out["out_w"] = out["out_w"].astype("int32")
+            out["out_h"] = out["out_h"].astype("int32")
+            out["decoder"] = "bmp-stdlib"
+            yield out
+
+    return build_bmp_frame(spark, sf_dir).mapInPandas(
+        kernel, "doc_id BIGINT, out_w INT, out_h INT, mean_resized DOUBLE, decoder STRING"
+    )
+
+
+@spec(
+    """
+    WITH d AS (
+      SELECT doc_id, 8000 + (doc_id % 3) * 4000 AS rate, 50 + doc_id % 50 AS n,
+             (doc_id * 7) % 65536 AS a
+      FROM documents
+    ),
+    s AS (
+      SELECT d.doc_id, SUM(abs(((d.a + g.range * 13) % 65536) - 32768)) AS sabs
+      FROM d, range(0, 99) g WHERE g.range < d.n GROUP BY 1
+    )
+    SELECT d.doc_id, 1 AS n_channels, 2 AS sample_width,
+           CAST(d.rate AS INTEGER) AS sample_rate, CAST(d.n AS INTEGER) AS n_frames,
+           CAST(s.sabs AS DOUBLE) / d.n AS mean_abs, 'wav-stdlib' AS decoder
+    FROM d JOIN s USING (doc_id)
+    """,
+    doc="L5 REAL audio decode: genuine mono 16-bit PCM WAVs generated per "
+    "doc (stdlib wave writer), parsed back with the stdlib wave reader — "
+    "channel/width/rate/frame metadata from the actual RIFF headers, mean "
+    "absolute amplitude from the actual little-endian sample bytes; oracle "
+    "recomputes the generator's closed form.",
+)
+def mm_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = {
+                k: []
+                for k in (
+                    "doc_id",
+                    "n_channels",
+                    "sample_width",
+                    "sample_rate",
+                    "n_frames",
+                    "mean_abs",
+                )
+            }
+            for doc_id, payload in zip(b["doc_id"], b["payload"]):
+                with wave.open(io.BytesIO(bytes(payload))) as wv:
+                    nch, width, rate, n = (
+                        wv.getnchannels(),
+                        wv.getsampwidth(),
+                        wv.getframerate(),
+                        wv.getnframes(),
+                    )
+                    samples = np.frombuffer(wv.readframes(n), dtype="<i2")
+                rows["doc_id"].append(doc_id)
+                rows["n_channels"].append(nch)
+                rows["sample_width"].append(width)
+                rows["sample_rate"].append(rate)
+                rows["n_frames"].append(n)
+                rows["mean_abs"].append(int(np.abs(samples.astype(np.int64)).sum()) / n)
+            out = pd.DataFrame(rows)
+            for c in ("n_channels", "sample_width", "sample_rate", "n_frames"):
+                out[c] = out[c].astype("int32")
+            out["decoder"] = "wav-stdlib"
+            yield out
+
+    return build_wav_frame(spark, sf_dir).mapInPandas(
+        kernel,
+        "doc_id BIGINT, n_channels INT, sample_width INT, sample_rate INT, "
+        "n_frames INT, mean_abs DOUBLE, decoder STRING",
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "mm_payload_hash": mm_payload_hash,
     "mm_decode": mm_decode,
     "mm_asset_stats": mm_asset_stats,
     "mm_resize": mm_resize,
     "mm_frame_sample": mm_frame_sample,
+    "mm_bmp_decode": mm_bmp_decode,
+    "mm_bmp_resize": mm_bmp_resize,
+    "mm_wav_decode": mm_wav_decode,
 }

@@ -137,6 +137,37 @@ def test_merge_upsert_semantics(spark):
     assert got == {(1, "a"), (2, "B"), (3, "c"), (4, "D")}
 
 
+def test_real_codec_roundtrip_and_tamper():
+    """The stdlib BMP/WAV codecs parse REAL bytes: generator -> file ->
+    parser round-trips exactly, and a tampered magic is rejected (the
+    dead-letter contract for malformed media)."""
+    import io
+    import wave
+
+    import numpy as np
+    import pytest
+
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.operators.multimodal import (
+        _gen_bmp,
+        _gen_wav,
+        parse_bmp,
+    )
+
+    for i in (0, 1, 7, 36, 499):
+        w, h, bpp, img = parse_bmp(_gen_bmp(i))
+        assert (w, h, bpp) == (4 + i % 13, 3 + i % 7, 24)
+        a = (i * 31) % 256
+        want = np.array(
+            [(a + j) % 256 for j in range(w * h * 3)], dtype=np.uint8
+        ).reshape(h, w, 3)
+        assert (img == want).all()
+        with wave.open(io.BytesIO(_gen_wav(i))) as wv:
+            assert wv.getnchannels() == 1 and wv.getsampwidth() == 2
+            assert wv.getnframes() == 50 + i % 50
+    with pytest.raises(ValueError, match="not a BMP"):
+        parse_bmp(b"XX" + _gen_bmp(3)[2:])
+
+
 def test_dedup_exact_partitions_corpus(spark, sf_dir):
     groups = dedup_exact.builder(spark, sf_dir).collect()
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
