@@ -106,6 +106,7 @@ _PRIORITY = [
     "mm_bmp_decode",
     "mm_bmp_resize",
     "mm_wav_decode",
+    "sample_stratified",
 ]
 
 

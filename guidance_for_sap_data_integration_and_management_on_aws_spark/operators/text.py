@@ -207,7 +207,38 @@ def text_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec(
+    """
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS rn
+      FROM documents
+    ) WHERE rn <= 50
+    """,
+    doc="Training-corpus stratified sampling: a fixed per-source quota drawn "
+    "by a DETERMINISTIC pseudo-random order (md5 of the key — identical in "
+    "both engines, reshuffle-stable, no RNG state).  One shuffle on the "
+    "stratum key; at 100 TB per-stratum top-k pushes partial limits "
+    "map-side the same as topk_orders.",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 50)
+        .select("doc_id", "source")
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "sample_stratified": sample_stratified,
     "text_token_count": text_token_count,
     "text_quality": text_quality,
     "text_lang_id": text_lang_id,
