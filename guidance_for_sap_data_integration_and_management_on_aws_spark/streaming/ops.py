@@ -207,6 +207,73 @@ def stream_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def has_transform_with_state_runtime() -> bool:
+    """Spark 4's transformWithStateInPandas needs the protobuf package for
+    its state-server protocol; this container ships pyspark without it, so
+    the modern-API operator below is import-guarded (same policy as pyrfc)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def stream_stateful_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 on the MODERN arbitrary-state API (Spark 4
+    transformWithStateInPandas + StatefulProcessor/ValueState — the
+    successor to applyInPandasWithState, adding typed state vars, timers and
+    TTL): same per-user running (count, cents) semantics as
+    stream_stateful_running_totals, so the final update per user equals the
+    batch GROUP BY.
+
+    NOT registered as a driver query: the runtime dependency (protobuf)
+    is absent in this container — ``has_transform_with_state_runtime``
+    gates it, and ``tests/test_streaming.py`` exercises it wherever the
+    dependency exists (skipif otherwise)."""
+    if not has_transform_with_state_runtime():
+        raise ImportError(
+            "transformWithStateInPandas requires the protobuf package "
+            "(pyspark[connect] extra); falling back to "
+            "stream_stateful_running_totals (applyInPandasWithState)"
+        )
+    from pyspark.sql import Window
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", "n BIGINT, cents BIGINT")
+
+        def handleInputRows(self, key, rows, timerValues):
+            prior = self._state.get() if self._state.exists() else (0, 0)
+            n, cents = int(prior[0]), int(prior[1])
+            for pdf in rows:
+                n += len(pdf)
+                cents += int((pdf["value"] * 100).round().sum())
+            self._state.update((n, cents))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    s = read_events_stream(spark, build_replay(spark, sf_dir, "ordered"))
+    updates = s.groupBy("user_id").transformWithStateInPandas(
+        RunningTotals(),
+        "user_id BIGINT, n_events BIGINT, total_cents BIGINT",
+        "Update",
+        "None",
+    )
+    log = run_to_table(updates, "mem_stream_stateful_v2", "update")
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        log.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "n_events", "total_cents")
+    )
+
+
 @spec(
     f"""
     SELECT e.event_id, strftime(e.ts, '{SQL_TS_FMT}') AS ts_s,

@@ -62,3 +62,41 @@ def test_replay_is_deterministic(spark, sf_dir):
     a = stream_watermark_late_drop.builder(spark, sf_dir)
     b = stream_watermark_late_drop.builder(spark, sf_dir)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_transform_with_state_v2(spark, sf_dir):
+    """Modern-API twin of T6 (transformWithStateInPandas): same final
+    per-user totals as the batch GROUP BY.  Requires protobuf, which this
+    container's pyspark does not ship — skipped there, exercised wherever
+    the dependency exists."""
+    import pytest
+
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.streaming.ops import (
+        has_transform_with_state_runtime,
+        stream_stateful_v2,
+    )
+
+    if not has_transform_with_state_runtime():
+        with pytest.raises(ImportError, match="protobuf"):
+            stream_stateful_v2(spark, sf_dir)
+        pytest.skip("protobuf not available: transformWithState runtime absent")
+
+    from pyspark.sql import functions as F
+
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.catalog import load
+
+    got = {
+        (r["user_id"], r["n_events"], r["total_cents"])
+        for r in stream_stateful_v2(spark, sf_dir).collect()
+    }
+    want = {
+        (r["user_id"], r["n"], r["cents"])
+        for r in load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"),
+        )
+        .collect()
+    }
+    assert got == want
