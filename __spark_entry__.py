@@ -107,6 +107,7 @@ _PRIORITY = [
     "mm_bmp_resize",
     "mm_wav_decode",
     "sample_stratified",
+    "pipeline_pack_sequences",
 ]
 
 

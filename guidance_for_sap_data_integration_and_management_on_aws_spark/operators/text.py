@@ -237,8 +237,54 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PACK_BUDGET = 2048  # tokens per training pack
+
+
+@spec(
+    f"""
+    WITH t AS (
+      SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING), 0) AS prior
+      FROM t
+    )
+    SELECT doc_id, source, CAST(n_tokens AS INTEGER) AS n_tokens,
+           CAST(prior // {PACK_BUDGET} AS BIGINT) AS pack_id
+    FROM c
+    """,
+    doc="Training-batch sequence packing: documents stream into fixed "
+    f"{PACK_BUDGET}-token packs per source, assigned by an exclusive "
+    "running-token-count window (deterministic doc_id order).  The classic "
+    "LLM-pretraining packing pass as ONE window over the corpus — no "
+    "driver-side loop, one shuffle on the stratum key; a pack may overflow "
+    "by at most one document (standard greedy semantics).",
+)
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    n = F.size(F.split(F.col("text"), " "))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        d.select("doc_id", "source", n.alias("n_tokens"))
+        .withColumn("pack_id", F.floor(prior / PACK_BUDGET))
+        .select("doc_id", "source", F.col("n_tokens").cast("int"), "pack_id")
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "sample_stratified": sample_stratified,
+    "pipeline_pack_sequences": pipeline_pack_sequences,
     "text_token_count": text_token_count,
     "text_quality": text_quality,
     "text_lang_id": text_lang_id,
