@@ -137,6 +137,25 @@ def test_merge_upsert_semantics(spark):
     assert got == {(1, "a"), (2, "B"), (3, "c"), (4, "D")}
 
 
+def test_merge_upsert_version_cols_resolve_duplicate_updates(spark):
+    """A delta that restates a key more than once resolves deterministically
+    by the version column (highest wins), regardless of partitioning."""
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.operators.ingest import (
+        merge_upsert,
+    )
+
+    base = spark.createDataFrame([(1, "a", 0)], "k BIGINT, v STRING, seq BIGINT")
+    updates = spark.createDataFrame(
+        [(1, "mid", 5), (1, "latest", 9), (1, "old", 1)],
+        "k BIGINT, v STRING, seq BIGINT",
+    )
+    for n_parts in (1, 7):
+        got = merge_upsert(
+            base, updates.repartition(n_parts), ["k"], version_cols=["seq"]
+        ).collect()
+        assert [(r["k"], r["v"], r["seq"]) for r in got] == [(1, "latest", 9)]
+
+
 def test_real_codec_roundtrip_and_tamper():
     """The stdlib BMP/WAV codecs parse REAL bytes: generator -> file ->
     parser round-trips exactly, and a tampered magic is rejected (the
