@@ -85,7 +85,7 @@ def _wa_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
            trim(s[2]) AS name,
            trim(s[3]) AS brand,
            TRY_CAST(trim(s[4]) AS BIGINT) AS size_n,
-           TRY_CAST(trim(s[5]) AS DECIMAL(38,2)) AS price,
+           CAST(TRY_CAST(trim(s[5]) AS DECIMAL(38,2)) AS DOUBLE) AS price,
            CAST(try_strptime(NULLIF(trim(s[6]), '00000000'), '%Y%m%d') AS DATE) AS asdate,
            trim(s[7]) AS flag
     FROM split_rows WHERE len(s) = 7
@@ -95,7 +95,13 @@ def _wa_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exactly the reference pipeline pyrfc_read_table.py:141-174 as one select.",
 )
 def rfc_parse_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return parse_rfc_frame(_wa_frame(spark, sf_dir), FIELDS).valid
+    valid = parse_rfc_frame(_wa_frame(spark, sf_dir), FIELDS).valid
+    # The P-code DDIC cast keeps DECIMAL(38,2) fidelity inside the pipeline
+    # (asserted in tests/test_ingest.py); the REGISTERED surface re-emits it
+    # as DOUBLE because the driver's value-hash canonicalizes Decimal and
+    # float differently (r02: Spark Decimal('900.10') vs DuckDB-floated
+    # 900.1 — the same class as r01's int-vs-float fn_math failure).
+    return valid.withColumn("price", F.col("price").cast("double"))
 
 
 @spec(
@@ -378,7 +384,7 @@ def merge_upsert(
       SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice * 2 AS o_totalprice
       FROM orders WHERE o_orderkey % 10 = 0
       UNION ALL
-      SELECT o_orderkey + 10000000, 'N', o_totalprice
+      SELECT o_orderkey + (SELECT MAX(o_orderkey) FROM orders), 'N', o_totalprice
       FROM orders WHERE o_orderkey % 97 = 0
     )
     SELECT * FROM updates
@@ -390,7 +396,9 @@ def merge_upsert(
     "(every 10th order restated with doubled price, every 97th key inserted "
     "as new) merged last-write-wins into orders.  One key shuffle; oracle "
     "states the anti-join + union form.  (x2 on a double is exact — exponent "
-    "bump only.)",
+    "bump only.)  Insert keys are offset by the ACTUAL max orderkey (one "
+    "1-row broadcast, no collect) so they cannot collide with real keys at "
+    "any SF — a fixed constant would overlap once orderkeys pass it.",
 )
 def ingest_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
@@ -399,9 +407,12 @@ def ingest_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("o_orderstatus", F.lit("U"))
         .withColumn("o_totalprice", F.col("o_totalprice") * 2)
     )
+    mx = o.agg(F.max("o_orderkey").alias("__max_key"))
     inserted = (
         o.filter(F.col("o_orderkey") % 97 == 0)
-        .withColumn("o_orderkey", F.col("o_orderkey") + 10_000_000)
+        .crossJoin(F.broadcast(mx))
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.col("__max_key"))
+        .drop("__max_key")
         .withColumn("o_orderstatus", F.lit("N"))
     )
     return merge_upsert(o, restated.unionByName(inserted), ["o_orderkey"])

@@ -76,15 +76,28 @@ def _apply_reference_naming(path: str, table: str, fmt: str) -> list[str]:
     for f in parts:
         full = os.path.join(path, f)
         if fmt == "parquet":
-            total += pq.ParquetFile(full).metadata.num_rows
+            n_rows = pq.ParquetFile(full).metadata.num_rows
         else:
             with open(full, "rb") as fh:
-                total += sum(1 for _ in fh)
-        new = f"{table}{total}.{fmt}"
-        os.replace(full, os.path.join(path, new))
+                n_rows = sum(1 for _ in fh)
         crc = os.path.join(path, f".{f}.crc")
         if os.path.exists(crc):  # Hadoop local-FS checksum would go stale
             os.remove(crc)
+        if n_rows == 0:
+            # A zero-row part file (Spark writes one when a partition of the
+            # frame is empty) would leave `total` unchanged and its computed
+            # name would collide with the previous object (or, on append,
+            # with the prior run's largest object) — os.replace would then
+            # silently clobber real data.  The reference never emits an
+            # object for an empty page either (it writes per fetched page);
+            # drop the file instead of naming it.
+            os.remove(full)
+            continue
+        total += n_rows
+        new = f"{table}{total}.{fmt}"
+        dest = os.path.join(path, new)
+        assert not os.path.exists(dest), f"cumulative-name collision: {new}"
+        os.replace(full, dest)
         named.append(new)
     return named
 

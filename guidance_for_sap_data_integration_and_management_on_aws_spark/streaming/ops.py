@@ -165,13 +165,24 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     return run_to_table(out, "mem_stream_dedup_within_watermark", "append")
 
 
+def _cents_half_up(values: pd.Series) -> int:
+    """Integer cents with explicit HALF_UP rounding (away from zero) — the
+    rule both Spark's F.round and DuckDB's round() apply.  pandas'
+    Series.round() is banker's half-to-even and silently diverges whenever
+    value*100 lands exactly on .5."""
+    import numpy as np
+
+    v = values.to_numpy(dtype="float64") * 100.0
+    return int((np.sign(v) * np.floor(np.abs(v) + 0.5)).astype("int64").sum())
+
+
 def _running_totals(key, pdfs, state):
     """T6 state kernel: per-user cumulative (count, cents).  Integer cents
     keep the arithmetic exact and engine-independent."""
     n, cents = state.get if state.exists else (0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        cents += int((pdf["value"] * 100).round().sum())
+        cents += _cents_half_up(pdf["value"])
     state.update((n, cents))
     yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_cents": [cents]})
 
@@ -249,7 +260,7 @@ def stream_stateful_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
             n, cents = int(prior[0]), int(prior[1])
             for pdf in rows:
                 n += len(pdf)
-                cents += int((pdf["value"] * 100).round().sum())
+                cents += _cents_half_up(pdf["value"])
             self._state.update((n, cents))
             yield pd.DataFrame(
                 {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}

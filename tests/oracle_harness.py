@@ -23,9 +23,14 @@ def _norm_cell(v):
     if isinstance(v, bool):
         return f"bool:{v}"
     if isinstance(v, Decimal):
-        # compare decimals by numeric value (scale may differ across engines;
-        # the driver floats DECIMAL via pandas before hashing)
-        return f"num:{float(v)!r}"
+        # Deliberately DISTINCT from float: r02's rfc_parse_valid hash
+        # failure proved the driver does NOT float Spark-side decimals
+        # (Decimal('900.10') vs 900.1 hash apart), so a Decimal here only
+        # matches a Decimal of equal normalized value on the other engine.
+        # Registered queries must not emit DecimalType at all
+        # (test_oracle_parity asserts it); this branch exists to make any
+        # future decimal leak fail loudly in local parity.
+        return f"dec:{v.normalize()}"
     if isinstance(v, float):
         return f"num:{v!r}"
     if isinstance(v, int):

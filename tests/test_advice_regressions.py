@@ -82,3 +82,48 @@ def test_except_removes_excess_left_duplicates(spark, tmp_path):
     pq.write_table(pa.table({"o_custkey": [1]}), tmp_path / "orders.parquet")
     got = {r["k"] for r in except_custkeys.builder(spark, str(tmp_path)).collect()}
     assert got == {2}
+
+
+# ---------------------------------------------------------------------------
+# Round-2 advisor findings (ADVICE.md r02):
+# 5. zero-row part files must not clobber earlier reference-named objects;
+# 6. merge-upsert insert keys derive from the actual max key (no collision
+#    at any SF) — covered by test_oracle_parity on the updated oracle;
+# 7. stateful kernels round cents HALF_UP (away from zero), matching both
+#    Spark F.round and DuckDB round(), not pandas' half-to-even.
+# ---------------------------------------------------------------------------
+
+
+def test_reference_naming_skips_zero_row_parts(tmp_path):
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.sources.lake import (
+        _apply_reference_naming,
+    )
+
+    (tmp_path / "part-00000").write_bytes(b'{"a":1}\n{"a":2}\n')
+    (tmp_path / "part-00001").write_bytes(b"")  # empty partition -> 0-row part
+    (tmp_path / "part-00002").write_bytes(b'{"a":3}\n')
+    named = _apply_reference_naming(str(tmp_path), "T", "json")
+    assert named == ["T2.json", "T3.json"]
+    # append run whose FIRST part is empty: previously its name equalled the
+    # prior run's largest object and os.replace clobbered it
+    (tmp_path / "part-00000").write_bytes(b"")
+    (tmp_path / "part-00001").write_bytes(b'{"a":4}\n')
+    named2 = _apply_reference_naming(str(tmp_path), "T", "json")
+    assert named2 == ["T4.json"]
+    assert sorted(f.name for f in tmp_path.iterdir()) == ["T2.json", "T3.json", "T4.json"]
+    assert (tmp_path / "T3.json").read_bytes() == b'{"a":3}\n'  # survived the append
+
+
+def test_stateful_cents_round_half_up():
+    import pandas as pd
+
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.streaming.ops import (
+        _cents_half_up,
+    )
+
+    # 0.125 and 0.625 are binary-exact, so value*100 lands EXACTLY on .5:
+    # HALF_UP gives 13 and 63; pandas .round() (half-to-even) gives 12 and 62.
+    assert _cents_half_up(pd.Series([0.125])) == 13
+    assert _cents_half_up(pd.Series([0.625])) == 63
+    assert _cents_half_up(pd.Series([-0.125])) == -13  # away from zero
+    assert _cents_half_up(pd.Series([0.125, 0.625, 2.0])) == 13 + 63 + 200

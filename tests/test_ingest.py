@@ -144,3 +144,23 @@ def test_projection_pushdown_capable_transport():
     res = t.call("DD03L", "`", 0, 1000, options=["KEYFLAG EQ 'X'"], fields=["TABNAME"])
     assert len(res["DATA"]) == sum(1 for i in range(100) if i % 5 == 0)
     assert all("`" not in r["WA"] for r in res["DATA"])  # single column on the wire
+
+
+def test_p_code_decimal_fidelity(spark, sf_dir):
+    """The pipeline keeps P-code columns as DECIMAL internally (SAP packed-BCD
+    type fidelity); only the REGISTERED query surface re-casts to DOUBLE,
+    because the driver's value-hash canonicalizes Decimal vs float apart
+    (r02 rfc_parse_valid failure)."""
+    from pyspark.sql.types import DecimalType, DoubleType
+
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.operators.ingest import (
+        FIELDS,
+        _wa_frame,
+        rfc_parse_valid,
+    )
+
+    internal = parse_rfc_frame(_wa_frame(spark, sf_dir), FIELDS).valid
+    price_t = internal.schema["price"].dataType
+    assert isinstance(price_t, DecimalType) and price_t.scale == 2
+    registered = rfc_parse_valid.builder(spark, sf_dir)
+    assert isinstance(registered.schema["price"].dataType, DoubleType)
