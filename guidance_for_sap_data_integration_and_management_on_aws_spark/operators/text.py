@@ -238,47 +238,96 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PACK_BUDGET = 2048  # tokens per training pack
+N_PACK_SHARDS = 16  # deterministic sub-splits per source (scale: the unit of
+# window parallelism; at 100 TB raise to O(corpus / executor-memory))
 
 
 @spec(
     f"""
     WITH t AS (
-      SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+      SELECT doc_id, source, doc_id % {N_PACK_SHARDS} AS shard,
+             len(string_split(text, ' ')) AS n_tokens
       FROM documents
     ),
     c AS (
-      SELECT doc_id, source, n_tokens,
-             COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-                                          ROWS BETWEEN UNBOUNDED PRECEDING
-                                          AND 1 PRECEDING), 0) AS prior
+      SELECT *, COALESCE(SUM(n_tokens) OVER (PARTITION BY source, shard
+                                             ORDER BY doc_id
+                                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND 1 PRECEDING), 0) AS prior
       FROM t
+    ),
+    l AS (SELECT *, prior // {PACK_BUDGET} AS local_pack FROM c),
+    pc AS (SELECT source, shard, MAX(local_pack) + 1 AS n_packs
+           FROM l GROUP BY 1, 2),
+    o AS (
+      SELECT source, shard,
+             COALESCE(SUM(n_packs) OVER (PARTITION BY source ORDER BY shard
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING), 0) AS pack_offset
+      FROM pc
     )
-    SELECT doc_id, source, CAST(n_tokens AS INTEGER) AS n_tokens,
-           CAST(prior // {PACK_BUDGET} AS BIGINT) AS pack_id
-    FROM c
+    SELECT l.doc_id, l.source, CAST(l.n_tokens AS INTEGER) AS n_tokens,
+           CAST(o.pack_offset + l.local_pack AS BIGINT) AS pack_id
+    FROM l JOIN o USING (source, shard)
     """,
-    doc="Training-batch sequence packing: documents stream into fixed "
-    f"{PACK_BUDGET}-token packs per source, assigned by an exclusive "
-    "running-token-count window (deterministic doc_id order).  The classic "
-    "LLM-pretraining packing pass as ONE window over the corpus — no "
-    "driver-side loop, one shuffle on the stratum key; a pack may overflow "
-    "by at most one document (standard greedy semantics).",
+    doc="Training-batch sequence packing, HIERARCHICAL: greedy "
+    f"{PACK_BUDGET}-token packing runs within (source, shard) — shard is a "
+    f"deterministic doc_id split into {N_PACK_SHARDS} sub-streams — and "
+    "shard-local pack ids are then offset by the exclusive running sum of "
+    "per-shard pack counts, so ids stay dense per source.  Greedy packing "
+    "is order-serial by nature; the flat per-source window form computes "
+    "its prefix sum in ONE task per source (with ~10 sources, 100 TB "
+    "funnels through ~10 tasks and one partition must hold a whole "
+    "source).  Here the corpus-wide window parallelism is sources x "
+    f"{N_PACK_SHARDS} and no partition holds more than 1/{N_PACK_SHARDS} "
+    "of a source; the offset pass aggregates to one tiny row per (source, "
+    "shard) [exchange-reused, no second corpus scan] and broadcasts back.  "
+    "Cost: a shard's tail pack may be underfull (bounded waste of "
+    f"{N_PACK_SHARDS}-1 partial packs per source) — the standard "
+    "distributed-packing tradeoff.",
 )
 def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = load(spark, sf_dir, "documents")
     n = F.size(F.split(F.col("text"), " "))
-    w = (
-        Window.partitionBy("source")
+    t = d.select(
+        "doc_id",
+        "source",
+        (F.col("doc_id") % N_PACK_SHARDS).alias("shard"),
+        n.alias("n_tokens"),
+    ).filter(F.col("source").isNotNull() & F.col("shard").isNotNull())
+    # ^ no-op on the data (inner join below drops null keys anyway), but it
+    # makes the window branch and the pack-count branch canonicalize to the
+    # SAME subtree, so ReuseExchange collapses them to one corpus scan —
+    # without it the join pushes IsNotNull into only one branch and the
+    # counts side re-scans + re-sorts the whole corpus (asserted in
+    # tests/test_plans.py).
+    w_local = (
+        Window.partitionBy("source", "shard")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    prior = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
-    return (
-        d.select("doc_id", "source", n.alias("n_tokens"))
-        .withColumn("pack_id", F.floor(prior / PACK_BUDGET))
-        .select("doc_id", "source", F.col("n_tokens").cast("int"), "pack_id")
+    prior = F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0))
+    local = t.withColumn("local_pack", F.floor(prior / PACK_BUDGET))
+    # one row per (source, shard); Spark reuses the window's exchange here,
+    # so this branch does not rescan the corpus
+    counts = local.groupBy("source", "shard").agg(
+        (F.max("local_pack") + 1).alias("n_packs")
+    )
+    w_off = (
+        Window.partitionBy("source")
+        .orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "pack_offset", F.coalesce(F.sum("n_packs").over(w_off), F.lit(0))
+    ).select("source", "shard", "pack_offset")
+    return local.join(F.broadcast(offsets), ["source", "shard"]).select(
+        "doc_id",
+        "source",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        (F.col("pack_offset") + F.col("local_pack")).cast("bigint").alias("pack_id"),
     )
 
 

@@ -212,3 +212,30 @@ def test_q8_dims_broadcast_facts_shuffle_on_keys(spark, sf_dir):
     # customer shuffle
     assert plan.count("BroadcastHashJoin") >= 4
     assert "CartesianProduct" not in plan
+
+
+def test_pack_sequences_hierarchical_no_per_source_serialization(spark, sf_dir):
+    """r02 verdict scale-killer: the flat form computed the prefix sum in ONE
+    task per source.  The hierarchical form must shuffle the corpus window on
+    (source, shard) — parallelism sources x N_PACK_SHARDS — and the offset
+    join back must be broadcast (no second corpus shuffle)."""
+    df = REG["pipeline_pack_sequences"].builder(spark, sf_dir)
+    exs = exchange_schemas(df)
+    corpus_windows = [
+        e for e in exs if e.partitions_on("source") and e.partitions_on("shard")
+    ]
+    assert corpus_windows, [e.partitioning for e in exs]
+    # no exchange hash-partitions on source alone while carrying doc rows
+    # (that would be the serial per-source window); the offsets window runs
+    # over one row per (source, shard), whose exchange carries n_packs only
+    for e in exs:
+        if e.partitions_on("source") and not e.partitions_on("shard"):
+            cols = [n for n, _ in e.columns]
+            assert "doc_id" not in cols, cols
+    # the pack-count branch must reuse the window's exchange rather than
+    # rescan + re-sort the corpus; AQE performs the reuse at runtime, so
+    # execute and inspect the FINAL adaptive plan
+    df.collect()
+    final = executed_plan(df)
+    assert "isFinalPlan=true" in final
+    assert "ReusedExchange" in final, final
