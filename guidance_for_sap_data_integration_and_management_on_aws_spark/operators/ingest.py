@@ -360,9 +360,9 @@ def merge_upsert(
     Scale shape: unionByName + one row_number window over the merge key —
     a single hash shuffle of (base + delta), the same topology Delta Lake's
     MERGE resolves to for full-overlap updates.  No collect, no broadcast of
-    the (arbitrarily large) base; a production deployment with a table
-    format would push this through MERGE INTO, with file-level pruning on
-    the delta's key range.
+    the (arbitrarily large) base; when a table format is available,
+    :func:`merge_upsert_into` routes the same contract through MERGE INTO
+    with file-level pruning on the delta's key range.
     """
     from pyspark.sql import Window
 
@@ -376,6 +376,55 @@ def merge_upsert(
         .filter(F.col("__rn") == 1)
         .drop("__src", "__rn")
     )
+
+
+def merge_upsert_into(
+    spark: SparkSession,
+    target_table: str,
+    updates: DataFrame,
+    keys: list[str],
+    version_cols: list[str] | None = None,
+) -> tuple[DataFrame, bool]:
+    """Table-format MERGE INTO route for the same (keys, version_cols)
+    contract as :func:`merge_upsert`.
+
+    When Delta Lake is importable, the delta is collapsed to one row per key
+    (highest ``version_cols`` wins — Delta's MERGE *errors* on multiple
+    source matches) and pushed through ``DeltaTable.merge`` with
+    whenMatchedUpdateAll / whenNotMatchedInsertAll; the table format then
+    applies file-level pruning on the delta's key range, which the plain
+    DataFrame form cannot.  Without Delta, falls back to reading
+    ``target_table`` and running the DataFrame merge (identical results).
+
+    Returns ``(merged frame, used_merge_into)``; on the MERGE INTO path the
+    target table has been mutated in place and the frame is a fresh read of
+    it.  Guarded unit coverage in ``tests/test_ingest.py`` (skipif when
+    delta is not installed, the policy used for pyrfc/protobuf).
+    """
+    if version_cols:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*keys).orderBy(*[F.desc(c) for c in version_cols])
+        updates = (
+            updates.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    try:
+        from delta.tables import DeltaTable  # type: ignore[import-not-found]
+    except ImportError:
+        base = spark.read.table(target_table)
+        return merge_upsert(base, updates, keys), False
+    t = DeltaTable.forName(spark, target_table)
+    cond = " AND ".join(f"t.{k} <=> u.{k}" for k in keys)
+    (
+        t.alias("t")
+        .merge(updates.alias("u"), cond)
+        .whenMatchedUpdateAll()
+        .whenNotMatchedInsertAll()
+        .execute()
+    )
+    return spark.read.table(target_table), True
 
 
 @spec(

@@ -164,3 +164,34 @@ def test_p_code_decimal_fidelity(spark, sf_dir):
     assert isinstance(price_t, DecimalType) and price_t.scale == 2
     registered = rfc_parse_valid.builder(spark, sf_dir)
     assert isinstance(registered.schema["price"].dataType, DoubleType)
+
+
+def test_merge_upsert_into_fallback_resolves_versions(spark):
+    """merge_upsert_into: without Delta on the classpath the DataFrame
+    fallback must produce the same last-write-wins result, with duplicate
+    update keys resolved by version_cols BEFORE the merge (the Delta MERGE
+    contract: one source row per key)."""
+    base = spark.createDataFrame(
+        [(1, "a", 10.0, 0), (2, "b", 20.0, 0), (3, "c", 30.0, 0)],
+        "k INT, s STRING, v DOUBLE, ver INT",
+    )
+    base.createOrReplaceTempView("muit_base")
+    updates = spark.createDataFrame(
+        [(2, "b1", 21.0, 1), (2, "b2", 22.0, 2), (4, "d", 40.0, 1)],
+        "k INT, s STRING, v DOUBLE, ver INT",
+    )
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.operators.ingest import (
+        merge_upsert_into,
+    )
+
+    merged, used_merge_into = merge_upsert_into(
+        spark, "muit_base", updates, ["k"], version_cols=["ver"]
+    )
+    try:
+        import delta  # noqa: F401
+
+        assert used_merge_into  # pragma: no cover - delta absent in container
+    except ImportError:
+        assert not used_merge_into
+    rows = {r["k"]: (r["s"], r["v"]) for r in merged.drop("ver").collect()}
+    assert rows == {1: ("a", 10.0), 2: ("b2", 22.0), 3: ("c", 30.0), 4: ("d", 40.0)}

@@ -39,3 +39,20 @@ def test_oracle_sql_matches_queries():
         "stream_watermark_late_drop",
         "ann_ivf_train_kmeans",
     }, rows_only
+
+
+def test_no_rdd_access_in_package():
+    """r02 verdict: the non-test package must never touch the RDD API — a
+    `.rdd` probe forces plan-to-RDD conversion (and the engine's contract is
+    DataFrame-declarative throughout)."""
+    import pathlib
+
+    import guidance_for_sap_data_integration_and_management_on_aws_spark as pkg
+
+    root = pathlib.Path(pkg.__file__).parent
+    offenders = [
+        str(p.relative_to(root))
+        for p in root.rglob("*.py")
+        if ".rdd" in p.read_text()
+    ]
+    assert not offenders, offenders
