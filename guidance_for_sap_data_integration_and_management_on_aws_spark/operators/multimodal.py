@@ -239,16 +239,18 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# REAL codecs (stdlib-only): uncompressed 24-bit BMP and PCM WAV.
+# REAL codecs (stdlib-only): uncompressed 24-bit BMP, PCM WAV, and DIB-in-AVI
+# video.
 #
-# The container has no Pillow/ffmpeg, but BMP and WAV are fully specified
-# header+payload formats parseable with struct/wave/numpy — so these paths
-# decode REAL bytes end-to-end: a deterministic generator writes genuine
-# files, the Arrow-batched kernels parse the actual headers and pixel/sample
-# arrays (bottom-up BMP rows, 4-byte stride padding, little-endian PCM), and
-# the DuckDB oracle recomputes the expected values from the generator's
-# closed-form arithmetic.  Only video frame extraction remains a declared
-# stub (mm_frame_sample) — no container codec can parse real video.
+# The container has no Pillow/ffmpeg, but BMP, WAV and the RIFF/AVI container
+# are fully specified header+payload formats parseable with struct/wave/numpy
+# — so these paths decode REAL bytes end-to-end: a deterministic generator
+# writes genuine files, the Arrow-batched kernels parse the actual headers
+# and pixel/sample arrays (bottom-up DIB rows, 4-byte stride padding,
+# little-endian PCM, RIFF chunk walking), and the DuckDB oracle recomputes
+# the expected values from the generator's closed-form arithmetic.
+# mm_video_frames samples frames from genuine AVI files; mm_frame_sample
+# remains the codec-free byte-window fallback for opaque formats.
 # ---------------------------------------------------------------------------
 
 import io
@@ -491,7 +493,170 @@ def mm_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# REAL video: uncompressed BGR24 ('DIB ') frames in a genuine RIFF/AVI
+# container — RIFF(hdrl(avih, strl(strh, strf)), movi('00db'...)) written
+# with struct and parsed back by walking the actual chunk tree.
+# ---------------------------------------------------------------------------
+
+FRAME_SAMPLE_EVERY = 2  # keyframe-ish sampling: every 2nd frame
+
+
+def _avi_frame_bytes(w: int, h: int, a: int, f: int) -> bytes:
+    """Frame ``f`` pixel bytes, DIB layout: value at (y, x, channel) is
+    (a + f*17 + (y*w + x)*3 + c) % 256, stored bottom-up with 4-byte row
+    stride padding (same convention as the BMP generator)."""
+    pad = (-w * 3) % 4
+    rows = []
+    for y in range(h - 1, -1, -1):  # bottom-up storage
+        row = bytes(
+            (a + f * 17 + (y * w + x) * 3 + c) % 256 for x in range(w) for c in range(3)
+        )
+        rows.append(row + b"\x00" * pad)
+    return b"".join(rows)
+
+
+def _gen_avi(i: int) -> bytes:
+    """A real AVI file: RIFF container, 'vids'/'DIB ' stream of n_frames
+    uncompressed bottom-up BGR24 frames at 10 fps."""
+    w, h, nf, a = 4 + i % 5, 3 + i % 4, 3 + i % 6, (i * 11) % 256
+    stride = w * 3 + ((-w * 3) % 4)
+    frame_size = stride * h
+    avih = struct.pack(
+        "<10I4I", 100_000, 0, 0, 0, nf, 0, 1, frame_size, w, h, 0, 0, 0, 0
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4h",
+        b"vids", b"DIB ", 0, 0, 0, 0, 1, 10, 0, nf, frame_size, 0, 0, 0, 0, w, h,
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 2835, 2835, 0, 0)
+    strl = b"LIST" + struct.pack("<I", 4 + 8 + len(strh) + 8 + len(strf)) + b"strl"
+    strl += b"strh" + struct.pack("<I", len(strh)) + strh
+    strl += b"strf" + struct.pack("<I", len(strf)) + strf
+    hdrl_body = b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih + strl
+    hdrl = b"LIST" + struct.pack("<I", len(hdrl_body)) + hdrl_body
+    movi_body = b"movi"
+    for f in range(nf):
+        fr = _avi_frame_bytes(w, h, a, f)
+        movi_body += b"00db" + struct.pack("<I", len(fr)) + fr  # stride keeps it even
+    movi = b"LIST" + struct.pack("<I", len(movi_body)) + movi_body
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _walk_riff(payload: bytes, pos: int, end: int, out: dict[bytes, list[bytes]]) -> None:
+    # clamp to the actual buffer: a truncated file may declare chunk sizes
+    # past EOF, which must surface as a parse error, not a struct crash
+    end = min(end, len(payload))
+    while pos + 8 <= end:
+        fourcc, size = struct.unpack_from("<4sI", payload, pos)
+        body = pos + 8
+        if fourcc in (b"LIST", b"RIFF"):
+            _walk_riff(payload, body + 4, body + size, out)  # skip the list type
+        else:
+            out.setdefault(fourcc, []).append(payload[body : body + size])
+        pos = body + size + (size & 1)  # RIFF chunks are word-aligned
+
+
+def parse_avi(payload: bytes) -> tuple[int, int, int, list["np.ndarray"]]:
+    """Parse a real AVI: validates RIFF/'AVI ' magic, reads dimensions and
+    frame count from the actual avih header, cross-checks against strf
+    (BITMAPINFOHEADER), then un-pads and un-flips every '00db' DIB frame.
+    Returns (width, height, us_per_frame, [h x w x 3 uint8 arrays])."""
+    magic, _, ftype = struct.unpack_from("<4sI4s", payload, 0)
+    if magic != b"RIFF" or ftype != b"AVI ":
+        raise ValueError(f"not an AVI payload (magic {magic!r}/{ftype!r})")
+    chunks: dict[bytes, list[bytes]] = {}
+    _walk_riff(payload, 0, len(payload), chunks)
+    avih = struct.unpack_from("<10I", chunks[b"avih"][0])
+    us_per_frame, n_frames, w, h = avih[0], avih[4], avih[8], avih[9]
+    _, sw, sh, _, bpp = struct.unpack_from("<IiiHH", chunks[b"strf"][0])
+    if (sw, sh) != (w, h) or bpp != 24:
+        raise ValueError(f"stream format mismatch: {(sw, sh, bpp)} vs avih {(w, h)}")
+    raw = chunks.get(b"00db", [])
+    if len(raw) != n_frames:
+        raise ValueError(f"frame count mismatch: {len(raw)} chunks vs avih {n_frames}")
+    stride = w * 3 + ((-w * 3) % 4)
+    frames = [
+        np.frombuffer(fr, dtype=np.uint8, count=h * stride)
+        .reshape(h, stride)[:, : w * 3][::-1]
+        .reshape(h, w, 3)
+        for fr in raw
+    ]
+    return w, h, us_per_frame, frames
+
+
+def build_avi_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def gen(doc_id: pd.Series) -> pd.Series:
+        return doc_id.map(lambda i: _gen_avi(int(i)))
+
+    return load(spark, sf_dir, "documents").select("doc_id", gen("doc_id").alias("payload"))
+
+
+@spec(
+    f"""
+    WITH d AS (
+      SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
+             3 + doc_id % 6 AS nf, (doc_id * 11) % 256 AS a
+      FROM documents
+    ),
+    fr AS (
+      SELECT d.*, CAST(g.range AS INTEGER) AS frame_idx
+      FROM d, range(0, 8) g
+      WHERE g.range < d.nf AND g.range % {FRAME_SAMPLE_EVERY} = 0
+    ),
+    s AS (
+      SELECT doc_id, frame_idx, w, h,
+             SUM((a + frame_idx * 17 + j.range) % 256) AS px_sum, COUNT(*) AS n
+      FROM fr, range(0, 144) j WHERE j.range < w * h * 3
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_id, frame_idx, CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(px_sum AS DOUBLE) / n AS mean_px, 'avi-stdlib' AS decoder
+    FROM s
+    """,
+    doc="L5 REAL video frame sampling: genuine AVI files (RIFF container, "
+    "'vids'/'DIB ' stream, '00db' uncompressed BGR24 frames) generated per "
+    "doc and parsed back by walking the actual chunk tree — avih/strf "
+    "headers cross-validated, stride padding stripped, bottom-up rows "
+    f"un-flipped; every {FRAME_SAMPLE_EVERY}nd frame sampled with its mean "
+    "pixel value from the decoded array (1 row in -> many out, the video "
+    "UDTF shape).  Oracle recomputes the generator's closed form — any "
+    "container-walking, header, padding or row-order bug surfaces as a "
+    "value mismatch.  Retires the former stub status of video decode; swap "
+    "the kernel body for pyav/ffmpeg keyframe extraction in production.",
+)
+def mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = {k: [] for k in ("doc_id", "frame_idx", "width", "height", "mean_px")}
+            for doc_id, payload in zip(b["doc_id"], b["payload"]):
+                w, h, _, frames = parse_avi(bytes(payload))
+                for idx in range(0, len(frames), FRAME_SAMPLE_EVERY):
+                    img = frames[idx]
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(idx)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["mean_px"].append(int(img.astype(np.int64).sum()) / img.size)
+            out = pd.DataFrame(rows)
+            for c in ("frame_idx", "width", "height"):
+                out[c] = out[c].astype("int32")
+            out["decoder"] = "avi-stdlib"
+            yield out
+
+    return build_avi_frame(spark, sf_dir).mapInPandas(
+        kernel,
+        "doc_id BIGINT, frame_idx INT, width INT, height INT, mean_px DOUBLE, decoder STRING",
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "mm_video_frames": mm_video_frames,
     "mm_payload_hash": mm_payload_hash,
     "mm_decode": mm_decode,
     "mm_asset_stats": mm_asset_stats,

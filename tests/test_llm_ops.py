@@ -220,3 +220,36 @@ def test_documents_ascii_assumption(spark, sf_dir):
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     assert d.filter(F.octet_length("text") != F.length("text")).count() == 0
+
+
+def test_avi_codec_roundtrips_real_bytes():
+    """The stdlib AVI writer/parser round-trips genuine RIFF containers:
+    header-declared dims/frame-count match, decoded pixel arrays equal the
+    generator's closed form, and tampered magic / truncated movi data are
+    rejected (dead-letter contract for malformed media)."""
+    import numpy as np
+    import pytest
+
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.operators.multimodal import (
+        _gen_avi,
+        parse_avi,
+    )
+
+    for i in (0, 1, 7, 36, 499):
+        w, h, uspf, frames = parse_avi(_gen_avi(i))
+        assert (w, h) == (4 + i % 5, 3 + i % 4)
+        assert uspf == 100_000 and len(frames) == 3 + i % 6
+        a = (i * 11) % 256
+        for f, img in enumerate(frames):
+            want = np.array(
+                [(a + f * 17 + j) % 256 for j in range(w * h * 3)], dtype=np.uint8
+            ).reshape(h, w, 3)
+            assert (img == want).all()
+    with pytest.raises(ValueError, match="not an AVI"):
+        parse_avi(b"XXXX" + _gen_avi(3)[4:])
+    # drop the last frame chunk: avih frame count no longer matches movi
+    good = _gen_avi(2)
+    w, h = 4 + 2 % 5, 3 + 2 % 4
+    stride = w * 3 + ((-w * 3) % 4)
+    with pytest.raises(ValueError, match="frame count mismatch"):
+        parse_avi(good[: -(8 + stride * h)])
