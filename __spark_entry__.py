@@ -49,6 +49,10 @@ _PRIORITY = [
     "mm_video_frames",
     "sample_stratified",
     "pipeline_pack_sequences",
+    # round-3 additions (AVI video above; decontaminate/repetition/chunking)
+    "pipeline_decontaminate",
+    "text_repetition_filter",
+    "pipeline_chunk_documents",
     # --- rows-only, never driver-checked (weaker rows-only entry) ----------
     "dedup_minhash_lsh",
     "dedup_simhash_buckets",

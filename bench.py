@@ -57,7 +57,13 @@ HEADLINE = [
 REDUCED_SF = {"dedup_jaccard_pairs": "sf0.01"}
 
 
-def main() -> None:
+# headline time must stay within this factor of bench_baseline.json (plus a
+# small absolute slack for sub-second noise) under --check
+CHECK_FACTOR = 1.5
+CHECK_SLACK_SEC = 0.3
+
+
+def main(check: bool = False) -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
@@ -124,8 +130,32 @@ def main() -> None:
         out["errors"] = errors
     print(json.dumps(out))
     sys.stdout.flush()
+    # Also persist beside the script: r02's driver capture truncated the
+    # stdout tail and lost the headline block — the file can't be lost that
+    # way and is what --check reads.
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "bench_out.json"), "w") as fh:
+        json.dump(out, fh)
+        fh.write("\n")
     spark.stop()
+
+    if check:
+        with open(os.path.join(here, "bench_baseline.json")) as fh:
+            base = json.load(fh)["queries"]
+        bad = [
+            f"{name}: {timings[name]:.2f}s vs baseline {base[name]:.2f}s "
+            f"(>{CHECK_FACTOR}x + {CHECK_SLACK_SEC}s)"
+            for name in HEADLINE
+            if name in base
+            and name in timings
+            and timings[name] > CHECK_FACTOR * base[name] + CHECK_SLACK_SEC
+        ]
+        if bad:
+            print("PERF REGRESSION vs bench_baseline.json:\n" + "\n".join(bad))
+            sys.exit(1)
+        print(f"perf check OK: {len([n for n in HEADLINE if n in timings])} "
+              f"headline queries within {CHECK_FACTOR}x of baseline")
 
 
 if __name__ == "__main__":
-    main()
+    main(check="--check" in sys.argv)

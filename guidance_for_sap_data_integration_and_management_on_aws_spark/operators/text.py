@@ -331,7 +331,179 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DECON_NGRAM = 8  # shingle width for eval-overlap decontamination
+EVAL_MOD = 97  # deterministic stand-in eval set: doc_id % 97 == 0
+
+
+def _word_shingles(words: Column, k: int) -> Column:
+    """All k-word shingles of a token array as strings (empty array when the
+    doc is shorter than k — F.sequence(1, n-k+1) would run DESCENDING for
+    n < k, so the guard is load-bearing)."""
+    n = F.size(words)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.array_join(F.slice(words, i, k), " "),
+    )
+    return F.when(n >= k, grams).otherwise(F.array().cast("array<string>"))
+
+
+@spec(
+    f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    sh AS (
+      SELECT DISTINCT w.doc_id,
+             array_to_string(toks[CAST(i.range + 1 AS INT) : CAST(i.range + {DECON_NGRAM} AS INT)], ' ') AS sh
+      FROM w, range(0, 256) i WHERE i.range + {DECON_NGRAM} <= len(toks)
+    ),
+    ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % {EVAL_MOD} = 0),
+    tr AS (SELECT doc_id, sh FROM sh WHERE doc_id % {EVAL_MOD} <> 0),
+    h AS (
+      SELECT tr.doc_id, COUNT(*) AS n_shingles, COUNT(ev.sh) AS n_hits
+      FROM tr LEFT JOIN ev USING (sh) GROUP BY tr.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(h.n_shingles, 0) AS BIGINT) AS n_shingles,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           COALESCE(h.n_hits, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN h USING (doc_id)
+    WHERE d.doc_id % {EVAL_MOD} <> 0
+    """,
+    doc="Training-corpus DECONTAMINATION: flag training documents sharing any "
+    f"{DECON_NGRAM}-gram with the eval set (deterministic stand-in: doc_id % "
+    f"{EVAL_MOD} == 0), the standard benchmark-leakage scrub before "
+    "pretraining.  Scale shape: eval shingles are DISTINCT and broadcast "
+    "(benchmark sets are tiny vs a 100 TB corpus), training shingles explode "
+    "per-row with no shuffle, and the only exchange is the per-doc hit "
+    "aggregation — contaminated docs then drop via one scan-side filter.",
+)
+def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(_word_shingles(_words(), DECON_NGRAM))).alias("sh"),
+    )
+    ev = (
+        sh.filter(F.col("doc_id") % EVAL_MOD == 0)
+        .select("sh")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    tr = sh.filter(F.col("doc_id") % EVAL_MOD != 0)
+    h = (
+        tr.join(F.broadcast(ev), "sh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("__hit").alias("n_hits"),
+        )
+    )
+    return (
+        d.filter(F.col("doc_id") % EVAL_MOD != 0)
+        .select("doc_id")
+        .join(h, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+REP_NGRAM = 3  # repetition gate: duplicate 3-gram fraction
+REP_MAX_RATIO = 0.2
+
+
+@spec(
+    f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= {REP_NGRAM}
+                  THEN list_transform(generate_series(1, len(toks) - {REP_NGRAM - 1}),
+                                      i -> array_to_string(toks[i : i + {REP_NGRAM - 1}], ' '))
+                  ELSE [] END AS grams
+      FROM w
+    )
+    SELECT doc_id,
+           CAST(len(grams) AS BIGINT) AS n_grams,
+           CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+           CASE WHEN len(grams) > 0
+                THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)
+           END AS rep_ratio,
+           len(grams) > 0
+             AND 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)
+                 <= {REP_MAX_RATIO} AS rep_pass
+    FROM g
+    """,
+    doc=f"L4 repetition-quality gate: duplicate-{REP_NGRAM}-gram fraction per "
+    "document (1 - distinct/total), thresholded — the standard boilerplate/"
+    "looping-text filter in pretraining curation.  Pure per-row Catalyst "
+    "array expressions: NO shuffle, no Python; scales as a map-only pass.",
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    grams = _word_shingles(_words(), REP_NGRAM)
+    n = F.size(grams)
+    nd = F.size(F.array_distinct(grams))
+    ratio = F.when(n > 0, F.lit(1.0) - nd.cast("double") / n)
+    return d.select(
+        "doc_id",
+        n.cast("bigint").alias("n_grams"),
+        nd.cast("bigint").alias("n_distinct"),
+        ratio.alias("rep_ratio"),
+        ((n > 0) & (ratio <= REP_MAX_RATIO)).alias("rep_pass"),
+    )
+
+
+CHUNK_SIZE = 32  # tokens per training chunk
+CHUNK_STRIDE = 24  # overlap = CHUNK_SIZE - CHUNK_STRIDE
+
+
+@spec(
+    f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    c AS (
+      SELECT doc_id, CAST(i.range AS INT) AS chunk_idx,
+             CAST(1 + i.range * {CHUNK_STRIDE} AS BIGINT) AS chunk_start,
+             toks[CAST(1 + i.range * {CHUNK_STRIDE} AS INT)
+                  : CAST(i.range * {CHUNK_STRIDE} + {CHUNK_SIZE} AS INT)] AS chunk
+      FROM w, range(0, 256) i WHERE 1 + i.range * {CHUNK_STRIDE} <= len(toks)
+    )
+    SELECT doc_id, chunk_idx, chunk_start,
+           CAST(len(chunk) AS INTEGER) AS n_chunk_tokens,
+           sha256(array_to_string(chunk, ' ')) AS chunk_sha256
+    FROM c
+    """,
+    doc=f"Training-data CHUNKING: overlapping {CHUNK_SIZE}-token windows "
+    f"every {CHUNK_STRIDE} tokens (1 row -> many), the context-window "
+    "split for embedding/pretraining pipelines; chunks surface as sha256 "
+    "identities to keep rows narrow.  Per-row explode of a computed start "
+    "sequence — no shuffle, no Python in the row path.",
+)
+def pipeline_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    words = _words()
+    n = F.size(words)
+    n_chunks = F.floor((n - 1) / CHUNK_STRIDE) + 1  # starts while start <= n
+    starts = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1), lambda i: i * CHUNK_STRIDE + 1
+    )
+    c = d.select("doc_id", words.alias("toks"), F.posexplode(starts).alias("chunk_idx", "start"))
+    chunk = F.slice(F.col("toks"), F.col("start"), CHUNK_SIZE)
+    return c.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("start").cast("bigint").alias("chunk_start"),
+        F.size(chunk).cast("int").alias("n_chunk_tokens"),
+        F.sha2(F.array_join(chunk, " "), 256).alias("chunk_sha256"),
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "pipeline_decontaminate": pipeline_decontaminate,
+    "text_repetition_filter": text_repetition_filter,
+    "pipeline_chunk_documents": pipeline_chunk_documents,
     "sample_stratified": sample_stratified,
     "pipeline_pack_sequences": pipeline_pack_sequences,
     "text_token_count": text_token_count,
