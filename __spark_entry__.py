@@ -53,6 +53,7 @@ _PRIORITY = [
     "pipeline_decontaminate",
     "text_repetition_filter",
     "pipeline_chunk_documents",
+    "join_salted_skew",
     # --- rows-only, never driver-checked (weaker rows-only entry) ----------
     "dedup_minhash_lsh",
     "dedup_simhash_buckets",

@@ -285,7 +285,37 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec(
+    """
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    doc="Skew-mitigated equi-join, driver-visible: events->customer through "
+    "salted_join (deterministic per-row salt on the fact side, dim "
+    "replicated once per salt, join key widened to (key, salt)), then "
+    "per-segment totals.  Salting is VALUE-NEUTRAL — the oracle is the "
+    "plain join — while spreading any hot key over n_salts reducers before "
+    "the shuffle, the explicit pre-shuffle twin of AQE's skew-join split "
+    "(SURVEY §4 'salting for skew'; mechanics also unit-tested in "
+    "tests/test_skew.py).",
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select("user_id", "value")
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = salted_join(e, c, "user_id", n_salts=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "join_salted_skew": join_salted_skew,
     "join_inner": join_inner,
     "join_broadcast": join_broadcast,
     "join_shuffle_hash": join_shuffle_hash,

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import load, parallelize_small_scan
 from ..functions.exprs import md5_byte, sql_md5_byte
 from ..registry import QuerySpec, spec
 
@@ -378,7 +378,8 @@ def _word_shingles(words: Column, k: int) -> Column:
 )
 def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    sh = d.select(
+    # shingle construction is CPU-bound on a (locally) single-split scan
+    sh = parallelize_small_scan(d, "doc_id").select(
         "doc_id",
         F.explode(F.array_distinct(_word_shingles(_words(), DECON_NGRAM))).alias("sh"),
     )
@@ -442,17 +443,34 @@ REP_MAX_RATIO = 0.2
     "array expressions: NO shuffle, no Python; scales as a map-only pass.",
 )
 def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
-    grams = _word_shingles(_words(), REP_NGRAM)
-    n = F.size(grams)
-    nd = F.size(F.array_distinct(grams))
-    ratio = F.when(n > 0, F.lit(1.0) - nd.cast("double") / n)
-    return d.select(
+    # per-row n-gram building is CPU-bound; spread a single-split scan
+    # (no-op at production split counts — the op itself stays shuffle-free)
+    d = parallelize_small_scan(load(spark, sf_dir, "documents"), "doc_id")
+    # Build the gram array in ONE aliased projection: higher-order-function
+    # expressions are interpreted (CodegenFallback), so letting every output
+    # column re-derive `grams` multiplies the dominant per-row cost ~4x.
+    # The gram COUNT needs no gram strings at all (it is max(n_tokens-k+1, 0));
+    # only the distinct count touches the built array.  CollapseProject keeps
+    # the two projections separate because the non-cheap alias is referenced
+    # more than once.
+    n_tok = F.size(_words())
+    base = d.select(
         "doc_id",
-        n.cast("bigint").alias("n_grams"),
-        nd.cast("bigint").alias("n_distinct"),
+        F.greatest(n_tok - (REP_NGRAM - 1), F.lit(0)).cast("bigint").alias("n_grams"),
+        F.size(F.array_distinct(_word_shingles(_words(), REP_NGRAM)))
+        .cast("bigint")
+        .alias("n_distinct"),
+    )
+    ratio = F.when(
+        F.col("n_grams") > 0,
+        F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_grams"),
+    )
+    return base.select(
+        "doc_id",
+        "n_grams",
+        "n_distinct",
         ratio.alias("rep_ratio"),
-        ((n > 0) & (ratio <= REP_MAX_RATIO)).alias("rep_pass"),
+        ((F.col("n_grams") > 0) & (ratio <= REP_MAX_RATIO)).alias("rep_pass"),
     )
 
 
