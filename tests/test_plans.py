@@ -239,3 +239,31 @@ def test_pack_sequences_hierarchical_no_per_source_serialization(spark, sf_dir):
     final = executed_plan(df)
     assert "isFinalPlan=true" in final
     assert "ReusedExchange" in final, final
+
+
+def test_chunk_documents_is_map_only(spark, sf_dir):
+    """Chunking is a per-row explode — any Exchange would be a plan bug."""
+    plan = _plan(spark, sf_dir, "pipeline_chunk_documents")
+    assert n_exchanges(plan) == 0, plan
+
+
+def test_decontaminate_broadcasts_eval_and_keeps_shingle_exchanges_clean(spark, sf_dir):
+    """The eval-shingle set must broadcast (benchmark sets are tiny vs the
+    corpus), and no shuffle may carry shingle STRINGS — only per-doc counts
+    cross the wire after the map-side partial aggregation."""
+    df = REG["pipeline_decontaminate"].builder(spark, sf_dir)
+    plan = executed_plan(df)
+    assert "BroadcastHashJoin" in plan
+    for e in exchange_schemas(df):
+        cols = [n for n, _ in e.columns]
+        # eval-side exchanges (the distinct / broadcast of the tiny benchmark
+        # shingle set) may carry sh; a TRAINING-side exchange carrying both
+        # doc ids and shingle strings would shuffle the corpus token mass
+        assert not ("sh" in cols and "doc_id" in cols), (e.partitioning, cols)
+
+
+def test_salted_join_widens_key_with_salt(spark, sf_dir):
+    """The salted join must actually join on (key, salt) so hot keys spread
+    across reducers before the shuffle."""
+    plan = _plan(spark, sf_dir, "join_salted_skew")
+    assert "__salt" in plan, plan
