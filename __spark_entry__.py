@@ -54,6 +54,9 @@ _PRIORITY = [
     "text_repetition_filter",
     "pipeline_chunk_documents",
     "join_salted_skew",
+    "stream_incremental_upsert",
+    "agg_grouping_sets",
+    "orc_scan_roundtrip",
     # --- rows-only, never driver-checked (weaker rows-only entry) ----------
     "dedup_minhash_lsh",
     "dedup_simhash_buckets",

@@ -335,6 +335,43 @@ def csv_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec(
+    """
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="S8 ORC scan: write a lineitem projection as ORC (the second "
+    "columnar lake format Spark ships a vectorized reader for), read it "
+    "back, aggregate — column pruning and predicate pushdown apply to ORC "
+    "scans exactly as to parquet.  DuckDB reads no ORC, so the oracle "
+    "states the aggregate from the source table; equality proves the "
+    "round-trip lossless for the types used.",
+)
+def orc_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.replay import scratch_dir
+
+    path = scratch_dir(f"orc-lineitem-{abs(hash(sf_dir)) % 10**8}")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus", "l_extendedprice"
+    )
+    li.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return (
+        back.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Incremental (delta-load) merge: the reference does full-table extracts only;
 # real SAP pipelines re-extract changed rows and MERGE them into the lake.
@@ -475,6 +512,7 @@ QUERIES: dict[str, QuerySpec] = {
     "try_cast_best_effort": try_cast_best_effort,
     "saprfc_scan_typed": saprfc_scan_typed,
     "csv_scan_roundtrip": csv_scan_roundtrip,
+    "orc_scan_roundtrip": orc_scan_roundtrip,
     "saprfc_pushdown": saprfc_pushdown,
     "saprfc_projection": saprfc_projection,
     "sink_roundtrip": sink_roundtrip,

@@ -413,6 +413,43 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @spec(
     """
+    SELECT COALESCE(o_orderstatus, 'ALL') AS st,
+           COALESCE(o_orderpriority, 'ALL') AS pri,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    ORDER BY st, pri
+    """,
+    doc="A6 explicit GROUPING SETS (neither rollup nor cube): per-status and "
+    "per-priority totals in ONE pass over the fact table via Spark 4's "
+    "DataFrame groupingSets — Expand duplicates each row once per set before "
+    "the single hash aggregation, replacing two scans with one.",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"]],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            sum_money(dec_money("o_totalprice"), "total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("st"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("pri"),
+            "n",
+            "total",
+        )
+        .orderBy("st", "pri")
+    )
+
+
+@spec(
+    """
     SELECT l_returnflag,
            COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_high_disc,
            CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) FILTER (WHERE l_linestatus = 'F')
@@ -799,6 +836,7 @@ QUERIES: dict[str, QuerySpec] = {
     "agg_approx_distinct": agg_approx_distinct,
     "agg_rollup": agg_rollup,
     "agg_cube": agg_cube,
+    "agg_grouping_sets": agg_grouping_sets,
     "agg_filtered": agg_filtered,
     "agg_collect": agg_collect,
     "agg_statistical": agg_statistical,

@@ -143,13 +143,17 @@ def _simhash_bits() -> int:
     return 16
 
 
-def simhash16(doc_col: str = "doc_id") -> list[Column]:
-    """SimHash-16 per doc: tokens hashed to 16 bits (4 md5 hex digits);
-    each bit contributes +1/-1; fingerprint bit = sign of the sum."""
+def simhash16_contribs() -> list[Column]:
+    """SimHash-16 bit contributions (+1/-1 aggregands) over pre-materialized
+    md5 byte columns ``b0``/``b1``: tokens hash to 16 bits (4 md5 hex
+    digits); fingerprint bit = sign of the per-bit sum.  The bytes are
+    computed ONCE per token row (aliased projection) — deriving each of the
+    16 bits straight from md5(w) re-evaluates the digest 16x and ~2x's the
+    whole query's cost (measured at sf0.1)."""
     bits = []
     for b in range(_simhash_bits()):
-        digit = md5_byte(F.col("w"), b // 8)  # reuse bytes 0,1
-        bit = F.shiftright(digit, b % 8).bitwiseAND(F.lit(1))
+        src = F.col("b0") if b < 8 else F.col("b1")
+        bit = F.shiftright(src, b % 8).bitwiseAND(F.lit(1))
         bits.append(F.when(bit == 1, 1).otherwise(-1).alias(f"b{b}"))
     return bits
 
@@ -179,8 +183,13 @@ def simhash16(doc_col: str = "doc_id") -> list[Column]:
 def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(_words()).alias("w")).distinct()
-    sums = tok.groupBy("doc_id").agg(
-        *[F.sum(c).alias(f"s{b}") for b, c in enumerate(simhash16())]
+    bts = tok.select(
+        "doc_id",
+        md5_byte(F.col("w"), 0).alias("b0"),
+        md5_byte(F.col("w"), 1).alias("b1"),
+    )
+    sums = bts.groupBy("doc_id").agg(
+        *[F.sum(c).alias(f"s{b}") for b, c in enumerate(simhash16_contribs())]
     )
     fp = None
     for b in range(_simhash_bits()):

@@ -218,6 +218,61 @@ def stream_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@spec(
+    f"""
+    SELECT user_id, strftime(ts, '{SQL_TS_FMT}') AS ts_s, event_id, value
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) = 1
+    """,
+    doc="CDC-style INCREMENTAL UPSERT via foreachBatch: each microbatch "
+    "reduces to its latest-event-per-user delta (one window over the batch) "
+    "and MERGEs last-write-wins into a versioned parquet target through the "
+    "same merge_upsert contract as the batch path — the delta-load pattern "
+    "the reference's full-extract design lacks.  The replay is (ts, "
+    "event_id)-ordered, so the final table equals the batch last-event-per-"
+    "user query: an exact oracle over a multi-batch stateful sink.  At scale "
+    "the versioned-directory target becomes a table format and the merge "
+    "becomes MERGE INTO (merge_upsert_into) with key-range file pruning.",
+)
+def stream_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.ingest import merge_upsert
+
+    base_dir = scratch_dir("incr-upsert")
+    state = {"cur": None}
+
+    def upsert(batch: DataFrame, bid: int) -> None:
+        w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+        delta = (
+            batch.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        if state["cur"] is None:
+            merged = delta
+        else:
+            base = batch.sparkSession.read.parquet(state["cur"])
+            merged = merge_upsert(base, delta, ["user_id"])
+        out = f"{base_dir}/v{bid}"
+        merged.write.mode("overwrite").parquet(out)
+        state["cur"] = out
+
+    s = read_events_stream(spark, build_replay(spark, sf_dir, "ordered"))
+    sel = s.select("user_id", "ts", "event_id", "value")
+    with stream_shuffle(spark):
+        q = (
+            sel.writeStream.foreachBatch(upsert)
+            .option("checkpointLocation", scratch_dir("ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    final = spark.read.parquet(state["cur"])
+    return final.select("user_id", _fmt("ts").alias("ts_s"), "event_id", "value")
+
+
 def has_transform_with_state_runtime() -> bool:
     """Spark 4's transformWithStateInPandas needs the protobuf package for
     its state-server protocol; this container ships pyspark without it, so
@@ -403,6 +458,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES: dict[str, QuerySpec] = {
+    "stream_incremental_upsert": stream_incremental_upsert,
     "stream_tumbling_agg": stream_tumbling_agg,
     "stream_stream_join": stream_stream_join,
     "stream_sliding_window": stream_sliding_window,

@@ -29,10 +29,10 @@ def test_registry_shape():
         "stream_watermark_late_drop",
         "ann_ivf_train_kmeans",
     }
-    assert all(reg[n].oracle is not None for n in names[:20]), names[:20]
-    assert set(names[20:24]) == rows_only_window
-    assert all(reg[n].oracle is not None for n in names[24:50]), [
-        n for n in names[24:50] if reg[n].oracle is None
+    assert all(reg[n].oracle is not None for n in names[:23]), names[:23]
+    assert set(names[23:27]) == rows_only_window
+    assert all(reg[n].oracle is not None for n in names[27:50]), [
+        n for n in names[27:50] if reg[n].oracle is None
     ]
     # every builder is callable and every oracle is non-empty SQL text
     for n, q in reg.items():
