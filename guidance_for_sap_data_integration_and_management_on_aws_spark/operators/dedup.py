@@ -262,7 +262,19 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = parallelize_small_scan(load(spark, sf_dir, "embeddings"), "vec_id").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
     )
-    b = v.select("vec_id", "e", sign_bucket(F.col("e"), 4).alias("bucket"))
+    # bits=4 pinned for the exact oracle; at growing corpus size callers use
+    # embedding_near_dup_pairs with auto_sign_bits(n) so bucket occupancy —
+    # and the per-bucket pairwise work — stays constant (linear total cost)
+    return embedding_near_dup_pairs(v, bits=4, threshold=0.30)
+
+
+def embedding_near_dup_pairs(
+    v: DataFrame, *, bits: int, threshold: float
+) -> DataFrame:
+    """Embedding near-dup candidate pairs, sign-LSH-bucket-prefiltered: the
+    pairwise cosine runs only within buckets (equi-join on bucket id).  Pick
+    ``bits`` via similarity.auto_sign_bits for occupancy-bounded scaling."""
+    b = v.select("vec_id", "e", sign_bucket(F.col("e"), bits).alias("bucket"))
     a = b.alias("a")
     c = b.alias("c")
     cos = F.round(cosine(F.col("a.e"), F.col("c.e")), 6)
@@ -273,7 +285,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c.vec_id").alias("vb"),
             cos.alias("cos_sim"),
         )
-        .filter(F.col("cos_sim") >= 0.30)
+        .filter(F.col("cos_sim") >= threshold)
     )
 
 

@@ -79,7 +79,10 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                ORDER BY cos_sim DESC, neighbor_id) <= 3
     """,
     doc="L3 bucketed ANN (IVF/LSH-style): sign-LSH coarse buckets, equi-join "
-    "on bucket id, top-3 within bucket — the shuffle-by-bucket scale path.",
+    "on bucket id, top-3 within bucket — the shuffle-by-bucket scale path.  "
+    "The registered query pins bits=4 so the DuckDB oracle is exact; at "
+    "growing corpus size the caller raises bits (see auto_sign_bits) to "
+    "hold bucket occupancy — and so per-bucket pairwise work — constant.",
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pairwise within-bucket cosine is the CPU cost: spread the query side
@@ -87,7 +90,30 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = parallelize_small_scan(load(spark, sf_dir, "embeddings"), "vec_id").select(
         "vec_id", "label", as_double("embedding").alias("e")
     )
-    b = v.select("vec_id", "label", "e", sign_bucket(F.col("e"), 4).alias("bucket"))
+    return bucketed_topk(v, bits=4, top_k=3)
+
+
+TARGET_BUCKET_OCCUPANCY = 256  # vectors per sign-LSH bucket the planner aims for
+
+
+def auto_sign_bits(n_vectors: int, target: int = TARGET_BUCKET_OCCUPANCY) -> int:
+    """Sign-LSH resolution for a corpus of ``n_vectors``: enough bits that
+    expected bucket occupancy stays ~``target``, so within-bucket pairwise
+    work is O(n x target) — LINEAR in the corpus — instead of the O(n^2 /
+    2^bits) a fixed width degrades to (measured 28x cost at 10x data with
+    bits pinned; see tests/test_scale10.py for the occupancy law).  More
+    bits trade recall per table, the standard LSH knob (production adds
+    hash tables to win recall back)."""
+    import math
+
+    return max(4, math.ceil(math.log2(max(n_vectors, 1) / target)))
+
+
+def bucketed_topk(v: DataFrame, *, bits: int, top_k: int) -> DataFrame:
+    """All-vectors top-k within sign-LSH buckets: every vector is a query;
+    the self-join is an equi-join on the bucket id so the corpus shuffles by
+    bucket and pairwise work is confined to each bucket."""
+    b = v.select("vec_id", "label", "e", sign_bucket(F.col("e"), bits).alias("bucket"))
     q = b.alias("q")
     n = b.alias("n")
     scored = q.join(
@@ -101,7 +127,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= 3)
+        .filter(F.col("__rn") <= top_k)
         .select("qid", "neighbor_id", "label", "cos_sim")
     )
 

@@ -1,0 +1,88 @@
+"""Scaling-law tests for the bucketed similarity paths.
+
+r03 measurement: at 10x the corpus with sign-LSH bits PINNED, ann_lsh_topk
+cost ~28x and dedup_embedding_cosine ~14x — within-bucket pairwise work is
+Sum_b n_b^2 ~ n^2 / 2^bits, i.e. QUADRATIC once bucket count stops scaling.
+The knob is `auto_sign_bits`: hold expected occupancy constant and the total
+pairwise work is O(n x occupancy), linear.
+
+Work is asserted as candidate-pair COUNTS (pure aggregation over bucket
+occupancies — deterministic and cheap), never wall-clock.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from guidance_for_sap_data_integration_and_management_on_aws_spark.catalog import load
+from guidance_for_sap_data_integration_and_management_on_aws_spark.functions.vector import (
+    as_double,
+    sign_bucket,
+)
+from guidance_for_sap_data_integration_and_management_on_aws_spark.operators.dedup import (
+    embedding_near_dup_pairs,
+)
+from guidance_for_sap_data_integration_and_management_on_aws_spark.operators.similarity import (
+    auto_sign_bits,
+)
+
+
+def _vectors(spark, sf_dir, copies: int = 1):
+    v = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("e")
+    )
+    if copies == 1:
+        return v
+    mx = v.agg(F.max("vec_id")).first()[0] + 1
+    out = v
+    for i in range(1, copies):
+        out = out.unionByName(v.withColumn("vec_id", F.col("vec_id") + F.lit(i * mx)))
+    return out
+
+
+def _pair_work(v, bits: int) -> int:
+    """Within-bucket ordered candidate pairs = Sum_b n_b * (n_b - 1)."""
+    occ = (
+        v.select(sign_bucket(F.col("e"), bits).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return occ.agg(F.sum(F.col("n") * (F.col("n") - 1))).first()[0]
+
+
+def test_pinned_bits_go_quadratic_adaptive_bits_stay_linear(spark, sf_dir):
+    v1 = _vectors(spark, sf_dir)
+    n1 = v1.count()
+    v10 = _vectors(spark, sf_dir, copies=10)
+    w1 = _pair_work(v1, 4)
+
+    # pinned bits: 10x data -> ~100x pair work (quadratic; exact-duplicate
+    # copies share buckets at any resolution, so the blowup is full-strength)
+    w10_pinned = _pair_work(v10, 4)
+    assert w10_pinned > 50 * w1
+
+    # adaptive bits targeting the SAME occupancy the 1x corpus had at 4 bits:
+    # per-vector candidate work stays within ~2x of the 1x figure, i.e. total
+    # work scales ~linearly.  (The floor is the 10 exact copies of each
+    # vector, which genuinely belong together in any near-dup blocking.)
+    bits10 = auto_sign_bits(10 * n1, target=max(n1 // 16, 1))
+    assert bits10 > 4
+    w10_adaptive = _pair_work(v10, bits10)
+    assert w10_adaptive / (10 * n1) <= 2 * max(w1 / n1, 9)
+
+
+def test_more_bits_yield_subset_of_pairs(spark, sf_dir):
+    """Raising the resolution only SPLITS buckets (each bit subdivides), so
+    the adaptive path returns a subset of the pinned-bits pairs — the
+    recall/cost tradeoff is one-sided, never wrong-answers."""
+    v = _vectors(spark, sf_dir)
+    p4 = {
+        (r["va"], r["vb"])
+        for r in embedding_near_dup_pairs(v, bits=4, threshold=0.30).collect()
+    }
+    p8 = {
+        (r["va"], r["vb"])
+        for r in embedding_near_dup_pairs(v, bits=8, threshold=0.30).collect()
+    }
+    assert p8 <= p4
+    assert p8  # the exact-dup structure keeps plenty of pairs co-bucketed
