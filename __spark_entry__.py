@@ -57,9 +57,9 @@ _PRIORITY = [
     "stream_incremental_upsert",
     "agg_grouping_sets",
     "orc_scan_roundtrip",
+    "dedup_simhash_buckets",  # upgraded to an exact oracle in round 3
     # --- rows-only, never driver-checked (weaker rows-only entry) ----------
     "dedup_minhash_lsh",
-    "dedup_simhash_buckets",
     "stream_watermark_late_drop",
     "ann_ivf_train_kmeans",
     # --- rotation ballast: r01 greens never re-checked since (oldest first)

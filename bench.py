@@ -101,6 +101,16 @@ def main(check: bool = False) -> None:
     for variant in ("ordered", "dups", "late", "bad"):
         build_replay(spark, sf_dir, variant)
 
+    # Environment calibration: a fixed CPU-bound Spark job whose cost is
+    # data-independent.  Cross-round headline comparisons divide by this to
+    # separate engine regressions from host-load drift (observed 1.4x
+    # headline swing between idle-box runs within one session).
+    t0 = time.perf_counter()
+    spark.range(50_000_000).selectExpr("xxhash64(id) AS h").write.mode(
+        "overwrite"
+    ).format("noop").save()
+    calib = round(time.perf_counter() - t0, 3)
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
@@ -124,6 +134,7 @@ def main(check: bool = False) -> None:
         "sf": sf,
         "all_queries_total": round(sum(timings.values()), 3),
         "n_queries": len(timings),
+        "calib_sec": calib,
         "reduced_sf": {k: v for k, v in reduced.items() if k in timings},
     }
     if errors:

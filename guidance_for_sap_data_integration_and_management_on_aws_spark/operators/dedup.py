@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from ..catalog import load, parallelize_small_scan
 from ..functions.vector import cosine, sign_bucket, sql_cosine, sql_sign_bucket
 from ..registry import QuerySpec, spec
+from .text import text_simhash
 
 # normalization used for exact dedup (L1): collapse whitespace, lowercase, trim
 SQL_NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
@@ -227,15 +228,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @spec(
-    None,
+    f"""
+    WITH fp AS ({text_simhash.oracle})
+    SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+    FROM fp GROUP BY simhash HAVING COUNT(*) > 1
+    """,
     doc="SimHash near-dup buckets: groups of documents sharing a 16-bit "
     "SimHash fingerprint (single groupBy on the fingerprint — the cheapest "
-    "near-dup blocking at scale).  Fingerprint values are oracle-checked via "
-    "text_simhash; the grouping itself is rows-only.",
+    "near-dup blocking at scale).  Oracle-EXACT since round 3: the "
+    "fingerprints are md5-derived (portable), so the oracle composes "
+    "text_simhash's SQL with the bucket grouping.",
 )
 def dedup_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .text import text_simhash
-
     fp = text_simhash.builder(spark, sf_dir)
     return (
         fp.groupBy("simhash")

@@ -173,11 +173,30 @@ def ann_label_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 # centroid — deterministic, sf-proportional, and computable by both engines
 # with no training step.  Production swaps this for k-means centroids; the
 # dataflow (assign -> probe -> within-bucket rank) is identical.
+#
+# SCALE NOTE (the k knob, same law as auto_sign_bits): the fixture rule ties
+# k to n/61, so the brute-force centroid assignment costs n x k = n^2/61 —
+# quadratic, fine at fixture scale, wrong at 100 TB.  Production picks
+# k ~ sqrt(n x target_occupancy) (auto_ivf_k): assignment is n x sqrt(n)
+# with broadcast centroids, probe buckets hold ~sqrt(n) vectors, and beyond
+# that the standard escalation is a two-level quantizer (assign against
+# sqrt(k) super-centroids first) — the dataflow below is unchanged in every
+# case, only the centroid frame swaps.
 
 C_MOD = 61
 C_RESIDUE = 3
 N_PROBE = 2
 IVF_TOP_K = 3
+
+
+def auto_ivf_k(n_vectors: int, target: int = TARGET_BUCKET_OCCUPANCY) -> int:
+    """Centroid count balancing assignment cost (n x k) against probe-bucket
+    occupancy (n / k): k = sqrt(n / target) x sqrt(target-ish) — i.e. hold
+    k x occupancy products sane with k ~ sqrt(n).  Floor of 16 keeps tiny
+    corpora from degenerating to a single bucket."""
+    import math
+
+    return max(16, math.isqrt(max(n_vectors, 1)))
 
 
 @spec(

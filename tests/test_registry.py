@@ -25,12 +25,11 @@ def test_registry_shape():
     # ballast fills the rest of the ~50-query driver window
     rows_only_window = {
         "dedup_minhash_lsh",
-        "dedup_simhash_buckets",
         "stream_watermark_late_drop",
         "ann_ivf_train_kmeans",
     }
-    assert all(reg[n].oracle is not None for n in names[:23]), names[:23]
-    assert set(names[23:27]) == rows_only_window
+    assert all(reg[n].oracle is not None for n in names[:24]), names[:24]
+    assert set(names[24:27]) == rows_only_window
     assert all(reg[n].oracle is not None for n in names[27:50]), [
         n for n in names[27:50] if reg[n].oracle is None
     ]
@@ -48,7 +47,6 @@ def test_oracle_sql_matches_queries():
     assert rows_only == {
         "agg_approx_distinct",
         "dedup_minhash_lsh",
-        "dedup_simhash_buckets",
         "stream_watermark_late_drop",
         "ann_ivf_train_kmeans",
     }, rows_only
