@@ -58,6 +58,8 @@ _PRIORITY = [
     "agg_grouping_sets",
     "orc_scan_roundtrip",
     "dedup_simhash_buckets",  # upgraded to an exact oracle in round 3
+    "mm_wav_features",
+    "mm_bmp_ahash",
     # --- rows-only, never driver-checked (weaker rows-only entry) ----------
     "dedup_minhash_lsh",
     "stream_watermark_late_drop",

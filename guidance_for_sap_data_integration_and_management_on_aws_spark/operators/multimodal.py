@@ -655,8 +655,122 @@ def mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec(
+    """
+    WITH d AS (
+      SELECT doc_id, 8000 + (doc_id % 3) * 4000 AS rate, 50 + doc_id % 50 AS n,
+             (doc_id * 7) % 65536 AS a
+      FROM documents
+    ),
+    s AS (
+      SELECT d.doc_id, CAST(g.range AS BIGINT) AS t,
+             ((d.a + g.range * 13) % 65536) - 32768 AS v
+      FROM d, range(0, 99) g WHERE g.range < d.n
+    ),
+    l AS (
+      SELECT doc_id, t, v,
+             lag(v) OVER (PARTITION BY doc_id ORDER BY t) AS pv
+      FROM s
+    )
+    SELECT d.doc_id,
+           sqrt(CAST(SUM(CAST(l.v AS BIGINT) * l.v) AS DOUBLE) / d.n) AS rms,
+           CAST(COUNT(*) FILTER (WHERE l.pv IS NOT NULL
+                                 AND ((l.v >= 0) <> (l.pv >= 0))) AS BIGINT)
+             AS zero_crossings,
+           CAST(MAX(abs(l.v)) AS BIGINT) AS peak_abs
+    FROM l JOIN d USING (doc_id) GROUP BY d.doc_id, d.n
+    """,
+    doc="L5 audio FEATURE EXTRACTION over real WAV bytes: RMS amplitude, "
+    "zero-crossing count and peak from the actually-decoded little-endian "
+    "PCM samples (numpy kernel over the stdlib wave reader) — the standard "
+    "audio-curation features (silence/clipping/voicedness gates) for "
+    "training pipelines.  int64 square-sums are exact, the final sqrt is "
+    "one correctly-rounded IEEE op, so the oracle (a lag window over the "
+    "generator's closed-form samples) matches bit-for-bit.",
+)
+def mm_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        for b in batches:
+            rows = {k: [] for k in ("doc_id", "rms", "zero_crossings", "peak_abs")}
+            for doc_id, payload in zip(b["doc_id"], b["payload"]):
+                with wave.open(io.BytesIO(bytes(payload))) as wv:
+                    n = wv.getnframes()
+                    samples = np.frombuffer(wv.readframes(n), dtype="<i2").astype(np.int64)
+                sq = int((samples * samples).sum())
+                nonneg = samples >= 0
+                zc = int((nonneg[1:] != nonneg[:-1]).sum())
+                rows["doc_id"].append(doc_id)
+                rows["rms"].append(math.sqrt(sq / n))
+                rows["zero_crossings"].append(zc)
+                rows["peak_abs"].append(int(np.abs(samples).max()))
+            out = pd.DataFrame(rows)
+            out["zero_crossings"] = out["zero_crossings"].astype("int64")
+            out["peak_abs"] = out["peak_abs"].astype("int64")
+            yield out
+
+    return build_wav_frame(spark, sf_dir).mapInPandas(
+        kernel, "doc_id BIGINT, rms DOUBLE, zero_crossings BIGINT, peak_abs BIGINT"
+    )
+
+
+@spec(
+    f"""
+    WITH d AS ({_SQL_BMP_DIMS}),
+    grid AS (
+      SELECT gy.range AS yp, gx.range AS xp FROM range(0, 8) gy, range(0, 8) gx
+    ),
+    px AS (
+      -- sampled luma = GREEN channel value (c=1) at the nearest-neighbor grid
+      SELECT d.doc_id, yp, xp,
+             (d.a + (((yp * d.h) // 8) * d.w + ((xp * d.w) // 8)) * 3 + 1) % 256 AS v
+      FROM d, grid
+    ),
+    m AS (SELECT doc_id, CAST(SUM(v) AS DOUBLE) / 64 AS mean_v FROM px GROUP BY doc_id)
+    SELECT px.doc_id,
+           CAST(SUM(CASE WHEN px.yp < 4 AND px.v > m.mean_v
+                         THEN power(2, px.yp * 8 + px.xp) ELSE 0 END) AS BIGINT) AS ahash_hi,
+           CAST(SUM(CASE WHEN px.yp >= 4 AND px.v > m.mean_v
+                         THEN power(2, (px.yp - 4) * 8 + px.xp) ELSE 0 END) AS BIGINT) AS ahash_lo
+    FROM px JOIN m USING (doc_id) GROUP BY px.doc_id
+    """,
+    doc="L5 image AVERAGE-HASH (aHash) over real BMP bytes: decode, 8x8 "
+    "nearest-neighbor downsample of the green channel, threshold each cell "
+    "against the mean — the classic 64-bit perceptual near-dup key for "
+    "image corpora, split as two 32-bit halves (hi = rows 0-3) to stay in "
+    "signed BIGINT territory on both engines.  At scale near-dup image "
+    "grouping is then one groupBy on (ahash_hi, ahash_lo), the same "
+    "blocking shape as dedup_simhash_buckets.",
+)
+def mm_bmp_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = {k: [] for k in ("doc_id", "ahash_hi", "ahash_lo")}
+            for doc_id, payload in zip(b["doc_id"], b["payload"]):
+                w, h, _, img = parse_bmp(bytes(payload))
+                sy = (np.arange(8) * h) // 8
+                sx = (np.arange(8) * w) // 8
+                small = img[np.ix_(sy, sx)][:, :, 1].astype(np.int64)  # green
+                mean = small.sum() / 64.0
+                bits = (small > mean).astype(np.int64)
+                weights = 1 << (np.arange(32, dtype=np.int64))
+                hi = int((bits[:4].reshape(-1) * weights).sum())
+                lo = int((bits[4:].reshape(-1) * weights).sum())
+                rows["doc_id"].append(doc_id)
+                rows["ahash_hi"].append(hi)
+                rows["ahash_lo"].append(lo)
+            yield pd.DataFrame(rows)
+
+    return build_bmp_frame(spark, sf_dir).mapInPandas(
+        kernel, "doc_id BIGINT, ahash_hi BIGINT, ahash_lo BIGINT"
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "mm_video_frames": mm_video_frames,
+    "mm_wav_features": mm_wav_features,
+    "mm_bmp_ahash": mm_bmp_ahash,
     "mm_payload_hash": mm_payload_hash,
     "mm_decode": mm_decode,
     "mm_asset_stats": mm_asset_stats,

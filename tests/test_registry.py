@@ -28,10 +28,10 @@ def test_registry_shape():
         "stream_watermark_late_drop",
         "ann_ivf_train_kmeans",
     }
-    assert all(reg[n].oracle is not None for n in names[:24]), names[:24]
-    assert set(names[24:27]) == rows_only_window
-    assert all(reg[n].oracle is not None for n in names[27:50]), [
-        n for n in names[27:50] if reg[n].oracle is None
+    assert all(reg[n].oracle is not None for n in names[:26]), names[:26]
+    assert set(names[26:29]) == rows_only_window
+    assert all(reg[n].oracle is not None for n in names[29:50]), [
+        n for n in names[29:50] if reg[n].oracle is None
     ]
     # every builder is callable and every oracle is non-empty SQL text
     for n, q in reg.items():
