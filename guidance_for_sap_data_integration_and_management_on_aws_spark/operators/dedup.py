@@ -168,40 +168,52 @@ def _prefix_candidates(documents: DataFrame, t: float) -> DataFrame:
     )
 
 
-N_MINHASHES = 8  # b=8 bands of r=1: P(candidate | jac=0.6) = 1-(0.4)^8 ~ 0.9993
+N_MINHASHES = 24  # b=12 bands of r=2: P(candidate | jac=0.6) = 1-(1-0.36)^12 ~ 0.995
+LSH_ROWS_PER_BAND = 2
+N_BANDS = N_MINHASHES // LSH_ROWS_PER_BAND
 
 
 @spec(
     None,
     doc="L2 MinHash-LSH near-dup pairs at Jaccard distance < 0.45 (covers "
     "exact Jaccard >= 0.6, a closed boundary).  Native DataFrame pipeline — "
-    "distinct word shingles -> 8 seeded xxhash64 minhashes (per-row "
-    "array_min(transform(...)), no shuffle) -> band buckets via posexplode -> "
-    "equi-self-join on (band, minhash) over NARROW (doc_id, band, h) rows for "
-    "candidates -> re-attach token sets by doc_id -> exact Jaccard verify via "
+    "distinct word shingles -> 24 seeded xxhash64 minhashes (per-row "
+    "array_min(transform(...)), no shuffle) -> 12 bands of r=2 (band key = "
+    "xxhash64 of the band's two minhashes) via posexplode -> equi-self-join "
+    "on (band, key) over NARROW (doc_id, band, h) rows for candidates -> "
+    "re-attach token sets by doc_id -> exact Jaccard verify via "
     "array_intersect/array_union.  Everything JVM-side.  The 100 TB shape: "
-    "only 16-byte rows cross the 8x-posexploded banded shuffle; token arrays "
+    "only 16-byte rows cross the 12x-posexploded banded shuffle; token arrays "
     "cross one doc_id-keyed exchange each, once per candidate side "
     "(regression-locked by a plan test: no ArrayType output on any "
-    "band-partitioned Exchange).  Probabilistic recall (superset of the exact "
-    "twin dedup_jaccard_pairs with prob ~0.9993/pair) -> rows-only check; "
-    "agreement with the exact twin is asserted in tests/test_llm_ops.py.",
+    "band-partitioned Exchange).  r=2 keeps candidates subquadratic on "
+    "corpora with moderate token overlap: P(candidate | jac=0.2) drops from "
+    "~0.83 (the r=1 banding this replaces) to ~0.15, while P(candidate | "
+    "jac>=0.6) stays >= 0.995.  Probabilistic recall (superset of the exact "
+    "twin dedup_jaccard_pairs) -> rows-only check; agreement with the exact "
+    "twin is asserted in tests/test_llm_ops.py and driver-anchored by "
+    "dedup_minhash_recall.",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    toks = _parallelize_scan(d).select(
-        "doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("toks")
-    )
+    # ONE tokenize pass: minhashes are drawn over the 64-bit hashed token
+    # universe (reseeded xxhash64 of the token hash — an equally valid
+    # minhash family, and hashing longs beats re-hashing strings 24x per doc)
     hashed = _hashed_token_sets(d)
 
     def minhash(seed: int) -> F.Column:
         # NB: the lambda must take exactly one arg — F.transform passes the
         # element index to a second parameter, which would clobber the seed.
-        return F.array_min(F.transform("toks", lambda w: F.xxhash64(F.lit(seed), w)))
+        return F.array_min(F.transform("toks", lambda h: F.xxhash64(F.lit(seed), h)))
 
-    sig = toks.select(
+    # band key: both of the band's minhashes must agree -> hash the pair into
+    # one bigint so banded rows stay (doc_id, band, h) — as narrow as r=1
+    def band_key(b: int) -> F.Column:
+        return F.xxhash64(*[minhash(LSH_ROWS_PER_BAND * b + i) for i in range(LSH_ROWS_PER_BAND)])
+
+    sig = hashed.select(
         "doc_id",
-        F.array(*[minhash(i) for i in range(N_MINHASHES)]).alias("sig"),
+        F.array(*[band_key(b) for b in range(N_BANDS)]).alias("sig"),
     )
     banded = sig.select("doc_id", F.posexplode("sig").alias("band", "h"))
     a = banded.alias("a")
@@ -216,13 +228,24 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
         .dropDuplicates(["da", "db"])
     )
-    ta = hashed.select(F.col("doc_id").alias("da"), F.col("toks").alias("ta"))
-    tb = hashed.select(F.col("doc_id").alias("db"), F.col("toks").alias("tb"))
+    # carry |A|,|B| with the token sets: |A∪B| = |A|+|B|-|A∩B|, so the exact
+    # verify costs ONE array_intersect per pair instead of intersect + union
+    sized = hashed.select("doc_id", "toks", F.size("toks").alias("n"))
+    ta = sized.select(
+        F.col("doc_id").alias("da"), F.col("toks").alias("ta"), F.col("n").alias("na")
+    )
+    tb = sized.select(
+        F.col("doc_id").alias("db"), F.col("toks").alias("tb"), F.col("n").alias("nb")
+    )
     pairs = cand.join(ta, "da").join(tb, "db")
-    inter = F.size(F.array_intersect("ta", "tb")).cast("double")
-    union = F.size(F.array_union("ta", "tb")).cast("double")
-    jd = F.round(F.lit(1.0) - inter / union, 6)
-    return pairs.select("da", "db", jd.alias("jaccard_dist")).filter(
+    scored = pairs.select(
+        "da", "db", "na", "nb",
+        F.size(F.array_intersect("ta", "tb")).cast("double").alias("__i"),
+    )
+    jd = F.round(
+        F.lit(1.0) - F.col("__i") / (F.col("na") + F.col("nb") - F.col("__i")), 6
+    )
+    return scored.select("da", "db", jd.alias("jaccard_dist")).filter(
         F.col("jaccard_dist") < 0.45
     )
 
