@@ -54,7 +54,11 @@ HEADLINE = [
 
 # query -> scale-factor directory NAME (resolved against the configured
 # data root, not a hardcoded absolute path)
-REDUCED_SF = {"dedup_jaccard_pairs": "sf0.01"}
+REDUCED_SF = {
+    "dedup_jaccard_pairs": "sf0.01",
+    # embeds the exact twin — same output-volume duty as above
+    "dedup_minhash_recall": "sf0.01",
+}
 
 
 # headline time must stay within this factor of bench_baseline.json (plus a

@@ -73,8 +73,9 @@ def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@spec(
-    """
+def _sql_jaccard_pairs(threshold: float) -> str:
+    """Exact token-set Jaccard pairs at ``threshold``, as DuckDB SQL."""
+    return f"""
     WITH tok AS (
       SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
     ),
@@ -89,8 +90,12 @@ def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM inter
     JOIN sizes sa ON da = sa.doc_id
     JOIN sizes sb ON db = sb.doc_id
-    WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.6
-    """,
+    WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= {threshold}
+    """
+
+
+@spec(
+    _sql_jaccard_pairs(0.6),
     doc="L2 exact token-set Jaccard pairs (threshold 0.6), blocked by "
     "PREFIX FILTERING (PPJoin/SSJoin, Xiao et al. 2008): tokens are globally "
     "ordered by ascending document frequency and each doc blocks only on its "
@@ -250,6 +255,28 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RECALL_T = 0.7  # all-found threshold: P(LSH miss | jac=0.7) = (1-0.49)^12 ~ 3e-4
+
+
+@spec(
+    _sql_jaccard_pairs(RECALL_T),
+    doc="L2 MinHash-LSH recall anchor (the r3 verdict's fix for "
+    "dedup_minhash_lsh being rows-only): the exact-twin pairs at Jaccard >= "
+    "0.7 that the LSH path ALSO found.  The oracle is the full exact twin at "
+    "the same threshold, so a driver-green hash certifies the probabilistic "
+    "path recovered 100% of the >= 0.7 pairs — value-for-value, not just a "
+    "row count.  Deterministic: fixed seeds, fixed fixture (the banding "
+    "admits jac-0.7 pairs with P ~ 0.9997/band-set; the fixture's pair mass "
+    "sits well above the threshold, measured zero misses at sf0.001/0.01).",
+)
+def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = dedup_jaccard_pairs.builder(spark, sf_dir).filter(
+        F.col("jaccard") >= RECALL_T
+    )
+    lsh = dedup_minhash_lsh.builder(spark, sf_dir).select("da", "db")
+    return exact.join(lsh, ["da", "db"], "left_semi")
+
+
 @spec(
     f"""
     WITH fp AS ({text_simhash.oracle})
@@ -375,6 +402,7 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_exact_survivors": dedup_exact_survivors,
     "dedup_jaccard_pairs": dedup_jaccard_pairs,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_minhash_recall": dedup_minhash_recall,
     "dedup_simhash_buckets": dedup_simhash_buckets,
     "dedup_embedding_cosine": dedup_embedding_cosine,
 }
