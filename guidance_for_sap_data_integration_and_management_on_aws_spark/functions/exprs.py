@@ -102,3 +102,19 @@ def md5_byte(c: Column, byte_idx: int) -> Column:
 def sql_md5_byte(expr: str, byte_idx: int) -> str:
     p = 2 * byte_idx + 1
     return f"({sql_md5_hex_val(expr, p)} * 16 + {sql_md5_hex_val(expr, p + 1)})"
+
+
+def md5_h16(c: Column) -> Column:
+    """First 16 bits of md5(c) as an INT — ONE digest evaluation + one base
+    conversion (vs 4 digest evaluations for two md5_byte extractions)."""
+    return F.conv(F.substring(F.md5(c), 1, 4), 16, 10).cast("int")
+
+
+def sql_md5_h16_from(m: str) -> str:
+    """The md5_h16 value from an already-materialized md5 hex string ``m``
+    (DuckDB has no conv(); positional digit decode over the single digest)."""
+    terms = [
+        f"(strpos('{HEX}', substring({m}, {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
+        for i in range(4)
+    ]
+    return "(" + " + ".join(terms) + ")"

@@ -19,7 +19,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load, parallelize_small_scan
-from ..functions.exprs import md5_byte, sql_md5_byte
+from ..functions.exprs import md5_byte, md5_h16, sql_md5_byte, sql_md5_h16_from
 from ..registry import QuerySpec, spec
 
 # Tiny deterministic English stopword list for the n-gram/stopword heuristic.
@@ -143,33 +143,20 @@ def _simhash_bits() -> int:
     return 16
 
 
-def simhash16_contribs() -> list[Column]:
-    """SimHash-16 bit contributions (+1/-1 aggregands) over pre-materialized
-    md5 byte columns ``b0``/``b1``: tokens hash to 16 bits (4 md5 hex
-    digits); fingerprint bit = sign of the per-bit sum.  The bytes are
-    computed ONCE per token row (aliased projection) — deriving each of the
-    16 bits straight from md5(w) re-evaluates the digest 16x and ~2x's the
-    whole query's cost (measured at sf0.1)."""
-    bits = []
-    for b in range(_simhash_bits()):
-        src = F.col("b0") if b < 8 else F.col("b1")
-        bit = F.shiftright(src, b % 8).bitwiseAND(F.lit(1))
-        bits.append(F.when(bit == 1, 1).otherwise(-1).alias(f"b{b}"))
-    return bits
-
-
 @spec(
     f"""
     WITH tok AS (
       SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
     ),
+    dig AS (SELECT doc_id, md5(w) AS m FROM tok),
+    hv AS (SELECT doc_id, {sql_md5_h16_from('m')} AS h FROM dig),
     contrib AS (
       SELECT doc_id,
              {', '.join(
-                 f"SUM(CASE WHEN ({sql_md5_byte('w', b // 8)} // {1 << (b % 8)}) % 2 = 1 "
+                 f"SUM(CASE WHEN (h // {1 << b}) % 2 = 1 "
                  f"THEN 1 ELSE -1 END) AS s{b}" for b in range(16)
              )}
-      FROM tok GROUP BY doc_id
+      FROM hv GROUP BY doc_id
     )
     SELECT doc_id,
            {' + '.join(f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16))}
@@ -177,19 +164,23 @@ def simhash16_contribs() -> list[Column]:
     FROM contrib
     """,
     doc="SimHash-16 fingerprint per document over distinct tokens — near-dup "
-    "candidates share fingerprints.  Portable md5-derived bits; oracle computes "
-    "the identical value.",
+    "candidates share fingerprints.  Portable md5-derived bits (ONE digest "
+    "per token: the 16 bits all come from conv(substring(md5(w),1,4),16,10), "
+    "vs the two 2-digest byte extractions this replaces — the r3 verdict's "
+    "2.5x cost flag); the oracle materializes the same single digest and "
+    "decodes it positionally, so both engines compute the identical value.",
 )
 def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(_words()).alias("w")).distinct()
-    bts = tok.select(
-        "doc_id",
-        md5_byte(F.col("w"), 0).alias("b0"),
-        md5_byte(F.col("w"), 1).alias("b1"),
-    )
-    sums = bts.groupBy("doc_id").agg(
-        *[F.sum(c).alias(f"s{b}") for b, c in enumerate(simhash16_contribs())]
+    hv = tok.select("doc_id", md5_h16(F.col("w")).alias("h"))
+    sums = hv.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(_simhash_bits())
+        ]
     )
     fp = None
     for b in range(_simhash_bits()):
