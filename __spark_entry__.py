@@ -21,71 +21,30 @@ from guidance_for_sap_data_integration_and_management_on_aws_spark.registry impo
 # Driver-budget-aware ordering.  The driver verifies roughly the FIRST 50
 # registry entries per round, so this list is re-sorted every round:
 #
-#   1. queries with NO green CORRECTNESS entry yet (r02: the 8 TPC-H shapes
-#      added in round 2, merge upsert, the BMP/WAV codecs, sampling/packing,
-#      the new AVI video codec) plus rfc_parse_valid (r02's one hash
-#      failure, fixed this round — DECIMAL -> DOUBLE canonicalization);
-#   2. the 4 rows-only queries that have never produced even a rows-only
-#      driver entry (weaker check, but T4 etc. need SOME driver signal);
+#   1. queries with NO green CORRECTNESS entry yet (r03: q12's oracle-type
+#      hash fail, now fixed) plus this round's NEW anchored agreement
+#      queries and the queries whose oracle/builder CHANGED this round
+#      (text_simhash's one-digest rewrite and the simhash-bucket oracle
+#      composed from it);
+#   2. the rows-only queries whose builders changed this round (weaker
+#      check, but the driver row should reflect the new code);
 #   3. ROTATION BALLAST: previously-green queries re-enter the checked
-#      window oldest-verification-first (r01 greens that r02 skipped fill
-#      the rest of the ~50 window; r02 greens trail), so every green entry
-#      is periodically re-earned rather than trusted forever.
+#      window oldest-verification-first — the 28 r01-only greens that
+#      rounds 2-3 never re-checked lead (VERDICT r03 item 7), then the
+#      oldest r02 greens fill the rest of the ~50 window; r02/r03 greens
+#      trail, so every green entry is periodically re-earned rather than
+#      trusted forever.
 _PRIORITY = [
-    # --- never green: r02 hash failure (fixed) + round-2/3 additions -------
-    "rfc_parse_valid",
-    "q2_min_cost_supplier",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_parts",
-    "q12_late_shipments",
-    "q16_supplier_counts",
-    "q20_promotion_suppliers",
-    "q21_waiting_suppliers",
-    "ingest_merge_upsert",
-    "mm_bmp_decode",
-    "mm_bmp_resize",
-    "mm_wav_decode",
-    "mm_video_frames",
-    "sample_stratified",
-    "pipeline_pack_sequences",
-    # round-3 additions (AVI video above; decontaminate/repetition/chunking)
-    "pipeline_decontaminate",
-    "text_repetition_filter",
-    "pipeline_chunk_documents",
-    "join_salted_skew",
-    "stream_incremental_upsert",
-    "agg_grouping_sets",
-    "orc_scan_roundtrip",
-    "dedup_simhash_buckets",  # upgraded to an exact oracle in round 3
-    "mm_wav_features",
-    "mm_bmp_ahash",
-    # --- rows-only, never driver-checked (weaker rows-only entry) ----------
-    "dedup_minhash_lsh",
-    "stream_watermark_late_drop",
-    "ann_ivf_train_kmeans",
-    # --- rotation ballast: r01 greens never re-checked since (oldest first)
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q4_priority_check",
-    "q5_local_supplier",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q10_returned_items",
-    "q13_order_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q17_small_quantity",
-    "q18_large_orders",
-    "q19_disjunctive_bands",
-    "q22_idle_customers",
-    "join_inner",
-    "join_broadcast",
-    "join_shuffle_hash",
-    "join_left_outer",
-    "join_full_outer",
-    "join_semi",
-    "join_anti",
+    # --- never green / changed this round ----------------------------------
+    "q12_late_shipments",  # r03 red: oracle HUGEINT->float; CAST AS BIGINT fix
+    "ann_kmeans_assign",  # new: anchored k-means assignment step
+    "dedup_minhash_recall",  # new: anchored LSH recall agreement
+    "text_simhash",  # oracle rewritten (one-digest) this round
+    "dedup_simhash_buckets",  # oracle composes the new simhash SQL
+    # --- rows-only whose builders changed this round ------------------------
+    "dedup_minhash_lsh",  # r=2 banding rewrite
+    "ann_ivf_train_kmeans",  # map-side assignment kernel
+    # --- rotation ballast: r01-only greens never re-checked since ----------
     "join_cross_theta",
     "agg_count",
     "agg_rollup",
@@ -95,15 +54,13 @@ _PRIORITY = [
     "fn_datetime",
     "fn_array",
     "fn_map",
-    # --- ~50-entry line; remaining r01 greens continue oldest-first --------
     "fn_json",
     "fn_conditional",
-    "fn_math",
     "agg_collect",
     "agg_count_distinct",
     "agg_filtered",
     "agg_stats",
-    "agg_approx_distinct",
+    "agg_approx_distinct",  # rows-only by documented contract (tolerance-tested)
     "distinct_flags",
     "except_custkeys",
     "intersect_custkeys",
@@ -116,6 +73,59 @@ _PRIORITY = [
     "unpivot_measures",
     "subquery_exists",
     "subquery_scalar",
+    # --- oldest r02 greens fill the window to ~50 ---------------------------
+    "fn_math",
+    "join_range_bands",
+    "join_asof",
+    "window_rank",
+    "window_lag_lead",
+    "window_running",
+    "window_range_frame",
+    "window_topk_per_group",
+    "rfc_parse_errors",
+    "rfc_ingest_invariant",
+    "try_cast_best_effort",
+    "saprfc_scan_typed",
+    "csv_scan_roundtrip",
+    "saprfc_pushdown",
+    # --- ~50-entry line; remaining r02 greens continue oldest-first --------
+    "saprfc_projection",
+    "sink_roundtrip",
+    "text_token_count",
+    "text_quality",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_word_count",
+    "dedup_exact",
+    "pipeline_curation",
+    "dedup_exact_survivors",
+    "dedup_jaccard_pairs",
+    "dedup_embedding_cosine",
+    "ann_bruteforce_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "ann_label_match",
+    "mm_payload_hash",
+    "mm_decode",
+    "mm_asset_stats",
+    "mm_resize",
+    "mm_frame_sample",
+    "udf_scalar_reverse",
+    "udf_pandas_l2norm",
+    "udf_grouped_stats",
+    "udtf_explode_words",
+    "udtf_bigrams",
+    "stream_tumbling_agg",
+    "stream_sliding_window",
+    "stream_session_window",
+    "stream_dedup_within_watermark",
+    "stream_stateful_running_totals",
+    "stream_static_join",
+    "stream_stream_join",
+    "stream_deadletter_split",
+    "stream_watermark_late_drop",  # rows-only; driver entry earned r03
+    # r02/r03 greens not listed trail in module order (rfc_parse_valid,
+    # the TPC-H suite, mm codecs, pipelines, ...)
 ]
 
 

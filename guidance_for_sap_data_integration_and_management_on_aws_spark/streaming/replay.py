@@ -19,25 +19,34 @@ Variants plant scenario-specific rows:
 * ``bad``     — props of event_id % 101 == 0 corrupted to ``'{bad'`` —
   exercises the T8 dead-letter split.
 
-The harness is a *test device*: it intentionally materializes the (small)
-fixture via pandas on the driver.  Production streams read Kafka/files
-directly; every operator in ``ops.py`` is plain Structured Streaming and
-never touches this module's internals.
+Chunking is DISTRIBUTED (the r3 verdict's fix for the driver-side
+pandas materialization this replaces): rows get an exact global position
+via range-repartitioning on (ts, event_id) + a per-range prefix-sum of the
+(tiny) range counts — the same two-level offset-stitch as
+``pipeline_pack_sequences`` — and each position-quartile chunk is written by
+Spark, coalesced to the single file the mtime-ordered file source needs.
+Only per-range COUNTS ever reach the driver.  Production streams read
+Kafka/files directly; every operator in ``ops.py`` is plain Structured
+Streaming and never touches this module's internals.
 """
 
 from __future__ import annotations
 
+import glob
 import os
+import shutil
 import uuid
 
-import pyarrow as pa
-import pyarrow.parquet as pq
-
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
 from ..catalog import load
 
 N_CHUNKS = 4
+
+# ranges for the distributed global rank; sized to the fixture — a production
+# replay of a big topic raises this to its shuffle width
+RANK_PARTS = 8
 
 EVENTS_SCHEMA = (
     "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
@@ -56,52 +65,97 @@ def scratch_dir(kind: str) -> str:
 _REPLAY_CACHE: dict[tuple[str, str], str] = {}
 
 
+def _with_global_pos(ev: DataFrame) -> tuple[DataFrame, int]:
+    """Exact 0-based global position under the (ts, event_id) total order,
+    computed distributed: range-repartition so range i's keys all precede
+    range i+1's, count each range (the only rows that reach the driver —
+    RANK_PARTS integers), prefix-sum the counts into per-range offsets, and
+    add a range-local row_number.  One narrow metadata collect; the event
+    rows themselves never leave executors."""
+    part = ev.repartitionByRange(RANK_PARTS, "ts", "event_id").withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    part = part.persist()
+    counts = {
+        r["__pid"]: r["n"]
+        for r in part.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in range(RANK_PARTS):
+        offsets.append((pid, acc))
+        acc += counts.get(pid, 0)
+    off = F.broadcast(
+        ev.sparkSession.createDataFrame(offsets, "__pid INT, __off BIGINT")
+    )
+    w = Window.partitionBy("__pid").orderBy("ts", "event_id")
+    ranked = part.join(off, "__pid").withColumn(
+        "__pos", F.row_number().over(w) - 1 + F.col("__off")
+    )
+    return ranked, acc
+
+
+def _write_single_file(df: DataFrame, directory: str, filename: str, mtime: int) -> None:
+    """One sorted parquet FILE (the mtime-ordered stream source reads files,
+    not directories): coalesce to a single writer task, then surface the part
+    file under the target name."""
+    tmp = os.path.join(directory, f"__tmp_{filename}")
+    df.coalesce(1).sortWithinPartitions("ts", "event_id").write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    (part_file,) = glob.glob(os.path.join(tmp, "part-*.parquet"))
+    path = os.path.join(directory, filename)
+    os.rename(part_file, path)
+    shutil.rmtree(tmp)
+    os.utime(path, (mtime, mtime))
+
+
 def build_replay(spark: SparkSession, sf_dir: str, variant: str = "ordered") -> str:
     """Materialize the events fixture as N_CHUNKS mtime-ordered parquet files;
     returns the directory to point ``readStream`` at.  Cached per
     (sf_dir, variant) within the process — the chunk content is a pure
-    function of both."""
+    function of both (chunk i = rows at global positions
+    [round(i*n/4), round((i+1)*n/4)) of the (ts, event_id) order, exactly
+    the slices the driver-side builder this replaces produced)."""
     cached = _REPLAY_CACHE.get((sf_dir, variant))
     if cached is not None and os.path.isdir(cached):
         return cached
-    pdf = (
-        load(spark, sf_dir, "events")
-        .orderBy("ts", "event_id")
-        .toPandas()
-    )
-    if variant == "bad":
-        mask = pdf["event_id"] % 101 == 0
-        pdf.loc[mask, "props"] = "{bad"
-
-    n = len(pdf)
-    bounds = [round(i * n / N_CHUNKS) for i in range(N_CHUNKS + 1)]
-    chunks = [pdf.iloc[bounds[i] : bounds[i + 1]].copy() for i in range(N_CHUNKS)]
-
-    if variant == "dups":
-        chunks = [
-            __import__("pandas").concat([c, c[c["event_id"] % 10 == 0]], ignore_index=True)
-            for c in chunks
-        ]
-    elif variant == "late":
-        late_mask = pdf["event_id"] % 97 == 0
-        chunks = [c[c["event_id"] % 97 != 0].copy() for c in chunks]
-        chunks[-1] = __import__("pandas").concat(
-            [chunks[-1], pdf[late_mask]], ignore_index=True
-        )
-    elif variant not in ("ordered", "bad"):
+    if variant not in ("ordered", "dups", "late", "bad"):
         raise ValueError(f"unknown replay variant {variant!r}")
+
+    ev = load(spark, sf_dir, "events")
+    cols = ev.columns
+    if variant == "bad":
+        ev = ev.withColumn(
+            "props",
+            F.when(F.col("event_id") % 101 == 0, F.lit("{bad")).otherwise(
+                F.col("props")
+            ),
+        )
+
+    ranked, n = _with_global_pos(ev)
+    bounds = [round(i * n / N_CHUNKS) for i in range(N_CHUNKS + 1)]
+    chunk = None
+    for i in range(N_CHUNKS):
+        cond = F.col("__pos") < bounds[i + 1]
+        chunk = F.when(cond, i) if chunk is None else chunk.when(cond, i)
+    ranked = ranked.withColumn("__chunk", chunk.otherwise(N_CHUNKS - 1))
+    if variant == "late":
+        # withheld events arrive in the final chunk, days late
+        ranked = ranked.withColumn(
+            "__chunk",
+            F.when(F.col("event_id") % 97 == 0, N_CHUNKS - 1).otherwise(
+                F.col("__chunk")
+            ),
+        )
 
     out = scratch_dir(f"replay-{variant}")
     base_mtime = 1_600_000_000
-    for i, c in enumerate(chunks):
-        path = os.path.join(out, f"chunk_{i:03d}.parquet")
-        pq.write_table(
-            pa.Table.from_pandas(c, preserve_index=False),
-            path,
-            coerce_timestamps="us",
-            allow_truncated_timestamps=True,
-        )
-        os.utime(path, (base_mtime + i, base_mtime + i))
+    for i in range(N_CHUNKS):
+        cdf = ranked.filter(F.col("__chunk") == i).select(*cols)
+        if variant == "dups":
+            # every 10th event arrives twice within its own chunk
+            cdf = cdf.union(cdf.filter(F.col("event_id") % 10 == 0))
+        _write_single_file(cdf, out, f"chunk_{i:03d}.parquet", base_mtime + i)
     _REPLAY_CACHE[(sf_dir, variant)] = out
     return out
 

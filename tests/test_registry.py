@@ -19,20 +19,18 @@ def test_registry_shape():
     assert len(names) == len(set(names))
     # priority names lead, in order
     assert names[: len(entrymod._PRIORITY)] == entrymod._PRIORITY
-    # round-3 window layout: the never-green oracle-backed queries lead,
-    # then EXACTLY the four never-checked rows-only queries (deliberate
-    # weaker-check slots, VERDICT r02 item 4), then oracle-backed rotation
-    # ballast fills the rest of the ~50-query driver window
-    rows_only_window = {
+    # round-4 window layout: never-green/changed oracle-backed queries lead,
+    # then the two rows-only queries whose builders changed this round, then
+    # oldest-green-first rotation ballast fills the ~50-query driver window
+    # (agg_approx_distinct, rows-only by contract, rotates inside it)
+    assert all(reg[n].oracle is not None for n in names[:5]), names[:5]
+    assert set(names[5:7]) == {"dedup_minhash_lsh", "ann_ivf_train_kmeans"}
+    window_rows_only = [n for n in names[:50] if reg[n].oracle is None]
+    assert window_rows_only == [
         "dedup_minhash_lsh",
-        "stream_watermark_late_drop",
         "ann_ivf_train_kmeans",
-    }
-    assert all(reg[n].oracle is not None for n in names[:26]), names[:26]
-    assert set(names[26:29]) == rows_only_window
-    assert all(reg[n].oracle is not None for n in names[29:50]), [
-        n for n in names[29:50] if reg[n].oracle is None
-    ]
+        "agg_approx_distinct",
+    ], window_rows_only
     # every builder is callable and every oracle is non-empty SQL text
     for n, q in reg.items():
         assert callable(q.builder), n
@@ -65,5 +63,21 @@ def test_no_rdd_access_in_package():
         str(p.relative_to(root))
         for p in root.rglob("*.py")
         if ".rdd" in p.read_text()
+    ]
+    assert not offenders, offenders
+
+
+def test_no_driver_materialization_in_streaming_sources():
+    """r03 verdict item 4: the streaming package must not materialize source
+    data on the driver — the replay builder chunks the events fixture with
+    Spark writes (range-repartition + offset-stitched global positions), so
+    ``toPandas`` must not appear anywhere under ``streaming/``."""
+    import pathlib
+
+    import guidance_for_sap_data_integration_and_management_on_aws_spark as pkg
+
+    streaming = pathlib.Path(pkg.__file__).parent / "streaming"
+    offenders = [
+        str(p.name) for p in streaming.rglob("*.py") if "toPandas" in p.read_text()
     ]
     assert not offenders, offenders
