@@ -130,6 +130,11 @@ def main(check: bool = False) -> None:
         except Exception as e:  # keep the bench line intact; surface the error
             errors[name] = f"{type(e).__name__}: {e}"[:200]
 
+    # Calibration-normalized twins (VERDICT r03 item 8): divide by this run's
+    # calib_sec so cross-round diffs separate host-load drift (1.3-6x swings
+    # observed between runs on this box) from real engine regressions.  Unit:
+    # multiples of the fixed 50M-row xxhash64 calibration job.
+    norm = {name: round(t / calib, 3) for name, t in timings.items()} if calib else {}
     out = {
         "metric": "headline_suite_total",
         "value": total,
@@ -139,6 +144,10 @@ def main(check: bool = False) -> None:
         "all_queries_total": round(sum(timings.values()), 3),
         "n_queries": len(timings),
         "calib_sec": calib,
+        "queries_norm": norm,
+        "value_norm": round(total / calib, 3) if calib else None,
+        "all_queries_total_norm": round(sum(timings.values()) / calib, 3) if calib else None,
+        "norm_unit": "x_calib",
         "reduced_sf": {k: v for k, v in reduced.items() if k in timings},
     }
     if errors:

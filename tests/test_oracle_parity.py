@@ -34,6 +34,62 @@ def test_oracle_parity(spark, duck, sf_dir, name):
     compare(df, duck, q.oracle, name)
 
 
+# DuckDB types whose dataframe/arrow fetch matches a Spark integral column.
+# HUGEINT/UHUGEINT are the trap: DuckDB's df fetch converts them to float64
+# (the r03 q12_late_shipments hash failure — SUM(int) promotes to HUGEINT),
+# while fetchall() hands back Python ints and masks the mismatch.  UBIGINT
+# fetches as uint64 and is excluded for the same reason.
+_DUCK_INT = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT", "UTINYINT", "USMALLINT", "UINTEGER"}
+
+
+def _duck_type_ok(spark_type, duck_type: str) -> bool:
+    from pyspark.sql import types as T
+
+    duck_type = duck_type.upper()
+    if isinstance(spark_type, T.ArrayType):
+        return duck_type.endswith("[]") and _duck_type_ok(
+            spark_type.elementType, duck_type[:-2]
+        )
+    if isinstance(spark_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return duck_type in _DUCK_INT
+    if isinstance(spark_type, (T.DoubleType, T.FloatType)):
+        return duck_type in ("DOUBLE", "FLOAT")
+    if isinstance(spark_type, T.BooleanType):
+        return duck_type == "BOOLEAN"
+    if isinstance(spark_type, T.StringType):
+        return duck_type == "VARCHAR"
+    if isinstance(spark_type, T.DateType):
+        return duck_type == "DATE"
+    if isinstance(spark_type, T.TimestampType):
+        return duck_type.startswith("TIMESTAMP")
+    if isinstance(spark_type, T.BinaryType):
+        return duck_type == "BLOB"
+    if isinstance(spark_type, T.MapType):
+        return duck_type.startswith("MAP")
+    return True  # struct/other: value comparison still covers it
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_oracle_dtype_parity(spark, duck, sf_dir, name):
+    """Static cross-engine TYPE sweep (VERDICT r03 item 1): DESCRIBE the
+    oracle (no execution) and require every column's DuckDB type to fetch —
+    via the driver's dataframe/arrow path — into the same value family as
+    the Spark column.  Catches integer SUMs left to promote to HUGEINT
+    before they can hash-mismatch in a driver round."""
+    q = REG[name]
+    duck_types = {
+        r[0]: r[1] for r in duck.execute(f"DESCRIBE {q.oracle}").fetchall()
+    }
+    sdf = q.builder(spark, sf_dir)
+    assert sorted(duck_types) == sorted(sdf.columns), name
+    bad = [
+        (f.name, str(f.dataType), duck_types[f.name])
+        for f in sdf.schema.fields
+        if not _duck_type_ok(f.dataType, duck_types[f.name])
+    ]
+    assert not bad, f"{name}: spark/duckdb dtype families differ: {bad}"
+
+
 @pytest.mark.parametrize("name", ROWS_ONLY_NAMES)
 def test_rows_only_runs(spark, sf_dir, name):
     q = REG[name]
