@@ -41,6 +41,10 @@ _PRIORITY = [
     "dedup_minhash_recall",  # new: anchored LSH recall agreement
     "text_simhash",  # oracle rewritten (one-digest) this round
     "dedup_simhash_buckets",  # oracle composes the new simhash SQL
+    "pipeline_domain_mix",  # new: per-source mixing weights
+    "text_ngram_topk",  # new: corpus bigram top-k
+    "pipeline_length_buckets",  # new: token-length histogram
+    "embedding_quantize_int8",  # new: symmetric int8 quantization
     # --- rows-only whose builders changed this round ------------------------
     "dedup_minhash_lsh",  # r=2 banding rewrite
     "ann_ivf_train_kmeans",  # map-side assignment kernel

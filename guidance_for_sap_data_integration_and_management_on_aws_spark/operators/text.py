@@ -518,8 +518,109 @@ def pipeline_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec(
+    """
+    WITH s AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total,
+                   COUNT(*) AS n_sources FROM s)
+    SELECT source, n_docs, n_tokens,
+           round(CAST(total AS DOUBLE) / (n_sources * n_tokens), 6) AS mix_weight
+    FROM s, tot
+    """,
+    doc="Training-corpus DOMAIN MIXING weights: per-source token counts and "
+    "the per-source sampling weight that equalizes the token contribution of "
+    "every source (weight = total/(S * tokens_s); sources below fair share "
+    "upsample > 1, oversized sources downsample < 1) — the knob a "
+    "pretraining data pipeline tunes before packing.  Scale shape: one "
+    "map-side-combined agg to S rows, then a broadcast of the single "
+    "totals row — no second pass over the corpus.",
+)
+def pipeline_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(_words())).cast("bigint").alias("n_tokens"),
+    )
+    tot = s.agg(
+        F.sum("n_tokens").cast("bigint").alias("total"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    return s.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.col("total").cast("double") / (F.col("n_sources") * F.col("n_tokens")), 6
+        ).alias("mix_weight"),
+    )
+
+
+NGRAM_TOP_K = 20
+
+
+@spec(
+    f"""
+    WITH w AS (SELECT string_split(text, ' ') AS toks FROM documents),
+    bi AS (
+      SELECT toks[CAST(i.range + 1 AS INT)] || ' ' || toks[CAST(i.range + 2 AS INT)]
+               AS bigram
+      FROM w, range(0, 128) i WHERE i.range + 2 <= len(toks)
+    ),
+    c AS (SELECT bigram, COUNT(*) AS n FROM bi GROUP BY bigram)
+    SELECT bigram, n FROM c ORDER BY n DESC, bigram LIMIT {NGRAM_TOP_K}
+    """,
+    doc=f"Corpus BIGRAM top-{NGRAM_TOP_K}: per-row shingle explode (no "
+    "shuffle), one map-side-combined count agg on the bigram key, and a "
+    "TakeOrdered top-k (orderBy+limit — per-partition heaps, never a "
+    "single-partition global sort) with a deterministic (count, bigram) "
+    "tie-break.  The n-gram frequency table that drives vocab/tokenizer "
+    "construction and repetition diagnostics at corpus scale.",
+)
+def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    bi = parallelize_small_scan(d, "doc_id").select(
+        F.explode(_word_shingles(_words(), 2)).alias("bigram")
+    )
+    counts = bi.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+    return counts.orderBy(F.desc("n"), F.asc("bigram")).limit(NGRAM_TOP_K)
+
+
+LENGTH_BUCKET_W = 50
+
+
+@spec(
+    f"""
+    SELECT (len(string_split(text, ' ')) // {LENGTH_BUCKET_W}) * {LENGTH_BUCKET_W}
+             AS bucket_lo,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY 1
+    """,
+    doc=f"Token-length HISTOGRAM ({LENGTH_BUCKET_W}-token buckets): doc "
+    "counts and token mass per length band — the length-distribution "
+    "diagnostic behind truncation/packing decisions.  Integer bucket "
+    "arithmetic (no float binning drift between engines); single "
+    "map-side-combined agg.",
+)
+def pipeline_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    n = F.size(_words()).cast("bigint")
+    bucket = (F.floor(n / LENGTH_BUCKET_W) * LENGTH_BUCKET_W).cast("bigint")
+    return d.groupBy(bucket.alias("bucket_lo")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n).cast("bigint").alias("n_tokens"),
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "pipeline_decontaminate": pipeline_decontaminate,
+    "pipeline_domain_mix": pipeline_domain_mix,
+    "text_ngram_topk": text_ngram_topk,
+    "pipeline_length_buckets": pipeline_length_buckets,
     "text_repetition_filter": text_repetition_filter,
     "pipeline_chunk_documents": pipeline_chunk_documents,
     "sample_stratified": sample_stratified,
