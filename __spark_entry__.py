@@ -45,6 +45,7 @@ _PRIORITY = [
     "text_ngram_topk",  # new: corpus bigram top-k
     "pipeline_length_buckets",  # new: token-length histogram
     "embedding_quantize_int8",  # new: symmetric int8 quantization
+    "stream_watermark_late_drop",  # upgraded to an exact watermark-schedule oracle
     # --- rows-only whose builders changed this round ------------------------
     "dedup_minhash_lsh",  # r=2 banding rewrite
     "ann_ivf_train_kmeans",  # map-side assignment kernel
@@ -127,7 +128,6 @@ _PRIORITY = [
     "stream_static_join",
     "stream_stream_join",
     "stream_deadletter_split",
-    "stream_watermark_late_drop",  # rows-only; driver entry earned r03
     # r02/r03 greens not listed trail in module order (rfc_parse_valid,
     # the TPC-H suite, mm codecs, pipelines, ...)
 ]

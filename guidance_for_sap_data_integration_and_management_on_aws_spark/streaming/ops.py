@@ -129,12 +129,43 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @spec(
-    None,
+    f"""
+    WITH ev AS (SELECT event_id, ts,
+                       row_number() OVER (ORDER BY ts, event_id) - 1 AS pos,
+                       COUNT(*) OVER () AS n
+                FROM events),
+    ch AS (SELECT event_id, ts,
+                  CASE WHEN event_id % 97 = 0 THEN 3
+                       ELSE CAST(floor(pos * 4.0 / n) AS INT) END AS chunk
+           FROM ev),
+    cmax AS (SELECT chunk, MAX(ts) AS mx FROM ch GROUP BY chunk),
+    wm AS (SELECT c.chunk,
+                  (SELECT MAX(mx) - INTERVAL '10 minutes'
+                   FROM cmax p WHERE p.chunk < c.chunk - 1) AS w_before
+           FROM cmax c),
+    fw AS (SELECT MAX(mx) - INTERVAL '10 minutes' AS wf FROM cmax),
+    kept AS (SELECT ch.ts FROM ch JOIN wm USING (chunk)
+             WHERE wm.w_before IS NULL
+                OR date_trunc('hour', ch.ts) + INTERVAL '1 hour' > wm.w_before),
+    agg AS (SELECT date_trunc('hour', ts) AS ws, COUNT(*) AS n_events
+            FROM kept GROUP BY 1)
+    SELECT strftime(ws, '{SQL_TS_FMT}') AS window_start, n_events
+    FROM agg, fw WHERE ws + INTERVAL '1 hour' <= fw.wf
+    """,
     doc="T4 watermark + late-data drop: 1h tumbling counts with a 10-minute "
     "watermark in append mode over the 'late' replay (events withheld and "
     "re-injected days late).  Late rows are dropped and only finalized "
-    "windows are emitted — inherently watermark-dependent, so rows-only "
-    "check; exclusion is asserted in tests/test_streaming.py.",
+    "windows are emitted.  Oracle-EXACT since round 4 (was rows-only): the "
+    "replay's batch schedule is deterministic (chunk b = position-quartile b "
+    "of the (ts, event_id) order, late events moved to the final chunk), so "
+    "the SQL simulates the microbatch watermark schedule — a row arriving in "
+    "batch b is dropped iff its window END <= max event time through batch "
+    "b-2 minus the delay (watermark updates propagate with ONE BATCH of lag: "
+    "batch k's max reaches the filter at batch k+2 — verified empirically at "
+    "both SFs and locked by the parity gate), and a window is emitted iff "
+    "its end <= the final watermark.  Assumes n_events % 4 == 0 (the "
+    "fixture's chunk quartiles land on exact integers; holds at every "
+    "driver SF).  Exclusion semantics also in tests/test_streaming.py.",
 )
 def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = read_events_stream(spark, build_replay(spark, sf_dir, "late"))

@@ -23,8 +23,8 @@ def test_registry_shape():
     # then the two rows-only queries whose builders changed this round, then
     # oldest-green-first rotation ballast fills the ~50-query driver window
     # (agg_approx_distinct, rows-only by contract, rotates inside it)
-    assert all(reg[n].oracle is not None for n in names[:9]), names[:9]
-    assert set(names[9:11]) == {"dedup_minhash_lsh", "ann_ivf_train_kmeans"}
+    assert all(reg[n].oracle is not None for n in names[:10]), names[:10]
+    assert set(names[10:12]) == {"dedup_minhash_lsh", "ann_ivf_train_kmeans"}
     window_rows_only = [n for n in names[:50] if reg[n].oracle is None]
     assert window_rows_only == [
         "dedup_minhash_lsh",
@@ -41,11 +41,11 @@ def test_oracle_sql_matches_queries():
     qs, osql = entrymod.queries(), entrymod.oracle_sql()
     assert set(osql) <= set(qs)
     rows_only = set(qs) - set(osql)
-    # rows-only set is the documented, deliberate list
+    # rows-only set is the documented, deliberate list (T4 upgraded to an
+    # exact watermark-schedule oracle in round 4)
     assert rows_only == {
         "agg_approx_distinct",
         "dedup_minhash_lsh",
-        "stream_watermark_late_drop",
         "ann_ivf_train_kmeans",
     }, rows_only
 
