@@ -322,7 +322,7 @@ def centroid_assigner(cents):
 
 def train_kmeans(
     v: DataFrame, n_iters: int = KMEANS_ITERS
-) -> tuple[DataFrame, list[float], list]:
+) -> tuple[DataFrame, list[float], list, list[tuple[int, int]]]:
     """Deterministic Lloyd iterations over (vec_id, e) rows.
 
     The production IVF-training dataflow: centroids are SMALL (k x dim) and
@@ -332,8 +332,12 @@ def train_kmeans(
     (centroid_assigner — ties to the lowest centroid id, ZERO shuffles),
     update = explode to (cluster, dim, value) and mean-aggregate — the small
     stats agg is the only exchange per iteration.  Returns the final
-    (vec_id, e, bucket) assignment and the per-iteration inertia trace
-    (monotonically non-increasing; asserted in tests/test_llm_ops.py).
+    (vec_id, e, bucket) assignment (lazy — consuming it re-runs one
+    assignment pass), the per-iteration inertia trace (monotonically
+    non-increasing; asserted in tests/test_llm_ops.py), the centroid set the
+    final assignment is argmin against, and the final (bucket, n) cluster
+    sizes — already known from the last stats collect, so callers that only
+    need sizes never trigger a fourth assignment pass.
     """
     # each Lloyd iteration collects cluster stats: cache the (small relative
     # to executors' memory) vector frame so the scan+conversion runs once,
@@ -348,6 +352,7 @@ def train_kmeans(
     inertia_trace: list[float] = []
     assigned = None
     used_cents = cents
+    sizes: list[tuple[int, int]] = []
     for _ in range(n_iters):
         used_cents = cents
         assign = centroid_assigner(cents)
@@ -369,6 +374,9 @@ def train_kmeans(
         inertia_trace.append(
             sum(r["d_sum"] for r in rows if r["dim"] == 0)
         )
+        sizes = sorted(
+            (r["bucket"], r["n"]) for r in rows if r["dim"] == 0
+        )
         by_cid: dict[int, list] = {}
         for r in sorted(rows, key=lambda r: (r["bucket"], r["dim"])):
             by_cid.setdefault(r["bucket"], []).append(float(r["mean"]))
@@ -377,7 +385,7 @@ def train_kmeans(
     # consumed (correct, and no cache outlives this call)
     v.unpersist(blocking=False)
     # used_cents = the centroid set the returned assignment is argmin against
-    return assigned.drop("__d"), inertia_trace, used_cents
+    return assigned.drop("__d"), inertia_trace, used_cents, sizes
 
 
 @spec(
@@ -394,12 +402,10 @@ def ann_ivf_train_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = parallelize_small_scan(load(spark, sf_dir, "embeddings"), "vec_id").select(
         "vec_id", as_double("embedding").alias("e")
     )
-    assigned, _, _ = train_kmeans(v)
-    return (
-        assigned.groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("n_vecs"))
-        .orderBy("bucket")
-    )
+    _, _, _, sizes = train_kmeans(v)
+    # cluster sizes are k rows of metadata the final stats collect already
+    # produced — surfacing them directly avoids a fourth assignment pass
+    return spark.createDataFrame(sizes, "bucket BIGINT, n_vecs BIGINT").orderBy("bucket")
 
 
 @spec(

@@ -96,9 +96,15 @@ def test_kmeans_inertia_monotone_and_argmin_assignment(spark, sf_dir):
     v = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", as_double("embedding").alias("e")
     )
-    assigned, trace, used_cents = train_kmeans(v)
+    assigned, trace, used_cents, sizes = train_kmeans(v)
     assert len(trace) == 3
     assert all(b <= a * (1 + 1e-9) for a, b in zip(trace, trace[1:])), trace
+    # reported sizes must equal the materialized final assignment's
+    got_sizes = sorted(
+        (r["bucket"], r["n"])
+        for r in assigned.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    assert got_sizes == sizes
 
     # brute-force argmin against the centroids the final pass actually used
     by_cid = {r["cid"]: list(r["ce"]) for r in used_cents}
