@@ -259,3 +259,60 @@ def test_avi_codec_roundtrips_real_bytes():
     stride = w * 3 + ((-w * 3) % 4)
     with pytest.raises(ValueError, match="frame count mismatch"):
         parse_avi(good[: -(8 + stride * h)])
+
+
+def test_domain_mix_weights_equalize_token_mass(spark, sf_dir):
+    """Each source's weight x token-count must equal the fair share
+    total/S (to rounding): sampling at these weights equalizes the token
+    contribution of every source."""
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.operators.text import (
+        pipeline_domain_mix,
+    )
+
+    rows = pipeline_domain_mix.builder(spark, sf_dir).collect()
+    total = sum(r["n_tokens"] for r in rows)
+    fair = total / len(rows)
+    for r in rows:
+        assert abs(r["mix_weight"] * r["n_tokens"] - fair) / fair < 1e-4, r
+
+
+def test_quantize_int8_bounds_and_roundtrip(spark, sf_dir):
+    """Quantized components stay in int8 range, the max-|x| component hits
+    +/-127 exactly, and dequantization reconstructs every component within
+    half a quantization step."""
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.operators.similarity import (
+        embedding_quantize_int8,
+    )
+
+    rows = embedding_quantize_int8.builder(spark, sf_dir).collect()
+    v = {
+        r["vec_id"]: list(r["embedding"])
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+    assert len(rows) == len(v)
+    for r in rows[:200]:
+        q, scale, e = r["q"], r["scale"], v[r["vec_id"]]
+        assert all(-127 <= x <= 127 for x in q), r["vec_id"]
+        assert max(abs(x) for x in q) == 127, r["vec_id"]
+        step = 1.0 / scale
+        for qi, xi in zip(q, e):
+            assert abs(qi * step - xi) <= step / 2 + 1e-9, (r["vec_id"], qi, xi)
+
+
+def test_ngram_topk_counts_against_python(spark, sf_dir):
+    """The bigram top-k must equal a straight Python count over the corpus
+    (deterministic count-then-lexicographic tie-break)."""
+    from collections import Counter
+
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.operators.text import (
+        NGRAM_TOP_K,
+        text_ngram_topk,
+    )
+
+    got = [(r["bigram"], r["n"]) for r in text_ngram_topk.builder(spark, sf_dir).collect()]
+    c = Counter()
+    for row in spark.read.parquet(f"{sf_dir}/documents.parquet").select("text").collect():
+        w = row["text"].split(" ")
+        c.update(f"{a} {b}" for a, b in zip(w, w[1:]))
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:NGRAM_TOP_K]
+    assert got == want
