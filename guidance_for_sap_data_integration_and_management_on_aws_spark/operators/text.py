@@ -535,27 +535,28 @@ def pipeline_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the per-source sampling weight that equalizes the token contribution of "
     "every source (weight = total/(S * tokens_s); sources below fair share "
     "upsample > 1, oversized sources downsample < 1) — the knob a "
-    "pretraining data pipeline tunes before packing.  Scale shape: one "
-    "map-side-combined agg to S rows, then a broadcast of the single "
-    "totals row — no second pass over the corpus.",
+    "pretraining data pipeline tunes before packing.  Scale shape: ONE "
+    "corpus scan into a map-side-combined agg to S rows; the totals come "
+    "from an unpartitioned window over those S rows (source-count-sized, "
+    "never the corpus — a totals branch via a second agg would rescan the "
+    "corpus, plan-locked in tests/test_plans.py).",
 )
 def pipeline_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     d = load(spark, sf_dir, "documents")
     s = d.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(_words())).cast("bigint").alias("n_tokens"),
     )
-    tot = s.agg(
-        F.sum("n_tokens").cast("bigint").alias("total"),
-        F.count(F.lit(1)).alias("n_sources"),
-    )
-    return s.crossJoin(F.broadcast(tot)).select(
+    w = Window.partitionBy()  # S rows total — safe single-task window
+    total = F.sum("n_tokens").over(w).cast("double")
+    n_sources = F.count(F.lit(1)).over(w)
+    return s.select(
         "source",
         "n_docs",
         "n_tokens",
-        F.round(
-            F.col("total").cast("double") / (F.col("n_sources") * F.col("n_tokens")), 6
-        ).alias("mix_weight"),
+        F.round(total / (n_sources * F.col("n_tokens")), 6).alias("mix_weight"),
     )
 
 

@@ -267,3 +267,35 @@ def test_salted_join_widens_key_with_salt(spark, sf_dir):
     across reducers before the shuffle."""
     plan = _plan(spark, sf_dir, "join_salted_skew")
     assert "__salt" in plan, plan
+
+
+def test_domain_mix_single_corpus_scan(spark, sf_dir):
+    """The totals must come from a window over the S-row per-source agg —
+    a totals branch built as a second aggregation rescans the whole corpus
+    (2 scans observed before the round-4 restructure)."""
+    plan = _plan(spark, sf_dir, "pipeline_domain_mix")
+    assert len(file_scans(plan)) == 1
+
+
+def test_ngram_topk_uses_takeordered(spark, sf_dir):
+    """Global top-k must be TakeOrdered (per-partition heaps + driver merge),
+    never a single-partition global sort."""
+    plan = _plan(spark, sf_dir, "text_ngram_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_quantize_is_map_only(spark, sf_dir):
+    """Symmetric int8 quantization is a pure projection: zero exchanges,
+    no Python in the row path."""
+    plan = _plan(spark, sf_dir, "embedding_quantize_int8")
+    assert n_exchanges(plan) == 0
+    assert "Python" not in plan  # BatchEvalPython / ArrowEvalPython
+
+
+def test_kmeans_assign_no_join_no_window(spark, sf_dir):
+    """The assignment kernel must stay map-side: no centroid join, no
+    per-vector window — only the parallelize repartition exchange."""
+    plan = _plan(spark, sf_dir, "ann_kmeans_assign")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert n_exchanges(plan) <= 1
