@@ -46,6 +46,7 @@ _PRIORITY = [
     "pipeline_length_buckets",  # new: token-length histogram
     "embedding_quantize_int8",  # new: symmetric int8 quantization
     "stream_watermark_late_drop",  # upgraded to an exact watermark-schedule oracle
+    "ingest_scd2_history",  # new: SCD2 validity intervals from a change stream
     # --- rows-only whose builders changed this round ------------------------
     "dedup_minhash_lsh",  # r=2 banding rewrite
     "ann_ivf_train_kmeans",  # map-side assignment kernel

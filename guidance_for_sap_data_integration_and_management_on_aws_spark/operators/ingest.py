@@ -504,8 +504,63 @@ def ingest_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_upsert(o, restated.unionByName(inserted), ["o_orderkey"])
 
 
+SCD2_OPEN_END = "9999-12-31 00:00:00"
+
+
+@spec(
+    f"""
+    WITH c AS (
+      SELECT user_id, event_id, ts, value,
+             lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pv
+      FROM events
+    ),
+    ch AS (
+      SELECT user_id, event_id, ts, value FROM c
+      WHERE pv IS NULL OR value <> pv
+    ),
+    v AS (
+      SELECT user_id, value, ts,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ts_to
+      FROM ch
+    )
+    SELECT user_id, value,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           COALESCE(strftime(ts_to, '%Y-%m-%d %H:%M:%S'), '{SCD2_OPEN_END}')
+             AS valid_to,
+           ts_to IS NULL AS is_current
+    FROM v
+    """,
+    doc="SCD TYPE-2 HISTORY BUILD from a change stream — the delta-load "
+    "pattern the reference's lake serves (each RFC delta restates entity "
+    "attributes; consumers want validity intervals, not snapshots): collapse "
+    "consecutive equal values per key (lag change-detection), then derive "
+    "[valid_from, valid_to) from the next change's timestamp (lead), with "
+    "an open-ended current row per key.  Scale shape: ONE exchange on the "
+    "entity key; both windows share the same (key, ts, id) sort so Catalyst "
+    "plans a single sort — no joins, no second pass.",
+)
+def ingest_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ch = ev.withColumn("pv", F.lag("value").over(w)).filter(
+        F.col("pv").isNull() | (F.col("value") != F.col("pv"))
+    )
+    v = ch.withColumn("ts_to", F.lead("ts").over(w))
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return v.select(
+        "user_id",
+        "value",
+        F.date_format("ts", fmt).alias("valid_from"),
+        F.coalesce(F.date_format("ts_to", fmt), F.lit(SCD2_OPEN_END)).alias("valid_to"),
+        F.col("ts_to").isNull().alias("is_current"),
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "ingest_merge_upsert": ingest_merge_upsert,
+    "ingest_scd2_history": ingest_scd2_history,
     "rfc_parse_valid": rfc_parse_valid,
     "rfc_parse_errors": rfc_parse_errors,
     "rfc_ingest_invariant": rfc_ingest_invariant,

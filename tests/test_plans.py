@@ -299,3 +299,12 @@ def test_kmeans_assign_no_join_no_window(spark, sf_dir):
     assert "Join" not in plan
     assert "Window" not in plan
     assert n_exchanges(plan) <= 1
+
+
+def test_scd2_single_exchange_shared_sort(spark, sf_dir):
+    """Both SCD2 windows (lag change-detect, lead interval-close) use the
+    same (key, ts, id) order, so the plan must carry exactly one exchange
+    and one sort — a second sort means the windows stopped sharing."""
+    plan = _plan(spark, sf_dir, "ingest_scd2_history")
+    assert n_exchanges(plan) == 1
+    assert plan.count("Sort ") == 1
