@@ -47,6 +47,7 @@ _PRIORITY = [
     "embedding_quantize_int8",  # new: symmetric int8 quantization
     "stream_watermark_late_drop",  # upgraded to an exact watermark-schedule oracle
     "ingest_scd2_history",  # new: SCD2 validity intervals from a change stream
+    "stream_windowed_topk",  # new: stream agg -> serving-layer rank
     # --- rows-only whose builders changed this round ------------------------
     "dedup_minhash_lsh",  # r=2 banding rewrite
     "ann_ivf_train_kmeans",  # map-side assignment kernel

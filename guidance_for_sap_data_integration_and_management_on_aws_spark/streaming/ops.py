@@ -66,6 +66,53 @@ def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @spec(
     f"""
+    WITH agg AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, user_id,
+             COUNT(*) AS n_events,
+             {sql_sum_money('CAST(value AS DECIMAL(12,2))', 'total_value')}
+      FROM events GROUP BY 1, 2
+    )
+    SELECT strftime(ws, '{SQL_TS_FMT}') AS window_start, user_id,
+           n_events, total_value
+    FROM agg
+    QUALIFY row_number() OVER (PARTITION BY ws
+                               ORDER BY total_value DESC, user_id) <= 3
+    """,
+    doc="T-family extension: streaming windowed TOP-K — per-hour top-3 users "
+    "by summed value.  Rank is not expressible inside a streaming agg, so "
+    "this is the production shape: the stream maintains the (window, user) "
+    "aggregate, the serving layer ranks the drained sink (a per-window "
+    "window function over aggregate rows — window-count-sized, never the "
+    "event stream).  Decimal-exact sums surface as deterministic doubles; "
+    "ties break on user_id.",
+)
+def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    s = read_events_stream(spark, build_replay(spark, sf_dir, "ordered"), files_per_trigger=None)
+    agg = s.groupBy(F.window("ts", "1 hour"), "user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        sum_money(dec_money("value"), "total_value"),
+    )
+    sink = run_to_table(
+        agg.select(
+            _fmt("window.start").alias("window_start"), "user_id", "n_events", "total_value"
+        ),
+        "mem_stream_windowed_topk",
+        "complete",
+    )
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("total_value"), F.asc("user_id")
+    )
+    return (
+        sink.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 3)
+        .drop("__rn")
+    )
+
+
+@spec(
+    f"""
     WITH slid AS (
       SELECT time_bucket(INTERVAL '1 hour', ts) - h.off AS ws, event_type
       FROM events e,
@@ -491,6 +538,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, QuerySpec] = {
     "stream_incremental_upsert": stream_incremental_upsert,
     "stream_tumbling_agg": stream_tumbling_agg,
+    "stream_windowed_topk": stream_windowed_topk,
     "stream_stream_join": stream_stream_join,
     "stream_sliding_window": stream_sliding_window,
     "stream_session_window": stream_session_window,
