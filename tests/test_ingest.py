@@ -195,3 +195,84 @@ def test_merge_upsert_into_fallback_resolves_versions(spark):
         assert not used_merge_into
     rows = {r["k"]: (r["s"], r["v"]) for r in merged.drop("ver").collect()}
     assert rows == {1: ("a", 10.0), 2: ("b2", 22.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+
+
+def test_merge_upsert_into_delta_route_contract(spark, monkeypatch):
+    """The MERGE INTO route (unreachable in this container — delta-spark is
+    absent) exercised against a faked delta.tables: the guard must pick the
+    Delta path when importable, collapse the delta to ONE source row per key
+    BEFORE merging (Delta errors on multiple matches), build the
+    null-safe-equality condition, chain matched-update/unmatched-insert, and
+    return a fresh read of the mutated table."""
+    import sys
+    import types
+
+    calls = {}
+
+    class FakeMergeBuilder:
+        def __init__(self, sess, table, src, cond):
+            self.sess, self.table, self.src = sess, table, src
+            calls["cond"] = cond
+
+        def whenMatchedUpdateAll(self):
+            calls["matched_update"] = True
+            return self
+
+        def whenNotMatchedInsertAll(self):
+            calls["unmatched_insert"] = True
+            return self
+
+        def execute(self):
+            # Delta's MERGE contract: a second source match per key ERRORS
+            assert self.src.groupBy("k").count().filter("count > 1").count() == 0
+            base = self.sess.read.table(self.table)
+            merged = self.src.unionByName(base.join(self.src, ["k"], "left_anti"))
+            rows = merged.collect()
+            self.sess.createDataFrame(rows, merged.schema).createOrReplaceTempView(
+                self.table
+            )
+            calls["executed"] = True
+
+    class FakeDeltaTable:
+        def __init__(self, sess, name):
+            self.sess, self.name = sess, name
+
+        @classmethod
+        def forName(cls, sess, name):
+            return cls(sess, name)
+
+        def alias(self, a):
+            return self
+
+        def merge(self, src, cond):
+            return FakeMergeBuilder(self.sess, self.name, src, cond)
+
+    tables_mod = types.ModuleType("delta.tables")
+    tables_mod.DeltaTable = FakeDeltaTable
+    delta_mod = types.ModuleType("delta")
+    delta_mod.tables = tables_mod
+    monkeypatch.setitem(sys.modules, "delta", delta_mod)
+    monkeypatch.setitem(sys.modules, "delta.tables", tables_mod)
+
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.operators.ingest import (
+        merge_upsert_into,
+    )
+
+    spark.createDataFrame(
+        [(1, "a", 0), (2, "b", 0)], "k INT, s STRING, ver INT"
+    ).createOrReplaceTempView("muit_delta")
+    updates = spark.createDataFrame(
+        [(2, "b1", 1), (2, "b2", 2), (3, "c", 1)], "k INT, s STRING, ver INT"
+    )
+    merged, used_merge_into = merge_upsert_into(
+        spark, "muit_delta", updates, ["k"], version_cols=["ver"]
+    )
+    assert used_merge_into
+    assert calls == {
+        "cond": "t.k <=> u.k",
+        "matched_update": True,
+        "unmatched_insert": True,
+        "executed": True,
+    }
+    rows = {r["k"]: (r["s"], r["ver"]) for r in merged.collect()}
+    assert rows == {1: ("a", 0), 2: ("b2", 2), 3: ("c", 1)}
