@@ -48,6 +48,8 @@ _PRIORITY = [
     "stream_watermark_late_drop",  # upgraded to an exact watermark-schedule oracle
     "ingest_scd2_history",  # new: SCD2 validity intervals from a change stream
     "stream_windowed_topk",  # new: stream agg -> serving-layer rank
+    "text_entropy",  # new: token-distribution entropy quality signal
+    "agg_approx_distinct_error",  # new: HLL tolerance anchor for A5
     # --- rows-only whose builders changed this round ------------------------
     "dedup_minhash_lsh",  # r=2 banding rewrite
     "ann_ivf_train_kmeans",  # map-side assignment kernel

@@ -11,7 +11,7 @@ shuffle is keyed by the grouping/sort columns.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
@@ -353,6 +353,45 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load(spark, sf_dir, "lineitem").agg(
         F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
         F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+    )
+
+
+APPROX_ND_TOL = 0.05  # HLL++ rsd=0.02 -> 5% is a ~2.5-sigma bound
+
+
+@spec(
+    f"""
+    SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS orders_within_tol,
+           TRUE AS parts_within_tol
+    FROM lineitem
+    """,
+    doc="A5 tolerance anchor (the last unanchored rows-only entry): exact "
+    "distinct counts plus booleans asserting the HLL++ estimates land within "
+    f"{APPROX_ND_TOL:.0%} of them.  The sketch itself has no SQL twin, but "
+    "its accuracy CONTRACT does — the oracle expects TRUE, so an HLL "
+    "estimate drifting out of tolerance turns the driver row red.  "
+    "Complements agg_approx_distinct (rows-only) and the rsd-tolerance "
+    "test in tests/test_approx_tolerance.py.",
+)
+def agg_approx_distinct_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    agg = li.agg(
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("__ao"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("__ap"),
+    )
+    def within(approx: str, exact: str) -> Column:
+        err = F.abs(F.col(approx) - F.col(exact)) / F.col(exact)
+        return err <= APPROX_ND_TOL
+
+    return agg.select(
+        "exact_orders",
+        "exact_parts",
+        within("__ao", "exact_orders").alias("orders_within_tol"),
+        within("__ap", "exact_parts").alias("parts_within_tol"),
     )
 
 
@@ -834,6 +873,7 @@ QUERIES: dict[str, QuerySpec] = {
     "agg_stats": agg_stats,
     "agg_count_distinct": agg_count_distinct,
     "agg_approx_distinct": agg_approx_distinct,
+    "agg_approx_distinct_error": agg_approx_distinct_error,
     "agg_rollup": agg_rollup,
     "agg_cube": agg_cube,
     "agg_grouping_sets": agg_grouping_sets,

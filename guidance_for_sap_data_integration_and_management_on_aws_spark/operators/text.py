@@ -590,6 +590,36 @@ def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.orderBy(F.desc("n"), F.asc("bigram")).limit(NGRAM_TOP_K)
 
 
+@spec(
+    """
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    tf AS (SELECT doc_id, w, CAST(COUNT(*) AS DOUBLE) AS c
+           FROM tok GROUP BY doc_id, w)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           round((ln(SUM(c)) - SUM(c * ln(c)) / SUM(c)) / ln(2), 6)
+             AS token_entropy_bits
+    FROM tf GROUP BY doc_id
+    """,
+    doc="L4 token-distribution ENTROPY per document (bits): the quality "
+    "signal that catches keyword-stuffed / template / boilerplate text that "
+    "length and uniqueness gates miss.  Uses the single-aggregation closed "
+    "form H = ln n - (SUM c ln c)/n over term frequencies — no per-term "
+    "probability join, two map-side-combined aggs total; round(6) absorbs "
+    "cross-engine summation-order ulps.",
+)
+def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_words()).alias("w"))
+    tf = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    n = F.sum("c")
+    ent = (F.log(n) - F.sum(F.col("c") * F.log("c")) / n) / F.log(F.lit(2.0))
+    return tf.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.round(ent, 6).alias("token_entropy_bits"),
+    )
+
+
 LENGTH_BUCKET_W = 50
 
 
@@ -621,6 +651,7 @@ QUERIES: dict[str, QuerySpec] = {
     "pipeline_decontaminate": pipeline_decontaminate,
     "pipeline_domain_mix": pipeline_domain_mix,
     "text_ngram_topk": text_ngram_topk,
+    "text_entropy": text_entropy,
     "pipeline_length_buckets": pipeline_length_buckets,
     "text_repetition_filter": text_repetition_filter,
     "pipeline_chunk_documents": pipeline_chunk_documents,
