@@ -507,6 +507,33 @@ def ingest_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 SCD2_OPEN_END = "9999-12-31 00:00:00"
 
 
+def scd2_history(
+    df: DataFrame, key: str, ts_col: str, tiebreak: str, value_col: str
+) -> DataFrame:
+    """SCD2 core: (key, value, valid_from ts, valid_to ts|null, is_current)
+    from a change stream — lag change-detection collapses consecutive equal
+    values, lead closes each version's interval.  Both windows share one
+    (key, ts, tiebreak) sort; invariants (interval partition of the
+    timeline, one current row per key, no consecutive equal values)
+    property-tested in tests/test_ingest.py."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(ts_col, tiebreak)
+    ch = df.withColumn("__pv", F.lag(value_col).over(w)).filter(
+        F.col("__pv").isNull() | (F.col(value_col) != F.col("__pv"))
+    )
+    return (
+        ch.withColumn("__ts_to", F.lead(ts_col).over(w))
+        .select(
+            key,
+            value_col,
+            F.col(ts_col).alias("valid_from_ts"),
+            F.col("__ts_to").alias("valid_to_ts"),
+            F.col("__ts_to").isNull().alias("is_current"),
+        )
+    )
+
+
 @spec(
     f"""
     WITH c AS (
@@ -540,21 +567,17 @@ SCD2_OPEN_END = "9999-12-31 00:00:00"
     "plans a single sort — no joins, no second pass.",
 )
 def ingest_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     ev = load(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ch = ev.withColumn("pv", F.lag("value").over(w)).filter(
-        F.col("pv").isNull() | (F.col("value") != F.col("pv"))
-    )
-    v = ch.withColumn("ts_to", F.lead("ts").over(w))
+    hist = scd2_history(ev, "user_id", "ts", "event_id", "value")
     fmt = "yyyy-MM-dd HH:mm:ss"
-    return v.select(
+    return hist.select(
         "user_id",
         "value",
-        F.date_format("ts", fmt).alias("valid_from"),
-        F.coalesce(F.date_format("ts_to", fmt), F.lit(SCD2_OPEN_END)).alias("valid_to"),
-        F.col("ts_to").isNull().alias("is_current"),
+        F.date_format("valid_from_ts", fmt).alias("valid_from"),
+        F.coalesce(F.date_format("valid_to_ts", fmt), F.lit(SCD2_OPEN_END)).alias(
+            "valid_to"
+        ),
+        "is_current",
     )
 
 

@@ -276,3 +276,41 @@ def test_merge_upsert_into_delta_route_contract(spark, monkeypatch):
     }
     rows = {r["k"]: (r["s"], r["ver"]) for r in merged.collect()}
     assert rows == {1: ("a", 0), 2: ("b2", 2), 3: ("c", 1)}
+
+
+def test_scd2_history_invariants_random_streams(spark):
+    """Property test over random change streams: per key, the emitted
+    versions partition the observed timeline (valid_to[i] == valid_from[i+1],
+    no overlaps), exactly one open-ended current row exists, the first
+    version starts at the key's first event, and no two consecutive versions
+    carry equal values."""
+    import random
+
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.operators.ingest import (
+        scd2_history,
+    )
+
+    for seed in (7, 99):
+        rng = random.Random(seed)
+        rows = []
+        for eid in range(400):
+            rows.append(
+                (rng.randrange(12), eid, 1_700_000_000 + eid, float(rng.randrange(4)))
+            )
+        df = spark.createDataFrame(rows, "k BIGINT, eid BIGINT, ts BIGINT, v DOUBLE")
+        out = scd2_history(df, "k", "ts", "eid", "v").collect()
+        by_key: dict[int, list] = {}
+        for r in out:
+            by_key.setdefault(r["k"], []).append(r)
+        first_event = {}
+        for k, eid, ts, v in rows:
+            if k not in first_event or ts < first_event[k]:
+                first_event[k] = ts
+        for k, vs in by_key.items():
+            vs.sort(key=lambda r: r["valid_from_ts"])
+            assert vs[0]["valid_from_ts"] == first_event[k]
+            assert [r["is_current"] for r in vs].count(True) == 1
+            assert vs[-1]["is_current"] and vs[-1]["valid_to_ts"] is None
+            for a, b in zip(vs, vs[1:]):
+                assert a["valid_to_ts"] == b["valid_from_ts"], (k, a, b)
+                assert a["v"] != b["v"], (k, a, b)
