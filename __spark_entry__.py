@@ -50,6 +50,7 @@ _PRIORITY = [
     "stream_windowed_topk",  # new: stream agg -> serving-layer rank
     "text_entropy",  # new: token-distribution entropy quality signal
     "agg_approx_distinct_error",  # new: HLL tolerance anchor for A5
+    "window_distribution",  # new: percent_rank/cume_dist/ntile(7)
     # --- rows-only whose builders changed this round ------------------------
     "dedup_minhash_lsh",  # r=2 banding rewrite
     "ann_ivf_train_kmeans",  # map-side assignment kernel

@@ -142,8 +142,34 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec(
+    """
+    SELECT c_custkey, c_nationkey,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist()    OVER w, 6) AS cume,
+           ntile(7)             OVER w AS septile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+    """,
+    doc="W1 distribution functions: percent_rank / cume_dist / ntile(7) per "
+    "nation (deterministic tie-break; round(6) absorbs the one double "
+    "division).  Completes the ranking-family surface beyond "
+    "window_rank's row_number/rank/dense_rank/ntile(4).",
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(7).over(w).alias("septile"),
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "window_rank": window_rank,
+    "window_distribution": window_distribution,
     "window_lag_lead": window_lag_lead,
     "window_running": window_running,
     "window_range_frame": window_range_frame,

@@ -23,8 +23,8 @@ def test_registry_shape():
     # then the two rows-only queries whose builders changed this round, then
     # oldest-green-first rotation ballast fills the ~50-query driver window
     # (agg_approx_distinct, rows-only by contract, rotates inside it)
-    assert all(reg[n].oracle is not None for n in names[:14]), names[:14]
-    assert set(names[14:16]) == {"dedup_minhash_lsh", "ann_ivf_train_kmeans"}
+    assert all(reg[n].oracle is not None for n in names[:15]), names[:15]
+    assert set(names[15:17]) == {"dedup_minhash_lsh", "ann_ivf_train_kmeans"}
     window_rows_only = [n for n in names[:50] if reg[n].oracle is None]
     assert window_rows_only == [
         "dedup_minhash_lsh",
