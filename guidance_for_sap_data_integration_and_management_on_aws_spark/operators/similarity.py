@@ -453,7 +453,9 @@ def ann_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
                  list_max(list_transform(e, x -> abs(x))) AS mx FROM v)
     SELECT vec_id,
            round(127.0 / mx, 6) AS scale,
-           list_transform(e, x -> CAST(round(x * (127.0 / mx)) AS INTEGER)) AS q
+           array_to_string(
+               list_transform(e, x -> CAST(round(x * (127.0 / mx)) AS INTEGER)),
+               ',') AS q
     FROM m
     """,
     doc="Embedding INT8 QUANTIZATION (symmetric max-abs, the standard "
@@ -461,7 +463,10 @@ def ann_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     "round to int8 range — 4x smaller vectors for the ANN bucket joins.  "
     "Map-only (no shuffle, no Python); both engines compute the identical "
     "double multiply + half-away-from-zero integer round, so the oracle is "
-    "exact including the quantized arrays.",
+    "exact including the quantized components.  The vector is surfaced as a "
+    "','-joined string (the fn_array pattern) because the driver's hash "
+    "canonicalizer cannot sort raw list cells; unit tests cover the typed "
+    "array form.",
 )
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = load(spark, sf_dir, "embeddings").select(
@@ -469,10 +474,11 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mx = F.array_max(F.transform("e", F.abs))
     scaled = v.select("vec_id", "e", (F.lit(127.0) / mx).alias("__s"))
+    q = F.transform("e", lambda x: F.round(x * F.col("__s")).cast("int"))
     return scaled.select(
         "vec_id",
         F.round(F.col("__s"), 6).alias("scale"),
-        F.transform("e", lambda x: F.round(x * F.col("__s")).cast("int")).alias("q"),
+        F.array_join(q.cast("array<string>"), ",").alias("q"),
     )
 
 

@@ -291,7 +291,9 @@ def test_quantize_int8_bounds_and_roundtrip(spark, sf_dir):
     }
     assert len(rows) == len(v)
     for r in rows[:200]:
-        q, scale, e = r["q"], r["scale"], v[r["vec_id"]]
+        # q is surfaced as a ','-joined string so the driver can hash it.
+        q = [int(t) for t in r["q"].split(",")]
+        scale, e = r["scale"], v[r["vec_id"]]
         assert all(-127 <= x <= 127 for x in q), r["vec_id"]
         assert max(abs(x) for x in q) == 127, r["vec_id"]
         step = 1.0 / scale
