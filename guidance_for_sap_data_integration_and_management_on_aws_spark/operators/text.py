@@ -569,7 +569,7 @@ NGRAM_TOP_K = 20
     bi AS (
       SELECT toks[CAST(i.range + 1 AS INT)] || ' ' || toks[CAST(i.range + 2 AS INT)]
                AS bigram
-      FROM w, range(0, 128) i WHERE i.range + 2 <= len(toks)
+      FROM w, range(0, 256) i WHERE i.range + 2 <= len(toks)
     ),
     c AS (SELECT bigram, COUNT(*) AS n FROM bi GROUP BY bigram)
     SELECT bigram, n FROM c ORDER BY n DESC, bigram LIMIT {NGRAM_TOP_K}

@@ -65,13 +65,16 @@ def scratch_dir(kind: str) -> str:
 _REPLAY_CACHE: dict[tuple[str, str], str] = {}
 
 
-def _with_global_pos(ev: DataFrame) -> tuple[DataFrame, int]:
+def _with_global_pos(ev: DataFrame) -> tuple[DataFrame, int, DataFrame]:
     """Exact 0-based global position under the (ts, event_id) total order,
     computed distributed: range-repartition so range i's keys all precede
     range i+1's, count each range (the only rows that reach the driver —
     RANK_PARTS integers), prefix-sum the counts into per-range offsets, and
     add a range-local row_number.  One narrow metadata collect; the event
-    rows themselves never leave executors."""
+    rows themselves never leave executors.  Also returns the persisted
+    partitioned frame so the caller can unpersist it once the durable chunk
+    files are written (the cache backs the count pass + N_CHUNKS filtered
+    writes and has no use afterwards)."""
     part = ev.repartitionByRange(RANK_PARTS, "ts", "event_id").withColumn(
         "__pid", F.spark_partition_id()
     )
@@ -91,7 +94,7 @@ def _with_global_pos(ev: DataFrame) -> tuple[DataFrame, int]:
     ranked = part.join(off, "__pid").withColumn(
         "__pos", F.row_number().over(w) - 1 + F.col("__off")
     )
-    return ranked, acc
+    return ranked, acc, part
 
 
 def _write_single_file(df: DataFrame, directory: str, filename: str, mtime: int) -> None:
@@ -132,7 +135,7 @@ def build_replay(spark: SparkSession, sf_dir: str, variant: str = "ordered") -> 
             ),
         )
 
-    ranked, n = _with_global_pos(ev)
+    ranked, n, cached_part = _with_global_pos(ev)
     bounds = [round(i * n / N_CHUNKS) for i in range(N_CHUNKS + 1)]
     chunk = None
     for i in range(N_CHUNKS):
@@ -156,6 +159,7 @@ def build_replay(spark: SparkSession, sf_dir: str, variant: str = "ordered") -> 
             # every 10th event arrives twice within its own chunk
             cdf = cdf.union(cdf.filter(F.col("event_id") % 10 == 0))
         _write_single_file(cdf, out, f"chunk_{i:03d}.parquet", base_mtime + i)
+    cached_part.unpersist()  # chunk files are the durable artifact
     _REPLAY_CACHE[(sf_dir, variant)] = out
     return out
 

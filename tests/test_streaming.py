@@ -64,6 +64,78 @@ def test_replay_is_deterministic(spark, sf_dir):
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
 
 
+def test_watermark_schedule_one_batch_lag(spark, sf_dir):
+    """Pin the Spark-version-specific microbatch detail the late-drop oracle
+    assumes: the watermark in effect while batch b runs equals max event time
+    through batch b-2, minus the 10-minute delay (one batch of propagation
+    lag).  If a Spark upgrade changes watermark propagation — or the replay
+    stops being one-file-per-trigger — this fails with the actual schedule,
+    instead of the oracle gate failing with a bare hash mismatch."""
+    from pyspark.sql import functions as F
+
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.streaming.replay import (
+        build_replay,
+        read_events_stream,
+        scratch_dir,
+        stream_shuffle,
+    )
+
+    s = read_events_stream(spark, build_replay(spark, sf_dir, "late"))
+    agg = (
+        s.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    with stream_shuffle(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("mem_wm_schedule_pin")
+            .outputMode("append")
+            .option("checkpointLocation", scratch_dir("ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    progresses = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(progresses) == N_CHUNKS, [p["batchId"] for p in q.recentProgress]
+
+    # per-batch arrival max event time, reconstructed from the replay spec
+    pdf = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .orderBy("ts", "event_id")
+        .toPandas()
+    )
+    n = len(pdf)
+    bounds = [round(i * n / N_CHUNKS) for i in range(N_CHUNKS + 1)]
+    pos = pd.Series(range(n))
+    chunk = pd.cut(pos, bounds, right=False, labels=False)
+    chunk[(pdf["event_id"] % 97 == 0).to_numpy()] = N_CHUNKS - 1
+    batch_max = pdf.groupby(chunk.to_numpy())["ts"].max()
+
+    # progress[b] reports the watermark advanced from batches 0..b-1; the
+    # input filter for batch b applies the watermark committed BEFORE batch b
+    # starts — i.e. progress[b-1]'s value, max through b-2 — which is exactly
+    # the one-batch propagation lag the oracle encodes.
+    fmt = "%Y-%m-%dT%H:%M:%S.%fZ"
+    for b, p in enumerate(progresses):
+        got_wm = p["eventTime"].get("watermark")
+        if b == 0:
+            expect = "1970-01-01T00:00:00.000Z"  # nothing has propagated yet
+            ok = got_wm in (None, expect)
+        else:
+            expect = (
+                batch_max.loc[: b - 1].max() - pd.Timedelta(minutes=10)
+            ).strftime(fmt)[:-4] + "Z"
+            ok = got_wm == expect
+        assert ok, (
+            f"batch {b}: watermark schedule changed — got {got_wm!r}, "
+            f"expected {expect!r} (max event time through batch {b - 1} "
+            "minus 10 min; stream_watermark_late_drop's oracle assumes the "
+            "batch-b input filter applies progress[b-1]'s watermark, i.e. "
+            "max through batch b-2)"
+        )
+
+
 def test_transform_with_state_v2(spark, sf_dir):
     """Modern-API twin of T6 (transformWithStateInPandas): same final
     per-user totals as the batch GROUP BY.  Requires protobuf, which this
