@@ -21,86 +21,36 @@ from guidance_for_sap_data_integration_and_management_on_aws_spark.registry impo
 # Driver-budget-aware ordering.  The driver verifies roughly the FIRST 50
 # registry entries per round, so this list is re-sorted every round:
 #
-#   1. queries with NO green CORRECTNESS entry yet (r03: q12's oracle-type
-#      hash fail, now fixed) plus this round's NEW anchored agreement
-#      queries and the queries whose oracle/builder CHANGED this round
-#      (text_simhash's one-digest rewrite and the simhash-bucket oracle
-#      composed from it);
-#   2. the rows-only queries whose builders changed this round (weaker
-#      check, but the driver row should reflect the new code);
+#   1. queries that were RED last round and are fixed this round
+#      (embedding_quantize_int8's output-shape fix), plus queries whose
+#      oracle or builder CHANGED this round, plus NEW queries;
+#   2. rows-only queries whose builders changed this round (weaker check,
+#      but the driver row should reflect the new code);
 #   3. ROTATION BALLAST: previously-green queries re-enter the checked
-#      window oldest-verification-first — the 28 r01-only greens that
-#      rounds 2-3 never re-checked lead (VERDICT r03 item 7), then the
-#      oldest r02 greens fill the rest of the ~50 window; r02/r03 greens
-#      trail, so every green entry is periodically re-earned rather than
-#      trusted forever.
+#      window oldest-verification-first — the 43 queries whose latest green
+#      is still r02 lead (VERDICT r04 item 4), then the r03-only greens
+#      (TPC-H suite, physical-join variants, codecs, pipelines) queue
+#      behind them for the r6 window — so every green entry is periodically
+#      re-earned rather than trusted forever.
 _PRIORITY = [
-    # --- never green / changed this round ----------------------------------
-    "q12_late_shipments",  # r03 red: oracle HUGEINT->float; CAST AS BIGINT fix
-    "ann_kmeans_assign",  # new: anchored k-means assignment step
-    "dedup_minhash_recall",  # new: anchored LSH recall agreement
-    "text_simhash",  # oracle rewritten (one-digest) this round
-    "dedup_simhash_buckets",  # oracle composes the new simhash SQL
-    "pipeline_domain_mix",  # new: per-source mixing weights
-    "text_ngram_topk",  # new: corpus bigram top-k
-    "pipeline_length_buckets",  # new: token-length histogram
-    "embedding_quantize_int8",  # new: symmetric int8 quantization
-    "stream_watermark_late_drop",  # upgraded to an exact watermark-schedule oracle
-    "ingest_scd2_history",  # new: SCD2 validity intervals from a change stream
-    "stream_windowed_topk",  # new: stream agg -> serving-layer rank
-    "text_entropy",  # new: token-distribution entropy quality signal
-    "agg_approx_distinct_error",  # new: HLL tolerance anchor for A5
-    "window_distribution",  # new: percent_rank/cume_dist/ntile(7)
-    # --- rows-only whose builders changed this round ------------------------
-    "dedup_minhash_lsh",  # r=2 banding rewrite
-    "ann_ivf_train_kmeans",  # map-side assignment kernel
-    # --- rotation ballast: r01-only greens never re-checked since ----------
-    "join_cross_theta",
-    "agg_count",
-    "agg_rollup",
-    "agg_cube",
-    "agg_statistical",
-    "fn_string",
-    "fn_datetime",
-    "fn_array",
-    "fn_map",
-    "fn_json",
-    "fn_conditional",
-    "agg_collect",
-    "agg_count_distinct",
-    "agg_filtered",
-    "agg_stats",
-    "agg_approx_distinct",  # rows-only by documented contract (tolerance-tested)
-    "distinct_flags",
-    "except_custkeys",
-    "intersect_custkeys",
-    "filter_where",
-    "limit_offset",
-    "sort_global",
-    "topk_orders",
-    "union_all",
-    "pivot_linestatus",
-    "unpivot_measures",
-    "subquery_exists",
-    "subquery_scalar",
-    # --- oldest r02 greens fill the window to ~50 ---------------------------
-    "fn_math",
-    "join_range_bands",
-    "join_asof",
-    "window_rank",
-    "window_lag_lead",
+    # --- red last round, fixed this round -----------------------------------
+    "embedding_quantize_int8",  # r4 err: list cells unhashable; q now a string
+    # --- oracle/builder changed this round ----------------------------------
+    "text_ngram_topk",  # oracle shingle bound 128 -> 256 (ADVICE parity)
+    "dedup_minhash_lsh",  # tokenize-once cache (rows-only; recall anchor below)
+    "dedup_minhash_recall",  # value-level anchor over the changed LSH builder
+    "saprfc_scan_typed",  # Arrow-batched DSv2 reader
+    "saprfc_pushdown",  # Arrow-batched DSv2 reader (pushdown re-verified)
+    "saprfc_projection",  # Arrow-batched DSv2 reader (r4 2.1x regression)
+    "rfc_parse_errors",  # shares the saprfc mock-transport surface
+    "rfc_ingest_invariant",  # shares the saprfc mock-transport surface
+    "sink_roundtrip",  # r02 green + sits on the DSv2 scan path
+    # --- rotation ballast: greens last checked in r02, oldest-first ---------
     "window_running",
     "window_range_frame",
     "window_topk_per_group",
-    "rfc_parse_errors",
-    "rfc_ingest_invariant",
     "try_cast_best_effort",
-    "saprfc_scan_typed",
     "csv_scan_roundtrip",
-    "saprfc_pushdown",
-    # --- ~50-entry line; remaining r02 greens continue oldest-first --------
-    "saprfc_projection",
-    "sink_roundtrip",
     "text_token_count",
     "text_quality",
     "text_lang_id",
@@ -133,8 +83,54 @@ _PRIORITY = [
     "stream_static_join",
     "stream_stream_join",
     "stream_deadletter_split",
-    # r02/r03 greens not listed trail in module order (rfc_parse_valid,
-    # the TPC-H suite, mm codecs, pipelines, ...)
+    # --- ~50-entry line; r03-only greens queue oldest-first for r6 ----------
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_priority_check",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q13_order_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_counts",
+    "q17_small_quantity",
+    "q18_large_orders",
+    "q19_disjunctive_bands",
+    "q20_promotion_suppliers",
+    "q21_waiting_suppliers",
+    "q22_idle_customers",
+    "agg_grouping_sets",
+    "join_inner",
+    "join_broadcast",
+    "join_shuffle_hash",
+    "join_left_outer",
+    "join_full_outer",
+    "join_semi",
+    "join_anti",
+    "join_salted_skew",
+    "ingest_merge_upsert",
+    "rfc_parse_valid",
+    "orc_scan_roundtrip",
+    "pipeline_decontaminate",
+    "text_repetition_filter",
+    "pipeline_chunk_documents",
+    "sample_stratified",
+    "pipeline_pack_sequences",
+    "mm_video_frames",
+    "mm_wav_features",
+    "mm_bmp_ahash",
+    "mm_bmp_decode",
+    "mm_bmp_resize",
+    "mm_wav_decode",
+    "stream_incremental_upsert",
+    # r04 greens not listed trail in module order (they were all re-earned
+    # last round and are the freshest)
 ]
 
 

@@ -19,18 +19,15 @@ def test_registry_shape():
     assert len(names) == len(set(names))
     # priority names lead, in order
     assert names[: len(entrymod._PRIORITY)] == entrymod._PRIORITY
-    # round-4 window layout: never-green/changed oracle-backed queries lead,
-    # then the two rows-only queries whose builders changed this round, then
-    # oldest-green-first rotation ballast fills the ~50-query driver window
-    # (agg_approx_distinct, rows-only by contract, rotates inside it)
-    assert all(reg[n].oracle is not None for n in names[:15]), names[:15]
-    assert set(names[15:17]) == {"dedup_minhash_lsh", "ann_ivf_train_kmeans"}
+    # round-5 window layout: the fixed r4 red leads, then queries whose
+    # oracle/builder changed this round (the LSH rows-only entry rides with
+    # its value-level recall anchor), then oldest-green-first rotation
+    # ballast (the r02-only greens) fills the ~50-query driver window; the
+    # r03-only greens queue just past it for round 6.
+    assert names[0] == "embedding_quantize_int8"
     window_rows_only = [n for n in names[:50] if reg[n].oracle is None]
-    assert window_rows_only == [
-        "dedup_minhash_lsh",
-        "ann_ivf_train_kmeans",
-        "agg_approx_distinct",
-    ], window_rows_only
+    assert window_rows_only == ["dedup_minhash_lsh"], window_rows_only
+    assert names.index("dedup_minhash_recall") < 10  # anchor rides with LSH
     # every builder is callable and every oracle is non-empty SQL text
     for n, q in reg.items():
         assert callable(q.builder), n
