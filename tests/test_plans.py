@@ -166,6 +166,28 @@ def test_minhash_banded_shuffle_carries_no_arrays(spark, sf_dir):
         )
 
 
+def test_minhash_tokenizes_corpus_once(spark, sf_dir):
+    """The tokenize+hash pass feeds the LSH signature build AND both sides of
+    the candidate verify: it must come from ONE persisted materialization
+    (InMemoryTableScan), so the documents parquet is scanned at most once in
+    the LSH plan — at 100 TB the difference is two full corpus re-reads."""
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.operators.dedup import (
+        _TOKEN_CACHE,
+        _hashed_token_sets,
+    )
+
+    df = REG["dedup_minhash_lsh"].builder(spark, sf_dir)
+    cached = _TOKEN_CACHE[(spark.sparkContext.applicationId, sf_dir)]
+    assert cached.is_cached
+    plan = executed_plan(df)
+    # all three consumers (signature build, verify side a, verify side b)
+    # read the one cached tokenization; the parquet FileScans visible in the
+    # plan string are the InMemoryRelation's child being echoed per scan site
+    assert plan.count("InMemoryTableScan") >= 3, plan
+    # and the cache is a real hit: a second call returns the same frame
+    assert _hashed_token_sets(spark, sf_dir) is _hashed_token_sets(spark, sf_dir)
+
+
 def test_jaccard_prefix_exchanges_stay_narrow(spark, sf_dir):
     """The prefix-filter candidate join shuffles on the blocking token: that
     exchange must carry only (doc_id, w)-narrow rows, never token arrays."""
