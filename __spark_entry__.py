@@ -35,6 +35,8 @@ from guidance_for_sap_data_integration_and_management_on_aws_spark.registry impo
 _PRIORITY = [
     # --- red last round, fixed this round -----------------------------------
     "embedding_quantize_int8",  # r4 err: list cells unhashable; q now a string
+    # --- new this round -----------------------------------------------------
+    "ingest_merge_into_route",  # MERGE INTO route via its fallback leg (r4 item 6)
     # --- oracle/builder changed this round ----------------------------------
     "text_ngram_topk",  # oracle shingle bound 128 -> 256 (ADVICE parity)
     "dedup_minhash_lsh",  # tokenize-once cache (rows-only; recall anchor below)

@@ -504,6 +504,75 @@ def ingest_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_upsert(o, restated.unionByName(inserted), ["o_orderkey"])
 
 
+@spec(
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice, 0 AS v FROM orders
+    ),
+    upd AS (
+      SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice * 2 AS o_totalprice, 1 AS v
+      FROM orders WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_orderkey, 'V', o_totalprice * 3, 2
+      FROM orders WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_orderkey + (SELECT MAX(o_orderkey) FROM orders), 'N', o_totalprice, 1
+      FROM orders WHERE o_orderkey % 97 = 0
+    ),
+    top AS (
+      SELECT * FROM upd
+      QUALIFY row_number() OVER (PARTITION BY o_orderkey ORDER BY v DESC) = 1
+    )
+    SELECT * FROM top
+    UNION ALL
+    SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+    """,
+    doc="MERGE INTO route, driver-checked end-to-end (r4 verdict item 6): "
+    "the base is WRITTEN as a catalog table (saveAsTable), the change set "
+    "restates every 10th key TWICE (versions 1 and 2 — exercising the "
+    "version_cols collapse Delta's MERGE requires, since it errors on "
+    "multiple source matches), and merge_upsert_into runs the same contract "
+    "the DeltaTable.merge path uses.  In this container delta-spark is not "
+    "installed, so the guarded route's FALLBACK leg (read.table + DataFrame "
+    "merge) is what earns the green — the DeltaTable leg is covered by the "
+    "faked-module unit tests; results are identical by contract on both "
+    "legs.  Oracle: QUALIFY top-version + anti-join union.",
+)
+def ingest_merge_into_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re as _re
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", F.lit(0).alias("v")
+    )
+    tbl = "merge_route_target_" + _re.sub(r"\W", "_", sf_dir.strip("/"))
+    o.write.mode("overwrite").saveAsTable(tbl)
+
+    mx = o.agg(F.max("o_orderkey").alias("__max_key"))
+    restated_v1 = (
+        o.filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_orderstatus", F.lit("U"))
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .withColumn("v", F.lit(1))
+    )
+    restated_v2 = (
+        o.filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_orderstatus", F.lit("V"))
+        .withColumn("o_totalprice", F.col("o_totalprice") * 3)
+        .withColumn("v", F.lit(2))
+    )
+    inserted = (
+        o.filter(F.col("o_orderkey") % 97 == 0)
+        .crossJoin(F.broadcast(mx))
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.col("__max_key"))
+        .drop("__max_key")
+        .withColumn("o_orderstatus", F.lit("N"))
+        .withColumn("v", F.lit(1))
+    )
+    updates = restated_v1.unionByName(restated_v2).unionByName(inserted)
+    merged, _used = merge_upsert_into(spark, tbl, updates, ["o_orderkey"], ["v"])
+    return merged
+
+
 SCD2_OPEN_END = "9999-12-31 00:00:00"
 
 
@@ -583,6 +652,7 @@ def ingest_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES: dict[str, QuerySpec] = {
     "ingest_merge_upsert": ingest_merge_upsert,
+    "ingest_merge_into_route": ingest_merge_into_route,
     "ingest_scd2_history": ingest_scd2_history,
     "rfc_parse_valid": rfc_parse_valid,
     "rfc_parse_errors": rfc_parse_errors,
