@@ -37,6 +37,7 @@ _PRIORITY = [
     "embedding_quantize_int8",  # r4 err: list cells unhashable; q now a string
     # --- new this round -----------------------------------------------------
     "ingest_merge_into_route",  # MERGE INTO route via its fallback leg (r4 item 6)
+    "dedup_exact_bucketed",  # zero-shuffle dedup over bucketed storage (r4 item 7)
     # --- oracle/builder changed this round ----------------------------------
     "text_ngram_topk",  # oracle shingle bound 128 -> 256 (ADVICE parity)
     "dedup_minhash_lsh",  # tokenize-once cache (rows-only; recall anchor below)

@@ -55,6 +55,41 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @spec(
     f"""
+    SELECT md5({SQL_NORM}) AS norm_key,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5({SQL_NORM})
+    """,
+    doc="L1 exact dedup over BUCKETED STORAGE (the 100 TB form): the corpus "
+    "is written once bucketed-by-norm-key (bucketBy(8, norm_key) — at scale, "
+    "thousands of buckets), and every subsequent dedup pass aggregates "
+    "with ZERO exchanges — the bucket layout IS the hash distribution the "
+    "groupBy needs, so re-running dedup after each ingest batch never "
+    "re-shuffles the corpus.  Identical output to dedup_exact (same oracle); "
+    "the no-Exchange plan is locked in tests/test_plans.py.",
+)
+def dedup_exact_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re as _re
+
+    d = load(spark, sf_dir, "documents")
+    tbl = "documents_by_norm_" + _re.sub(r"\W", "_", sf_dir.strip("/"))
+    (
+        d.select("doc_id", F.md5(_norm()).alias("norm_key"))
+        .write.bucketBy(8, "norm_key")
+        .sortBy("norm_key")
+        .mode("overwrite")
+        .saveAsTable(tbl)
+    )
+    return (
+        spark.table(tbl)
+        .groupBy("norm_key")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@spec(
+    f"""
     WITH keep AS (
       SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5({SQL_NORM})
     )
@@ -424,6 +459,7 @@ def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES: dict[str, QuerySpec] = {
     "dedup_exact": dedup_exact,
+    "dedup_exact_bucketed": dedup_exact_bucketed,
     "pipeline_curation": pipeline_curation,
     "dedup_exact_survivors": dedup_exact_survivors,
     "dedup_jaccard_pairs": dedup_jaccard_pairs,

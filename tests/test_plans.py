@@ -166,6 +166,17 @@ def test_minhash_banded_shuffle_carries_no_arrays(spark, sf_dir):
         )
 
 
+def test_bucketed_dedup_has_zero_exchanges(spark, sf_dir):
+    """dedup_exact_bucketed aggregates over storage bucketed on the dedup
+    key: the plan must contain NO Exchange at all — the bucket layout
+    already satisfies the groupBy's required distribution.  (The unbucketed
+    dedup_exact shuffles once; at 100 TB the bucketed form amortizes that
+    shuffle into the initial write.)"""
+    plan = _plan(spark, sf_dir, "dedup_exact_bucketed")
+    assert n_exchanges(plan) == 0, plan
+    assert "Exchange hashpartitioning(norm_key" not in plan
+
+
 def test_minhash_tokenizes_corpus_once(spark, sf_dir):
     """The tokenize+hash pass feeds the LSH signature build AND both sides of
     the candidate verify: it must come from ONE persisted materialization
