@@ -83,3 +83,27 @@ def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view for ``spark.sql`` use."""
     for name in TABLES:
         load(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def scratch_table(spark: SparkSession, base_name: str, sf_dir: str) -> str:
+    """A managed-table name derived from ``sf_dir``, guaranteed writable.
+
+    Demo builders that materialize catalog tables (bucketed dedup, the MERGE
+    INTO route) re-run across sessions, but the warehouse DIRECTORY outlives
+    the per-session in-memory metastore — a fresh session's ``saveAsTable``
+    then dies with LOCATION_ALREADY_EXISTS on the stale location.  Drop the
+    metastore entry if present AND clear the orphaned location; production
+    code with a durable metastore needs only ``mode("overwrite")``.
+    """
+    import re
+    import shutil
+
+    tbl = base_name + "_" + re.sub(r"\W", "_", sf_dir.strip("/"))
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    for prefix in ("file://", "file:"):
+        if warehouse.startswith(prefix):
+            warehouse = warehouse[len(prefix):]
+            break
+    shutil.rmtree(f"{warehouse}/{tbl}", ignore_errors=True)
+    return tbl

@@ -70,10 +70,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the no-Exchange plan is locked in tests/test_plans.py.",
 )
 def dedup_exact_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import re as _re
+    from ..catalog import scratch_table
 
     d = load(spark, sf_dir, "documents")
-    tbl = "documents_by_norm_" + _re.sub(r"\W", "_", sf_dir.strip("/"))
+    tbl = scratch_table(spark, "documents_by_norm", sf_dir)
     (
         d.select("doc_id", F.md5(_norm()).alias("norm_key"))
         .write.bucketBy(8, "norm_key")

@@ -539,12 +539,12 @@ def ingest_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     "legs.  Oracle: QUALIFY top-version + anti-join union.",
 )
 def ingest_merge_into_route(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import re as _re
+    from ..catalog import scratch_table
 
     o = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice", F.lit(0).alias("v")
     )
-    tbl = "merge_route_target_" + _re.sub(r"\W", "_", sf_dir.strip("/"))
+    tbl = scratch_table(spark, "merge_route_target", sf_dir)
     o.write.mode("overwrite").saveAsTable(tbl)
 
     mx = o.agg(F.max("o_orderkey").alias("__max_key"))
