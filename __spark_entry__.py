@@ -38,6 +38,12 @@ _PRIORITY = [
     # --- new this round -----------------------------------------------------
     "ingest_merge_into_route",  # MERGE INTO route via its fallback leg (r4 item 6)
     "dedup_exact_bucketed",  # zero-shuffle dedup over bucketed storage (r4 item 7)
+    "dedup_incremental",  # batch-vs-bucketed-corpus anti-join dedup
+    "ann_pq_encode",  # product-quantization encoding (IVF-PQ compression)
+    "agg_percentiles",  # exact percentile_cont family
+    "fn_regex",  # regex function family beyond fn_string
+    "window_gap_fill",  # IGNORE NULLS last-observation-carried-forward
+    "text_pii_redact",  # PII scrub gate (planted email/phone masking)
     # --- oracle/builder changed this round ----------------------------------
     "text_ngram_topk",  # oracle shingle bound 128 -> 256 (ADVICE parity)
     "dedup_minhash_lsh",  # tokenize-once cache (rows-only; recall anchor below)

@@ -90,6 +90,48 @@ def dedup_exact_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @spec(
     f"""
+    WITH keyed AS (SELECT doc_id, md5({SQL_NORM}) AS norm_key FROM documents),
+    corpus AS (SELECT norm_key FROM keyed WHERE doc_id % 5 <> 0),
+    batch AS (SELECT doc_id, norm_key FROM keyed WHERE doc_id % 5 = 0)
+    SELECT norm_key, MIN(doc_id) AS keep_id, COUNT(*) AS n_in_batch
+    FROM batch
+    WHERE norm_key NOT IN (SELECT norm_key FROM corpus)
+    GROUP BY norm_key
+    """,
+    doc="L1 INCREMENTAL dedup (the ingest-time topology: each arriving batch "
+    "dedups against the accumulated corpus, never corpus-vs-corpus): docs "
+    "with doc_id %% 5 == 0 play the new batch, the rest the corpus — the "
+    "batch anti-joins the BUCKETED norm-key table, so the corpus side needs "
+    "ZERO exchange (its bucket layout satisfies the join distribution) and "
+    "only the small batch shuffles + sorts.  At 100 TB this is the "
+    "difference between re-shuffling petabytes per ingest tick and "
+    "shuffling just the tick's arrivals.  Plan-locked: no Exchange on the "
+    "corpus side.",
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import scratch_table
+
+    d = load(spark, sf_dir, "documents")
+    keyed = d.select("doc_id", F.md5(_norm()).alias("norm_key"))
+    tbl = scratch_table(spark, "corpus_by_norm", sf_dir)
+    (
+        keyed.filter(F.col("doc_id") % 5 != 0)
+        .write.bucketBy(8, "norm_key")
+        .sortBy("norm_key")
+        .mode("overwrite")
+        .saveAsTable(tbl)
+    )
+    corpus = spark.table(tbl).select("norm_key")
+    batch = keyed.filter(F.col("doc_id") % 5 == 0)
+    return (
+        batch.join(corpus, "norm_key", "left_anti")
+        .groupBy("norm_key")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_in_batch"))
+    )
+
+
+@spec(
+    f"""
     WITH keep AS (
       SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5({SQL_NORM})
     )
@@ -460,6 +502,7 @@ def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, QuerySpec] = {
     "dedup_exact": dedup_exact,
     "dedup_exact_bucketed": dedup_exact_bucketed,
+    "dedup_incremental": dedup_incremental,
     "pipeline_curation": pipeline_curation,
     "dedup_exact_survivors": dedup_exact_survivors,
     "dedup_jaccard_pairs": dedup_jaccard_pairs,

@@ -857,6 +857,65 @@ def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec(
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.25), 6) AS p25,
+           round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.50), 6) AS p50,
+           round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.75), 6) AS p75,
+           round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.90), 6) AS price_p90
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="A9+ exact percentiles (SQL-standard percentile_cont linear "
+    "interpolation — both engines share it, so the oracle is exact after "
+    "round(6)).  Exact percentiles need the per-group sorted values; at "
+    "100 TB the corpus-wide form switches to approx_percentile (the A5 "
+    "HLL-style tradeoff) — here the per-flag grouping keeps sort widths "
+    "bounded.",
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("double")
+    price = F.col("l_extendedprice").cast("double")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile(qty, F.lit(0.25)), 6).alias("p25"),
+        F.round(F.percentile(qty, F.lit(0.50)), 6).alias("p50"),
+        F.round(F.percentile(qty, F.lit(0.75)), 6).alias("p75"),
+        F.round(F.percentile(price, F.lit(0.90)), 6).alias("price_p90"),
+    )
+
+
+@spec(
+    """
+    SELECT p_partkey,
+           regexp_extract(p_name, '[a-z]+', 0) AS first_word,
+           len(regexp_extract_all(p_name, '[aeiou]')) AS n_vowels,
+           array_to_string(regexp_extract_all(p_name, '[a-z]{4,}'), '|') AS long_words,
+           regexp_replace(p_name, '[aeiou]', '*', 'g') AS devoweled,
+           regexp_matches(p_name, '^[a-z]') AS starts_lower
+    FROM part
+    """,
+    doc="§2.7 regex functions beyond fn_string's extract/replace: full-match "
+    "extraction, match counting, extract-all (surfaced '|'-joined — the "
+    "driver-hashable form), global replace, and boolean match.  All "
+    "JVM-side; both engines use re2-compatible syntax for these patterns.",
+)
+def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", "[a-z]+", 0).alias("first_word"),
+        F.size(F.regexp_extract_all("p_name", F.lit("[aeiou]"), F.lit(0))).alias(
+            "n_vowels"
+        ),
+        F.array_join(
+            F.regexp_extract_all("p_name", F.lit("[a-z]{4,}"), F.lit(0)), "|"
+        ).alias("long_words"),
+        F.regexp_replace("p_name", "[aeiou]", "*").alias("devoweled"),
+        F.col("p_name").rlike("^[a-z]").alias("starts_lower"),
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -880,6 +939,8 @@ QUERIES: dict[str, QuerySpec] = {
     "agg_filtered": agg_filtered,
     "agg_collect": agg_collect,
     "agg_statistical": agg_statistical,
+    "agg_percentiles": agg_percentiles,
+    "fn_regex": fn_regex,
     "fn_string": fn_string,
     "fn_datetime": fn_datetime,
     "fn_math": fn_math,

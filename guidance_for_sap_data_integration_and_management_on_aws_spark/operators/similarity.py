@@ -482,6 +482,79 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PQ_M = 8  # subspaces
+PQ_SUB = 8  # dims per subspace (PQ_M * PQ_SUB = the embedding dim, 64)
+PQ_CB_MOD = 31  # deterministic codebook seed: vec_id % 31 == 1
+PQ_CB_RESIDUE = 1
+
+
+@spec(
+    f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    c AS (SELECT vec_id AS cid, e AS ce FROM v
+          WHERE vec_id % {PQ_CB_MOD} = {PQ_CB_RESIDUE}),
+    sub AS (
+      SELECT v.vec_id, m.range AS m, c.cid,
+             row_number() OVER (
+               PARTITION BY v.vec_id, m.range
+               ORDER BY list_distance(
+                   v.e[CAST(m.range * {PQ_SUB} + 1 AS INT)
+                       : CAST(m.range * {PQ_SUB} + {PQ_SUB} AS INT)],
+                   c.ce[CAST(m.range * {PQ_SUB} + 1 AS INT)
+                        : CAST(m.range * {PQ_SUB} + {PQ_SUB} AS INT)]),
+                   c.cid) AS rn
+      FROM v, range({PQ_M}) m, c
+    )
+    SELECT vec_id, string_agg(cid, ',' ORDER BY m) AS pq_codes
+    FROM sub WHERE rn = 1 GROUP BY vec_id
+    """,
+    doc=f"L3 PRODUCT-QUANTIZATION encoding (the IVF-PQ index compression "
+    f"step, Jegou et al. 2011): the {PQ_M * PQ_SUB}-dim embedding splits "
+    f"into {PQ_M} subspaces of {PQ_SUB} dims; each subspace encodes to the "
+    "id of its nearest codebook centroid (deterministic codebook: the "
+    f"vec_id %% {PQ_CB_MOD} == {PQ_CB_RESIDUE} vectors, sliced per "
+    "subspace; ties to the lowest cid).  Spark side is ONE map-side "
+    "Arrow-batched kernel — all subspace matmul-argmins per batch, zero "
+    "shuffles, the codebook broadcast in the task closure like "
+    "centroid_assigner — so at 100 TB encoding is embarrassingly parallel.  "
+    "Oracle: exhaustive per-subspace argmin (list_distance is monotone in "
+    "the kernel's squared distance; argmin INDEX only, so exact — the "
+    "ann_kmeans_assign argument).  Codes surface as a ','-joined string "
+    "(the driver-hashable form).",
+)
+def ann_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = parallelize_small_scan(load(spark, sf_dir, "embeddings"), "vec_id").select(
+        "vec_id", as_double("embedding").alias("e")
+    )
+    cents = sorted(
+        v.filter(F.col("vec_id") % PQ_CB_MOD == PQ_CB_RESIDUE)
+        .select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"))
+        .collect(),
+        key=lambda r: r["cid"],
+    )
+    C = np.array([list(c["ce"]) for c in cents], dtype=np.float64)
+    cids = np.array([int(c["cid"]) for c in cents], dtype=np.int64)
+
+    @F.pandas_udf("string")
+    def encode(e: pd.Series) -> pd.Series:
+        if len(e) == 0:
+            return pd.Series([], dtype="object")
+        V = np.array(e.tolist(), dtype=np.float64)
+        codes = np.empty((len(V), PQ_M), dtype=np.int64)
+        for m in range(PQ_M):
+            Vm = V[:, m * PQ_SUB : (m + 1) * PQ_SUB]
+            Cm = C[:, m * PQ_SUB : (m + 1) * PQ_SUB]
+            d2 = (
+                (Vm * Vm).sum(axis=1)[:, None]
+                + (Cm * Cm).sum(axis=1)[None, :]
+                - 2.0 * (Vm @ Cm.T)
+            )
+            codes[:, m] = cids[d2.argmin(axis=1)]
+        return pd.Series([",".join(map(str, row)) for row in codes])
+
+    return v.select("vec_id", encode(F.col("e")).alias("pq_codes"))
+
+
 QUERIES: dict[str, QuerySpec] = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_lsh_topk": ann_lsh_topk,
@@ -490,4 +563,5 @@ QUERIES: dict[str, QuerySpec] = {
     "ann_kmeans_assign": ann_kmeans_assign,
     "ann_label_match": ann_label_match,
     "embedding_quantize_int8": embedding_quantize_int8,
+    "ann_pq_encode": ann_pq_encode,
 }

@@ -647,8 +647,66 @@ def pipeline_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+PII_PHONE_RE = "555-[0-9]+"
+
+
+@spec(
+    f"""
+    WITH synth AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 3 <> 0
+                     THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                     ELSE '' END
+             || CASE WHEN doc_id % 4 <> 0
+                     THEN ' call 555-' || CAST(doc_id % 10000 AS VARCHAR)
+                     ELSE '' END AS s
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(s, '{PII_EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(s, '{PII_PHONE_RE}')) AS n_phones,
+           md5(regexp_replace(regexp_replace(s, '{PII_EMAIL_RE}', '[EMAIL]', 'g'),
+                              '{PII_PHONE_RE}', '[PHONE]', 'g')) AS redacted_md5
+    FROM synth
+    """,
+    doc="L4+ PII SCRUB (the redaction gate every training-data pipeline runs "
+    "before text leaves curation): count and mask email/phone patterns per "
+    "document.  PII is planted deterministically (the fixture corpus has "
+    "none) so the counts exercise 0/1-per-doc variation and the redacted "
+    "text differs from the input; output is the md5 of the redacted text — "
+    "value-exact across engines without hashing megabytes of strings "
+    "through the driver.  Stateless scan-side map, no shuffle.",
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    s = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 != 0,
+            F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"),
+                     F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 4 != 0,
+            F.concat(F.lit(" call 555-"), (F.col("doc_id") % 10000).cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(s, PII_EMAIL_RE, "[EMAIL]"), PII_PHONE_RE, "[PHONE]"
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(s, F.lit(PII_EMAIL_RE), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all(s, F.lit(PII_PHONE_RE), F.lit(0))).alias("n_phones"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "pipeline_decontaminate": pipeline_decontaminate,
+    "text_pii_redact": text_pii_redact,
     "pipeline_domain_mix": pipeline_domain_mix,
     "text_ngram_topk": text_ngram_topk,
     "text_entropy": text_entropy,

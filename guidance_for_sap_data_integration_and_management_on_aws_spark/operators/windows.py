@@ -167,6 +167,42 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec(
+    """
+    SELECT o_orderkey, o_custkey,
+           last_value(v IGNORE NULLS) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+           first_value(v IGNORE NULLS) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS first_seen
+    FROM (SELECT *,
+                 CASE WHEN o_orderkey % 3 = 0
+                      THEN CAST(o_totalprice AS DOUBLE) END AS v
+          FROM orders)
+    """,
+    doc="W2+ gap fill (last-observation-carried-forward): a sparse measure "
+    "(planted NULLs on 2/3 of rows) forward-fills per customer from the "
+    "last non-null via IGNORE NULLS frames — the standard sparse-timeseries "
+    "densification (sensor/price feeds).  Same one-shuffle window topology "
+    "as W2; leading rows before the first observation stay NULL on both "
+    "engines.",
+)
+def window_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").withColumn(
+        "v",
+        F.when(F.col("o_orderkey") % 3 == 0, F.col("o_totalprice").cast("double")),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.last("v", ignorenulls=True)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("filled"),
+        F.first("v", ignorenulls=True).over(w).alias("first_seen"),
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "window_rank": window_rank,
     "window_distribution": window_distribution,
@@ -174,4 +210,5 @@ QUERIES: dict[str, QuerySpec] = {
     "window_running": window_running,
     "window_range_frame": window_range_frame,
     "window_topk_per_group": window_topk_per_group,
+    "window_gap_fill": window_gap_fill,
 }

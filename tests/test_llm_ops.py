@@ -318,3 +318,90 @@ def test_ngram_topk_counts_against_python(spark, sf_dir):
         c.update(f"{a} {b}" for a, b in zip(w, w[1:]))
     want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:NGRAM_TOP_K]
     assert got == want
+
+
+def test_pq_encode_against_numpy(spark, sf_dir):
+    """PQ codes must equal a straight numpy per-subspace argmin over the
+    deterministic codebook (ties to the lowest centroid id)."""
+    import numpy as np
+
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.operators.similarity import (
+        PQ_CB_MOD,
+        PQ_CB_RESIDUE,
+        PQ_M,
+        PQ_SUB,
+        ann_pq_encode,
+    )
+
+    rows = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    V = {r["vec_id"]: np.array(list(r["embedding"]), dtype=np.float64) for r in rows}
+    cids = sorted(i for i in V if i % PQ_CB_MOD == PQ_CB_RESIDUE)
+    C = np.stack([V[i] for i in cids])
+    got = {
+        r["vec_id"]: [int(t) for t in r["pq_codes"].split(",")]
+        for r in ann_pq_encode.builder(spark, sf_dir).collect()
+    }
+    assert set(got) == set(V)
+    for vid in list(V)[:100]:
+        want = []
+        for m in range(PQ_M):
+            sl = slice(m * PQ_SUB, (m + 1) * PQ_SUB)
+            d = ((C[:, sl] - V[vid][sl]) ** 2).sum(axis=1)
+            want.append(cids[int(d.argmin())])  # first-min = lowest cid
+        assert got[vid] == want, vid
+
+
+def test_pii_redact_masks_everything(spark, sf_dir):
+    """After redaction no email/phone pattern may survive, and the planted
+    counts follow the doc_id residues."""
+    import re
+
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.operators.text import (
+        PII_EMAIL_RE,
+        PII_PHONE_RE,
+        text_pii_redact,
+    )
+    from pyspark.sql import functions as F
+
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.catalog import load
+
+    out = text_pii_redact.builder(spark, sf_dir).collect()
+    for r in out:
+        assert r["n_emails"] == (1 if r["doc_id"] % 3 != 0 else 0), r
+        assert r["n_phones"] == (1 if r["doc_id"] % 4 != 0 else 0), r
+    # reconstruct one redacted text driver-side and scan it for leaks
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") == 1).collect()[0]
+    synth = d["text"] + " contact user1@example.com"  # doc 1: email yes, phone no (1%4!=0 -> yes)
+    synth += " call 555-1"
+    red = re.sub(PII_EMAIL_RE, "[EMAIL]", synth)
+    red = re.sub(PII_PHONE_RE, "[PHONE]", red)
+    assert not re.search(PII_EMAIL_RE, red) and not re.search(PII_PHONE_RE, red)
+
+
+def test_incremental_dedup_only_novel_keys(spark, sf_dir):
+    """Every emitted key must be absent from the corpus partition and present
+    in the batch partition."""
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.operators.dedup import (
+        dedup_incremental,
+    )
+    from pyspark.sql import functions as F
+
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.catalog import load
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.operators.dedup import _norm
+
+    keyed = load(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(_norm()).alias("norm_key")
+    )
+    corpus_keys = {
+        r["norm_key"] for r in keyed.filter(F.col("doc_id") % 5 != 0).collect()
+    }
+    batch = {
+        r["norm_key"]: r["doc_id"]
+        for r in keyed.filter(F.col("doc_id") % 5 == 0)
+        .groupBy("norm_key")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .collect()
+    }
+    got = {r["norm_key"]: r["keep_id"] for r in dedup_incremental.builder(spark, sf_dir).collect()}
+    want = {k: v for k, v in batch.items() if k not in corpus_keys}
+    assert got == want

@@ -177,6 +177,20 @@ def test_bucketed_dedup_has_zero_exchanges(spark, sf_dir):
     assert "Exchange hashpartitioning(norm_key" not in plan
 
 
+def test_incremental_dedup_shuffles_only_the_batch(spark, sf_dir):
+    """dedup_incremental anti-joins the new batch against the BUCKETED corpus
+    norm-key table: the corpus side must need no Exchange (bucket layout
+    satisfies the join distribution), and the post-join aggregation reuses
+    the join's norm_key distribution — so the whole plan carries exactly ONE
+    Exchange, the small batch side.  That asymmetry IS the incremental-ingest
+    scale story.  (Broadcast disabled: at fixture scale Spark would broadcast
+    the corpus, which is exactly what 100 TB forbids.)"""
+    with _no_broadcast(spark):
+        plan = _plan(spark, sf_dir, "dedup_incremental")
+    assert n_exchanges(plan) == 1, plan
+    assert "SortMergeJoin" in plan and "LeftAnti" in plan
+
+
 def test_minhash_tokenizes_corpus_once(spark, sf_dir):
     """The tokenize+hash pass feeds the LSH signature build AND both sides of
     the candidate verify: it must come from ONE persisted materialization

@@ -27,7 +27,8 @@ def test_registry_shape():
     assert names[0] == "embedding_quantize_int8"
     window_rows_only = [n for n in names[:50] if reg[n].oracle is None]
     assert window_rows_only == ["dedup_minhash_lsh"], window_rows_only
-    assert names.index("dedup_minhash_recall") < 10  # anchor rides with LSH
+    # the recall anchor rides in the window with the LSH entry it certifies
+    assert names.index("dedup_minhash_recall") < 20
     # every builder is callable and every oracle is non-empty SQL text
     for n, q in reg.items():
         assert callable(q.builder), n
