@@ -40,10 +40,12 @@ _PRIORITY = [
     "dedup_exact_bucketed",  # zero-shuffle dedup over bucketed storage (r4 item 7)
     "dedup_incremental",  # batch-vs-bucketed-corpus anti-join dedup
     "ann_pq_encode",  # product-quantization encoding (IVF-PQ compression)
+    "ann_pq_adc_topk",  # PQ asymmetric-distance serving top-k
     "agg_percentiles",  # exact percentile_cont family
     "fn_regex",  # regex function family beyond fn_string
     "window_gap_fill",  # IGNORE NULLS last-observation-carried-forward
     "text_pii_redact",  # PII scrub gate (planted email/phone masking)
+    "text_tfidf_topk",  # per-doc TF-IDF keyword extraction
     # --- oracle/builder changed this round ----------------------------------
     "text_ngram_topk",  # oracle shingle bound 128 -> 256 (ADVICE parity)
     "dedup_minhash_lsh",  # tokenize-once cache (rows-only; recall anchor below)

@@ -555,6 +555,106 @@ def ann_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.select("vec_id", encode(F.col("e")).alias("pq_codes"))
 
 
+PQ_ADC_K = 5
+
+
+@spec(
+    f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    c AS (SELECT vec_id AS cid, e AS ce FROM v
+          WHERE vec_id % {PQ_CB_MOD} = {PQ_CB_RESIDUE}),
+    sub AS (
+      SELECT v.vec_id, m.range AS m, c.cid,
+             row_number() OVER (
+               PARTITION BY v.vec_id, m.range
+               ORDER BY list_distance(
+                   v.e[CAST(m.range * {PQ_SUB} + 1 AS INT)
+                       : CAST(m.range * {PQ_SUB} + {PQ_SUB} AS INT)],
+                   c.ce[CAST(m.range * {PQ_SUB} + 1 AS INT)
+                        : CAST(m.range * {PQ_SUB} + {PQ_SUB} AS INT)]),
+                   c.cid) AS rn
+      FROM v, range({PQ_M}) m, c
+    ),
+    recon AS (
+      SELECT s.vec_id,
+             flatten(list(c2.ce[CAST(s.m * {PQ_SUB} + 1 AS INT)
+                                : CAST(s.m * {PQ_SUB} + {PQ_SUB} AS INT)]
+                          ORDER BY s.m)) AS r
+      FROM (SELECT vec_id, m, cid FROM sub WHERE rn = 1) s
+      JOIN c c2 ON s.cid = c2.cid
+      GROUP BY s.vec_id
+    ),
+    q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.qid, r.vec_id AS neighbor_id,
+             round({sql_cosine('q.qe', 'r.r')}, 6) AS cos_sim
+      FROM q JOIN recon r ON q.qid <> r.vec_id
+    )
+    SELECT qid, neighbor_id, cos_sim FROM scored
+    QUALIFY row_number() OVER (PARTITION BY qid
+                               ORDER BY cos_sim DESC, neighbor_id) <= {PQ_ADC_K}
+    """,
+    doc="L3 PQ ASYMMETRIC-DISTANCE top-k (the serving half of the IVF-PQ "
+    "story, completing ann_pq_encode): raw queries score against PQ "
+    "RECONSTRUCTIONS — each database vector is represented only by its "
+    f"{PQ_M} codebook codes, decoded to the concatenation of its subspace "
+    "centroids, which is exactly the vector ADC distances are computed "
+    "against.  At 100 TB the index stores codes (4x-32x smaller than raw "
+    "vectors); decode happens in the same map-side Arrow kernel as encode, "
+    "zero shuffles, and the scoring join/top-k is the brute-force topology "
+    "over the compressed corpus.  Deterministic tie-break (cos_sim DESC, "
+    "neighbor_id) — equal-code vectors tie exactly on both engines.",
+)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = parallelize_small_scan(load(spark, sf_dir, "embeddings"), "vec_id").select(
+        "vec_id", as_double("embedding").alias("e")
+    )
+    cents = sorted(
+        v.filter(F.col("vec_id") % PQ_CB_MOD == PQ_CB_RESIDUE)
+        .select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"))
+        .collect(),
+        key=lambda r: r["cid"],
+    )
+    C = np.array([list(c["ce"]) for c in cents], dtype=np.float64)
+
+    @F.pandas_udf("array<double>")
+    def reconstruct(e: pd.Series) -> pd.Series:
+        if len(e) == 0:
+            return pd.Series([], dtype="object")
+        V = np.array(e.tolist(), dtype=np.float64)
+        R = np.empty_like(V)
+        for m in range(PQ_M):
+            sl = slice(m * PQ_SUB, (m + 1) * PQ_SUB)
+            Vm, Cm = V[:, sl], C[:, sl]
+            d2 = (
+                (Vm * Vm).sum(axis=1)[:, None]
+                + (Cm * Cm).sum(axis=1)[None, :]
+                - 2.0 * (Vm @ Cm.T)
+            )
+            R[:, sl] = Cm[d2.argmin(axis=1)]
+        return pd.Series(list(R))
+
+    neighbors = v.select("vec_id", reconstruct(F.col("e")).alias("r"))
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(neighbors, F.col("qid") != F.col("vec_id"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("qe"), F.col("r")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= PQ_ADC_K)
+        .select("qid", "neighbor_id", "cos_sim")
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_lsh_topk": ann_lsh_topk,
@@ -564,4 +664,5 @@ QUERIES: dict[str, QuerySpec] = {
     "ann_label_match": ann_label_match,
     "embedding_quantize_int8": embedding_quantize_int8,
     "ann_pq_encode": ann_pq_encode,
+    "ann_pq_adc_topk": ann_pq_adc_topk,
 }

@@ -704,9 +704,63 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TFIDF_TOP_K = 3
+
+
+@spec(
+    f"""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    tf AS (SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY doc_id, w),
+    df AS (SELECT w, COUNT(*) AS dfc FROM tf GROUP BY w),
+    n AS (SELECT COUNT(*) AS nd FROM documents),
+    s AS (SELECT tf.doc_id, tf.w,
+                 round(tf.c * ln(CAST(nd AS DOUBLE) / dfc), 6) AS tfidf
+          FROM tf JOIN df USING (w), n)
+    SELECT doc_id, w AS term, tfidf FROM s
+    QUALIFY row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, w) <= {TFIDF_TOP_K}
+    """,
+    doc=f"L4 TF-IDF top-{TFIDF_TOP_K} terms per document — the classic "
+    "keyword/topic signal for corpus exploration and near-dup triage.  Two "
+    "map-side-combined aggs (term frequency, document frequency over the tf "
+    "frame — df needs no second corpus scan), one term-keyed join, one "
+    "per-doc window; the corpus count rides in as a 1-row broadcast, never "
+    "a driver collect.  Both engines compute tf * ln(N/df) from exact "
+    "integers, so round(6) is belt-and-braces.",
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    tok = parallelize_small_scan(d, "doc_id").select(
+        "doc_id", F.explode(_words()).alias("w")
+    )
+    tf = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    df = tf.groupBy("w").agg(F.count(F.lit(1)).alias("dfc"))
+    nd = d.agg(F.count(F.lit(1)).alias("nd"))
+    s = (
+        tf.join(df, "w")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            F.col("w").alias("term"),
+            F.round(
+                F.col("c") * F.log(F.col("nd").cast("double") / F.col("dfc")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        s.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "tfidf")
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "pipeline_decontaminate": pipeline_decontaminate,
     "text_pii_redact": text_pii_redact,
+    "text_tfidf_topk": text_tfidf_topk,
     "pipeline_domain_mix": pipeline_domain_mix,
     "text_ngram_topk": text_ngram_topk,
     "text_entropy": text_entropy,
