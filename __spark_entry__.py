@@ -44,6 +44,8 @@ _PRIORITY = [
     "agg_percentiles",  # exact percentile_cont family
     "fn_regex",  # regex function family beyond fn_string
     "window_gap_fill",  # IGNORE NULLS last-observation-carried-forward
+    "window_sessionize",  # batch gaps-and-islands sessionization (T3's twin)
+    "agg_approx_percentile_error",  # quantile-sketch tolerance anchor
     "text_pii_redact",  # PII scrub gate (planted email/phone masking)
     "text_tfidf_topk",  # per-doc TF-IDF keyword extraction
     # --- oracle/builder changed this round ----------------------------------

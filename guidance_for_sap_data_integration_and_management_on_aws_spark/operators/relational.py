@@ -395,6 +395,36 @@ def agg_approx_distinct_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+APPROX_PCT_TOL = 0.05  # relative tolerance for approx_percentile at accuracy 10k
+
+
+@spec(
+    f"""
+    SELECT l_returnflag,
+           round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5), 6) AS exact_p50,
+           TRUE AS p50_within_tol
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="A5+ approx_percentile tolerance anchor (the agg_approx_distinct_"
+    "error pattern applied to the quantile sketch): exact per-group medians "
+    "plus a boolean asserting Spark's approx_percentile (accuracy 10000) "
+    f"lands within {APPROX_PCT_TOL:.0%} relative.  The KLL-style sketch has "
+    "no SQL twin; its accuracy contract does — oracle expects TRUE, so "
+    "sketch drift turns the driver row red.",
+)
+def agg_approx_percentile_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("double")
+    agg = li.groupBy("l_returnflag").agg(
+        F.round(F.percentile(price, F.lit(0.5)), 6).alias("exact_p50"),
+        F.percentile_approx(price, F.lit(0.5), F.lit(10000)).alias("__approx"),
+    )
+    err = F.abs(F.col("__approx") - F.col("exact_p50")) / F.col("exact_p50")
+    return agg.select(
+        "l_returnflag", "exact_p50", (err <= APPROX_PCT_TOL).alias("p50_within_tol")
+    )
+
+
 @spec(
     """
     SELECT COALESCE(l_returnflag, 'ALL') AS rf,
@@ -940,6 +970,7 @@ QUERIES: dict[str, QuerySpec] = {
     "agg_collect": agg_collect,
     "agg_statistical": agg_statistical,
     "agg_percentiles": agg_percentiles,
+    "agg_approx_percentile_error": agg_approx_percentile_error,
     "fn_regex": fn_regex,
     "fn_string": fn_string,
     "fn_datetime": fn_datetime,

@@ -203,6 +203,63 @@ def window_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SESSION_GAP_MIN = 5
+
+
+@spec(
+    f"""
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL '{SESSION_GAP_MIN} minutes'
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+      FROM g
+    )
+    SELECT user_id, sid,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+    doc=f"W2+ batch SESSIONIZATION (gaps-and-islands, {SESSION_GAP_MIN}-min "
+    "gap): lag flags session starts, a running sum numbers the islands, one "
+    "aggregate closes them — the batch twin of T3's session_window, so the "
+    "two surfaces are mutually checkable.  ONE exchange end-to-end: both "
+    "windows share the user_id partitioning and the final (user_id, sid) "
+    "aggregation is satisfied by it (subset clustering).",
+)
+def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond arithmetic: a cast-to-long would truncate sub-second gaps
+    # and disagree with the oracle's exact INTERVAL comparison.  ts arrives
+    # TIMESTAMP_NTZ; the cast is identity under the UTC session catalog.load
+    # pins, and unix_micros requires the zoned type.
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    g = ev.withColumn(
+        "new_s",
+        F.when(gap.isNull() | (gap > SESSION_GAP_MIN * 60 * 1_000_000), 1).otherwise(0),
+    )
+    s = g.withColumn(
+        "sid",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return s.groupBy("user_id", "sid").agg(
+        F.date_format(F.min("ts"), fmt).alias("session_start"),
+        F.date_format(F.max("ts"), fmt).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "window_rank": window_rank,
     "window_distribution": window_distribution,
@@ -211,4 +268,5 @@ QUERIES: dict[str, QuerySpec] = {
     "window_range_frame": window_range_frame,
     "window_topk_per_group": window_topk_per_group,
     "window_gap_fill": window_gap_fill,
+    "window_sessionize": window_sessionize,
 }
