@@ -920,7 +920,8 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT p_partkey,
            regexp_extract(p_name, '[a-z]+', 0) AS first_word,
            len(regexp_extract_all(p_name, '[aeiou]')) AS n_vowels,
-           array_to_string(regexp_extract_all(p_name, '[a-z]{4,}'), '|') AS long_words,
+           COALESCE(array_to_string(regexp_extract_all(p_name, '[a-z]{4,}'), '|'), '')
+             AS long_words,
            regexp_replace(p_name, '[aeiou]', '*', 'g') AS devoweled,
            regexp_matches(p_name, '^[a-z]') AS starts_lower
     FROM part
