@@ -46,6 +46,8 @@ _PRIORITY = [
     "window_gap_fill",  # IGNORE NULLS last-observation-carried-forward
     "window_sessionize",  # batch gaps-and-islands sessionization (T3's twin)
     "agg_approx_percentile_error",  # quantile-sketch tolerance anchor
+    "events_funnel",  # ordered view->click->purchase funnel
+    "fn_bitwise",  # bitwise and/or/xor/shift/popcount family
     "text_pii_redact",  # PII scrub gate (planted email/phone masking)
     "text_tfidf_topk",  # per-doc TF-IDF keyword extraction
     # --- oracle/builder changed this round ----------------------------------

@@ -427,6 +427,35 @@ def agg_approx_percentile_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @spec(
     """
+    SELECT l_orderkey, l_linenumber,
+           l_orderkey & 255 AS k_and,
+           l_orderkey | 15 AS k_or,
+           xor(l_orderkey, l_partkey) AS k_xor,
+           l_orderkey << 2 AS k_shl,
+           l_orderkey >> 3 AS k_shr,
+           CAST(bit_count(l_orderkey) AS INTEGER) AS k_bits
+    FROM lineitem
+    """,
+    doc="§2.7 bitwise functions (and/or/xor/shifts/popcount) — the integer "
+    "surface bucketing, sharding and bitmap-index expressions rely on.  "
+    "Keys are non-negative so arithmetic vs logical right-shift agree.",
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr("l_orderkey & 255").alias("k_and"),
+        F.expr("l_orderkey | 15").alias("k_or"),
+        F.expr("l_orderkey ^ l_partkey").alias("k_xor"),
+        F.shiftleft(F.col("l_orderkey"), 2).alias("k_shl"),
+        F.shiftright(F.col("l_orderkey"), 3).alias("k_shr"),
+        F.bit_count("l_orderkey").cast("int").alias("k_bits"),
+    )
+
+
+@spec(
+    """
     SELECT COALESCE(l_returnflag, 'ALL') AS rf,
            COALESCE(l_linestatus, 'ALL') AS ls,
            COUNT(*) AS n,
@@ -973,6 +1002,7 @@ QUERIES: dict[str, QuerySpec] = {
     "agg_percentiles": agg_percentiles,
     "agg_approx_percentile_error": agg_approx_percentile_error,
     "fn_regex": fn_regex,
+    "fn_bitwise": fn_bitwise,
     "fn_string": fn_string,
     "fn_datetime": fn_datetime,
     "fn_math": fn_math,

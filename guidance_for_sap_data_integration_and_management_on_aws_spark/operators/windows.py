@@ -260,6 +260,62 @@ def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec(
+    """
+    WITH v1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+    c2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN v1 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts > v1.t1 GROUP BY e.user_id),
+    p3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN c2 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > c2.t2 GROUP BY e.user_id)
+    SELECT v1.user_id,
+           strftime(t1, '%Y-%m-%d %H:%M:%S') AS first_view,
+           strftime(t2, '%Y-%m-%d %H:%M:%S') AS first_click,
+           strftime(t3, '%Y-%m-%d %H:%M:%S') AS first_purchase
+    FROM v1 LEFT JOIN c2 USING (user_id) LEFT JOIN p3 USING (user_id)
+    """,
+    doc="Event FUNNEL analysis (view -> click -> purchase, strictly ordered "
+    "in time): per user, the first view, the first click AFTER that view, "
+    "and the first purchase AFTER that click; users drop out of later "
+    "stages as NULLs.  Three same-key aggregations + joins — every stage "
+    "keys on user_id, so one hash partitioning serves the whole funnel and "
+    "AQE collapses the co-partitioned joins.  The standard product-analytics "
+    "query a lake engine must express without a sessionization service.",
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    v1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v1.join(c2, "user_id", "left")
+        .join(p3, "user_id", "left")
+        .select(
+            "user_id",
+            F.date_format("t1", fmt).alias("first_view"),
+            F.date_format("t2", fmt).alias("first_click"),
+            F.date_format("t3", fmt).alias("first_purchase"),
+        )
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "window_rank": window_rank,
     "window_distribution": window_distribution,
@@ -269,4 +325,5 @@ QUERIES: dict[str, QuerySpec] = {
     "window_topk_per_group": window_topk_per_group,
     "window_gap_fill": window_gap_fill,
     "window_sessionize": window_sessionize,
+    "events_funnel": events_funnel,
 }
