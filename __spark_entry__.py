@@ -50,6 +50,8 @@ _PRIORITY = [
     "fn_bitwise",  # bitwise and/or/xor/shift/popcount family
     "text_pii_redact",  # PII scrub gate (planted email/phone masking)
     "text_tfidf_topk",  # per-doc TF-IDF keyword extraction
+    "text_unigram_logprob",  # unigram-LM perplexity-proxy quality gate
+    "ingest_scd2_snapshot",  # point-in-time view over the SCD2 history
     # --- oracle/builder changed this round ----------------------------------
     "text_ngram_topk",  # oracle shingle bound 128 -> 256 (ADVICE parity)
     "dedup_minhash_lsh",  # tokenize-once cache (rows-only; recall anchor below)

@@ -650,10 +650,42 @@ def ingest_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SCD2_SNAP_TS = "2024-01-08 00:00:00"
+
+
+@spec(
+    f"""
+    SELECT user_id, value AS value_at_snap
+    FROM (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE ts <= TIMESTAMP '{SCD2_SNAP_TS}'
+    ) WHERE rn = 1
+    """,
+    doc=f"POINT-IN-TIME snapshot from the SCD2 history (time travel without "
+    f"a table format): each user's value as of {SCD2_SNAP_TS}, read as the "
+    "history version whose [valid_from, valid_to) interval covers the "
+    "snapshot instant — the query every 'what did the table look like on "
+    "date D' audit asks of a type-2 dimension.  The oracle is deliberately "
+    "an INDEPENDENT formulation (latest change at ts <= D per key), so the "
+    "interval semantics of scd2_history are cross-checked, not restated.",
+)
+def ingest_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    hist = scd2_history(ev, "user_id", "ts", "event_id", "value")
+    snap = F.lit(SCD2_SNAP_TS).cast("timestamp_ntz")
+    return hist.filter(
+        (F.col("valid_from_ts") <= snap)
+        & (F.col("valid_to_ts").isNull() | (F.col("valid_to_ts") > snap))
+    ).select("user_id", F.col("value").alias("value_at_snap"))
+
+
 QUERIES: dict[str, QuerySpec] = {
     "ingest_merge_upsert": ingest_merge_upsert,
     "ingest_merge_into_route": ingest_merge_into_route,
     "ingest_scd2_history": ingest_scd2_history,
+    "ingest_scd2_snapshot": ingest_scd2_snapshot,
     "rfc_parse_valid": rfc_parse_valid,
     "rfc_parse_errors": rfc_parse_errors,
     "rfc_ingest_invariant": rfc_ingest_invariant,

@@ -757,10 +757,48 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec(
+    """
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    cnt AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+    tot AS (SELECT COUNT(*) AS t FROM tok),
+    s AS (SELECT tok.doc_id, ln(CAST(c AS DOUBLE) / t) AS lp
+          FROM tok JOIN cnt USING (w), tot)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           round(AVG(lp), 6) AS avg_logprob
+    FROM s GROUP BY doc_id
+    """,
+    doc="L4 unigram-LM log-probability per document — the PERPLEXITY PROXY "
+    "quality gate (docs whose tokens are improbable under the corpus "
+    "unigram distribution are boilerplate, junk, or off-domain): corpus "
+    "unigram counts, then per-doc mean ln P(w).  Two map-side-combined "
+    "aggs + one term-keyed join; the corpus total rides in as a 1-row "
+    "broadcast.  round(6) absorbs summation-order ulps in the mean.",
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tok = parallelize_small_scan(d, "doc_id").select(
+        "doc_id", F.explode(_words()).alias("w")
+    )
+    cnt = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = tok.agg(F.count(F.lit(1)).alias("t"))
+    s = (
+        tok.join(cnt, "w")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", F.log(F.col("c").cast("double") / F.col("t")).alias("lp"))
+    )
+    return s.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("lp"), 6).alias("avg_logprob"),
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "pipeline_decontaminate": pipeline_decontaminate,
     "text_pii_redact": text_pii_redact,
     "text_tfidf_topk": text_tfidf_topk,
+    "text_unigram_logprob": text_unigram_logprob,
     "pipeline_domain_mix": pipeline_domain_mix,
     "text_ngram_topk": text_ngram_topk,
     "text_entropy": text_entropy,
