@@ -1,14 +1,19 @@
 """Similarity search over embeddings (SURVEY §2.9 L3): brute-force cosine
-top-k as the exactness baseline, and a bucketed (IVF/LSH-style) variant as
-the scale path.
+top-k as the exactness baseline, a bucketed (IVF/LSH-style) variant as the
+scale path, deterministic k-means coarse-quantizer training, and the PQ
+index-compression pair (int8 / product-quantization encode + asymmetric-
+distance serving).
 
 Scale design: brute-force is O(Q x N) — correct but only viable for small Q
 or as a per-bucket kernel.  The bucketed variant assigns every vector to a
 coarse bucket (sign-LSH here; k-means centroids in a production IVF), joins
 query->bucket, and ranks only within the bucket: the join is an equi-join on
 the bucket id, so at 100 TB it shuffles by bucket instead of exploding the
-cross product.  Both paths are pure DataFrame ops (zip_with/aggregate dot
-products, window top-k) — no Python in the row path.
+cross product.  Compression (int8, PQ codes) happens in map-side Arrow
+kernels with the small codebook broadcast in the task closure — zero
+shuffles, the topology of MLlib's KMeans assignment.  Everything else is
+pure DataFrame ops (zip_with/aggregate dot products, window top-k) — no
+Python in the JVM-expressible row paths.
 """
 
 from __future__ import annotations
