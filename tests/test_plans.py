@@ -191,6 +191,25 @@ def test_incremental_dedup_shuffles_only_the_batch(spark, sf_dir):
     assert "SortMergeJoin" in plan and "LeftAnti" in plan
 
 
+def test_pq_encode_is_map_side(spark, sf_dir):
+    """PQ encoding must stay map-side: the only exchange is the
+    parallelize-small-scan repartition; no join, no window — the codebook
+    rides in the task closure."""
+    plan = _plan(spark, sf_dir, "ann_pq_encode")
+    assert n_exchanges(plan) == 1, plan
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_funnel_pushes_stage_filters_to_scans(spark, sf_dir):
+    """Each funnel stage must push its event_type equality into the parquet
+    scan (at 100 TB the difference is reading 1/5th of the events per
+    stage)."""
+    plan = _plan(spark, sf_dir, "events_funnel")
+    pushed = " ".join(s.pushed_filters or "" for s in file_scans(plan))
+    for stage in ("view", "click", "purchase"):
+        assert f"EqualTo(event_type,{stage})" in pushed, pushed
+
+
 def test_minhash_tokenizes_corpus_once(spark, sf_dir):
     """The tokenize+hash pass feeds the LSH signature build AND both sides of
     the candidate verify: it must come from ONE persisted materialization
