@@ -48,6 +48,7 @@ _PRIORITY = [
     "agg_approx_percentile_error",  # quantile-sketch tolerance anchor
     "events_funnel",  # ordered view->click->purchase funnel
     "fn_bitwise",  # bitwise and/or/xor/shift/popcount family
+    "join_interval_overlap",  # banded interval-overlap join (both sides large)
     "text_pii_redact",  # PII scrub gate (planted email/phone masking)
     "text_tfidf_topk",  # per-doc TF-IDF keyword extraction
     "text_unigram_logprob",  # unigram-LM perplexity-proxy quality gate

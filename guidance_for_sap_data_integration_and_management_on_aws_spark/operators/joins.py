@@ -314,6 +314,73 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVAL_DAYS = 30  # interval length AND band width (each interval spans <= 2 bands)
+
+
+@spec(
+    f"""
+    WITH a AS (SELECT o_orderkey AS a_key, CAST(o_orderdate AS DATE) AS s,
+                      CAST(o_orderdate AS DATE) + {IVAL_DAYS} AS e
+               FROM orders WHERE o_orderkey % 50 = 0),
+    b AS (SELECT o_orderkey AS b_key, CAST(o_orderdate AS DATE) AS s,
+                 CAST(o_orderdate AS DATE) + {IVAL_DAYS} AS e
+          FROM orders WHERE o_orderkey % 77 = 0)
+    SELECT a.a_key, b.b_key,
+           CAST(date_diff('day', GREATEST(a.s, b.s), LEAST(a.e, b.e)) AS BIGINT)
+             AS overlap_days
+    FROM a JOIN b ON a.s < b.e AND b.s < a.e
+    """,
+    doc="J8+ INTERVAL-OVERLAP join ([s, e) x [s, e), the shape J8's "
+    "point-in-band broadcast cannot cover when BOTH sides are large): each "
+    f"interval explodes to the {IVAL_DAYS}-day band(s) it touches (<= 2 "
+    "here since interval length == band width), the join is an EQUI-join "
+    "on the band id with the exact overlap predicate as a residual, and "
+    "pairs that meet in two bands dedup once.  At 100 TB both sides "
+    "shuffle by band — never a cross product; band width tunes the "
+    "duplication-vs-selectivity tradeoff exactly like LSH banding.  The "
+    "oracle is the direct nested-loop formulation, so the banded rewrite "
+    "is checked value-for-value against the naive semantics.",
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    od = F.col("o_orderdate").cast("date")
+
+    def side(mod: int, key_alias: str) -> DataFrame:
+        return o.filter(F.col("o_orderkey") % mod == 0).select(
+            F.col("o_orderkey").alias(key_alias),
+            od.alias("s"),
+            F.date_add(od, IVAL_DAYS).alias("e"),
+        )
+
+    def banded(df: DataFrame, prefix: str) -> DataFrame:
+        day = F.datediff(F.col("s"), F.lit("1970-01-01").cast("date"))
+        end_day = F.datediff(F.col("e"), F.lit("1970-01-01").cast("date"))
+        bands = F.sequence(
+            F.floor(day / IVAL_DAYS), F.floor((end_day - 1) / IVAL_DAYS)
+        )
+        return df.select(
+            F.col(f"{prefix}_key"),
+            F.col("s").alias(f"{prefix}_s"),
+            F.col("e").alias(f"{prefix}_e"),
+            F.explode(bands).alias("band"),
+        )
+
+    a = banded(side(50, "a_key"), "a")
+    b = banded(side(77, "b_key"), "b")
+    pairs = (
+        a.join(b, "band")
+        .filter((F.col("a_s") < F.col("b_e")) & (F.col("b_s") < F.col("a_e")))
+        .dropDuplicates(["a_key", "b_key"])
+    )
+    return pairs.select(
+        "a_key",
+        "b_key",
+        F.datediff(
+            F.least("a_e", "b_e"), F.greatest("a_s", "b_s")
+        ).cast("bigint").alias("overlap_days"),
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "join_salted_skew": join_salted_skew,
     "join_inner": join_inner,
@@ -325,6 +392,7 @@ QUERIES: dict[str, QuerySpec] = {
     "join_anti": join_anti,
     "join_cross_theta": join_cross_theta,
     "join_range_bands": join_range_bands,
+    "join_interval_overlap": join_interval_overlap,
     "join_asof": join_asof,
 }
 

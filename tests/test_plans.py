@@ -210,6 +210,16 @@ def test_funnel_pushes_stage_filters_to_scans(spark, sf_dir):
         assert f"EqualTo(event_type,{stage})" in pushed, pushed
 
 
+def test_interval_overlap_joins_on_band_not_nested_loop(spark, sf_dir):
+    """The interval-overlap join must be an equi-join on the band id with the
+    overlap predicate as a residual — never a nested-loop cross product
+    (what a naive a.s < b.e AND b.s < a.e join plans to)."""
+    with _no_broadcast(spark):
+        plan = _plan(spark, sf_dir, "join_interval_overlap")
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "Exchange hashpartitioning(band" in plan, plan
+
+
 def test_minhash_tokenizes_corpus_once(spark, sf_dir):
     """The tokenize+hash pass feeds the LSH signature build AND both sides of
     the candidate verify: it must come from ONE persisted materialization
