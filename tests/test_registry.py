@@ -28,7 +28,8 @@ def test_registry_shape():
     window_rows_only = [n for n in names[:50] if reg[n].oracle is None]
     assert window_rows_only == ["dedup_minhash_lsh"], window_rows_only
     # the recall anchor rides in the window with the LSH entry it certifies
-    assert names.index("dedup_minhash_recall") < 20
+    assert abs(names.index("dedup_minhash_recall") - names.index("dedup_minhash_lsh")) <= 2
+    assert names.index("dedup_minhash_recall") < 50  # inside the driver window
     # every builder is callable and every oracle is non-empty SQL text
     for n, q in reg.items():
         assert callable(q.builder), n
