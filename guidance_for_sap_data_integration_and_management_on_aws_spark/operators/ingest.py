@@ -278,16 +278,33 @@ def sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.lake import read_back, write_dual_sink
     from ..streaming.replay import scratch_dir
 
+    from ..sources.rfc import ParsedRfc
+
     base = scratch_dir(f"sink-{uuid.uuid4().hex[:8]}")
     parsed = parse_rfc_frame(_wa_frame(spark, sf_dir), FIELDS)
-    rows = []
-    for fmt in ("parquet", "json"):
-        report = write_dual_sink(parsed, base, "PARTWA", fmt=fmt, run_ts="2026-01-01-00-00-00")
-        rows.append((fmt, "valid", read_back(spark, report.data_path, fmt).count()))
-        err_n = (
-            read_back(spark, report.error_path, fmt).count() if report.err_count else 0
-        )
-        rows.append((fmt, "error", err_n))
+    # both formats sink the SAME parse: persist the two channels so the
+    # wa-construction + split + cast pipeline runs once, not once per write
+    parsed = ParsedRfc(
+        valid=parsed.valid.persist(),
+        errors=parsed.errors.persist(),
+        fields=parsed.fields,
+    )
+    try:
+        rows = []
+        for fmt in ("parquet", "json"):
+            report = write_dual_sink(
+                parsed, base, "PARTWA", fmt=fmt, run_ts="2026-01-01-00-00-00"
+            )
+            rows.append((fmt, "valid", read_back(spark, report.data_path, fmt).count()))
+            err_n = (
+                read_back(spark, report.error_path, fmt).count()
+                if report.err_count
+                else 0
+            )
+            rows.append((fmt, "error", err_n))
+    finally:
+        parsed.valid.unpersist()
+        parsed.errors.unpersist()
     return spark.createDataFrame(rows, "fmt STRING, channel STRING, n_rows BIGINT")
 
 

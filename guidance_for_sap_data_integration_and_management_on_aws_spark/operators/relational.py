@@ -377,12 +377,17 @@ APPROX_ND_TOL = 0.05  # HLL++ rsd=0.02 -> 5% is a ~2.5-sigma bound
 )
 def agg_approx_distinct_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    agg = li.agg(
-        F.countDistinct("l_orderkey").alias("exact_orders"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
+    # three independent single-pass aggs cross-joined (1-row frames): two
+    # exact DISTINCTs in ONE agg would plan an Expand that triplicates every
+    # input row; split, each is a plain 2-phase distinct over one pruned
+    # column and the HLLs stay sketch-side (measured 4.9s -> ~2s at sf0.1)
+    e1 = li.agg(F.countDistinct("l_orderkey").alias("exact_orders"))
+    e2 = li.agg(F.countDistinct("l_partkey").alias("exact_parts"))
+    ap = li.agg(
         F.approx_count_distinct("l_orderkey", 0.02).alias("__ao"),
         F.approx_count_distinct("l_partkey", 0.02).alias("__ap"),
     )
+    agg = e1.crossJoin(e2).crossJoin(ap)
     def within(approx: str, exact: str) -> Column:
         err = F.abs(F.col(approx) - F.col(exact)) / F.col(exact)
         return err <= APPROX_ND_TOL
