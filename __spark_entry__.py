@@ -49,6 +49,7 @@ _PRIORITY = [
     "events_funnel",  # ordered view->click->purchase funnel
     "fn_bitwise",  # bitwise and/or/xor/shift/popcount family
     "join_interval_overlap",  # banded interval-overlap join (both sides large)
+    "dedup_connected_components",  # near-dup graph clustering (min-label fixpoint)
     "text_pii_redact",  # PII scrub gate (planted email/phone masking)
     "text_tfidf_topk",  # per-doc TF-IDF keyword extraction
     "text_unigram_logprob",  # unigram-LM perplexity-proxy quality gate

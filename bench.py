@@ -56,8 +56,9 @@ HEADLINE = [
 # data root, not a hardcoded absolute path)
 REDUCED_SF = {
     "dedup_jaccard_pairs": "sf0.01",
-    # embeds the exact twin — same output-volume duty as above
+    # embed the exact twin — same output-volume duty as above
     "dedup_minhash_recall": "sf0.01",
+    "dedup_connected_components": "sf0.01",
 }
 
 

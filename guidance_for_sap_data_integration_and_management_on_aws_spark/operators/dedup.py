@@ -358,6 +358,88 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CC_MAX_ITERS = 25  # fixpoint guard; min-label propagation halves eccentricity/iter
+
+
+@spec(
+    f"""
+    WITH RECURSIVE pairs AS ({_sql_jaccard_pairs(JACCARD_T)}),
+    edges AS (
+      SELECT da AS a, db AS b FROM pairs
+      UNION ALL SELECT db, da FROM pairs
+    ),
+    reach AS (
+      SELECT doc_id AS v, doc_id AS u FROM documents
+      UNION
+      SELECT r.v, e.b FROM reach r JOIN edges e ON r.u = e.a
+    ),
+    label AS (SELECT v AS doc_id, MIN(u) AS component_id FROM reach GROUP BY v)
+    SELECT component_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS keep_id
+    FROM label GROUP BY component_id
+    """,
+    doc="L2 CONNECTED COMPONENTS over the near-dup pair graph — the "
+    "clustering step between pair generation and survivor selection (pair "
+    "lists alone under-dedup: A~B and B~C must collapse to ONE keeper even "
+    "when A~C misses the threshold).  Spark side is iterative MIN-LABEL "
+    "PROPAGATION: every doc starts as its own label; each round joins "
+    "labels across edges and takes the per-vertex min, until a round "
+    "changes nothing (converges in O(component diameter) rounds; the only "
+    "driver traffic is one changed-row COUNT per round — the k-means "
+    "trainer's topology).  The oracle computes the same components by "
+    "recursive-CTE transitive closure — an independent formulation, so the "
+    "distributed fixpoint is value-checked end-to-end.  Output is one row "
+    "per component (id = min doc_id, size, keeper).",
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_jaccard_pairs.builder(spark, sf_dir).select("da", "db")
+    edges = pairs.union(pairs.select(F.col("db"), F.col("da"))).toDF("a", "b")
+    edges = edges.persist()
+    labels = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .withColumn("component_id", F.col("doc_id"))
+        .persist()
+    )
+    try:
+        for _ in range(CC_MAX_ITERS):
+            neighbor_min = (
+                edges.join(labels, edges.a == labels.doc_id)
+                .groupBy(F.col("b").alias("doc_id"))
+                .agg(F.min("component_id").alias("n_min"))
+            )
+            new_labels = (
+                labels.join(neighbor_min, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.least(
+                        "component_id", F.coalesce("n_min", "component_id")
+                    ).alias("component_id"),
+                )
+                .persist()
+            )
+            changed = (
+                new_labels.join(labels.withColumnRenamed("component_id", "old"), "doc_id")
+                .filter(F.col("component_id") != F.col("old"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        # truncate the per-iteration lineage chain so every loop cache can be
+        # released (production swaps this for checkpoint-to-object-storage)
+        final = labels.localCheckpoint(eager=True)
+        return final.groupBy("component_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").alias("keep_id"),
+        )
+    finally:
+        labels.unpersist()
+        edges.unpersist()
+
+
 RECALL_T = 0.7  # all-found threshold: P(LSH miss | jac=0.7) = (1-0.49)^12 ~ 3e-4
 
 
@@ -506,6 +588,7 @@ QUERIES: dict[str, QuerySpec] = {
     "pipeline_curation": pipeline_curation,
     "dedup_exact_survivors": dedup_exact_survivors,
     "dedup_jaccard_pairs": dedup_jaccard_pairs,
+    "dedup_connected_components": dedup_connected_components,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_minhash_recall": dedup_minhash_recall,
     "dedup_simhash_buckets": dedup_simhash_buckets,

@@ -405,3 +405,36 @@ def test_incremental_dedup_only_novel_keys(spark, sf_dir):
     got = {r["norm_key"]: r["keep_id"] for r in dedup_incremental.builder(spark, sf_dir).collect()}
     want = {k: v for k, v in batch.items() if k not in corpus_keys}
     assert got == want
+
+
+def test_connected_components_against_union_find(spark, sf_dir):
+    """The distributed min-label fixpoint must equal a driver-side
+    union-find over the same exact-Jaccard pair graph (all docs, singletons
+    included)."""
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.operators.dedup import (
+        dedup_connected_components,
+    )
+
+    pairs = [(r["da"], r["db"]) for r in dedup_jaccard_pairs.builder(spark, sf_dir).collect()]
+    docs = [r["doc_id"] for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()]
+    parent = {d: d for d in docs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {}
+    for d in docs:
+        comp.setdefault(find(d), []).append(d)
+    want = {(min(v), len(v), min(v)) for v in comp.values()}
+    got = {
+        (r["component_id"], r["n_docs"], r["keep_id"])
+        for r in dedup_connected_components.builder(spark, sf_dir).collect()
+    }
+    assert got == want
