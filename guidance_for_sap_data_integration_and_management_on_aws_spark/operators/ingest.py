@@ -217,6 +217,46 @@ def saprfc_scan_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
 @spec(
     f"""
     WITH r AS ({SQL_MOCK_DD03L})
+    SELECT
+      CASE WHEN i%37=0 THEN NULL ELSE 'TAB'||CAST(i%7 AS VARCHAR) END AS TABNAME,
+      CASE WHEN i%37=0 OR i%13=0 THEN NULL ELSE i%500 END AS POSITION,
+      CASE WHEN i%37=0 OR i%11=0 THEN NULL
+           ELSE make_date(CAST(1995+i%25 AS INT), CAST(1+i%12 AS INT), CAST(1+i%28 AS INT))
+      END AS ASDATE,
+      i%37=0 AS is_corrupt
+    FROM r
+    """,
+    doc="S9 x M7: the saprfc DSv2 as a STREAMING source — the reference's "
+    "serial page loop becomes incremental extraction (microbatch = page "
+    "range, page offset checkpointed like a Kafka offset, partitions "
+    "fetched concurrently inside each batch).  Drained with "
+    "Trigger.AvailableNow; the landed table must equal the batch scan, "
+    "which is the oracle (projected columns + corrupt flag).",
+)
+def saprfc_stream_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.saprfc_dsv2 import register
+    from ..streaming.replay import run_to_table
+
+    register(spark)
+    s = (
+        spark.readStream.format("saprfc")
+        .option("table", "DD03L")
+        .option("mockrows", str(MOCK_ROWS))
+        .option("pagesize", "500")
+        .load()
+    )
+    out = s.select(
+        "TABNAME",
+        "POSITION",
+        "ASDATE",
+        F.col("_corrupt_record").isNotNull().alias("is_corrupt"),
+    )
+    return run_to_table(out, "mem_saprfc_stream_scan", "append")
+
+
+@spec(
+    f"""
+    WITH r AS ({SQL_MOCK_DD03L})
     SELECT 'TAB'||CAST(i%7 AS VARCHAR) AS TABNAME,
            'FLD_'||lpad(CAST(i AS VARCHAR),5,'0') AS FIELDNAME,
            i%500 AS POSITION,
@@ -708,6 +748,7 @@ QUERIES: dict[str, QuerySpec] = {
     "rfc_ingest_invariant": rfc_ingest_invariant,
     "try_cast_best_effort": try_cast_best_effort,
     "saprfc_scan_typed": saprfc_scan_typed,
+    "saprfc_stream_scan": saprfc_stream_scan,
     "csv_scan_roundtrip": csv_scan_roundtrip,
     "orc_scan_roundtrip": orc_scan_roundtrip,
     "saprfc_pushdown": saprfc_pushdown,

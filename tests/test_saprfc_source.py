@@ -54,3 +54,35 @@ def test_pagination_partitions(spark):
     df = _df(spark, pagesize="300")
     assert df.rdd.getNumPartitions() == 9  # ceil(2500/300)
     assert df.count() == 2500
+
+
+def test_stream_reader_offsets_and_volume(spark):
+    """The streaming reader's offset arithmetic: initial page 0, latest =
+    ceil(rows/pagesize), partitions cover [start, end), and a full
+    AvailableNow drain lands every mock row exactly once."""
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.sources.rfc import RfcField
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.sources.saprfc_dsv2 import (
+        SapRfcStreamReader,
+    )
+
+    fields = [RfcField("TABNAME", "C"), RfcField("POSITION", "N")]
+    r = SapRfcStreamReader({"mockrows": "2500", "pagesize": "300"}, fields)
+    assert r.initialOffset() == {"page": 0}
+    assert r.latestOffset() == {"page": 9}  # ceil(2500/300)
+    parts = r.partitions({"page": 2}, {"page": 5})
+    assert [p.page for p in parts] == [2, 3, 4]
+
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.streaming.replay import (
+        run_to_table,
+        scratch_dir,  # noqa: F401  (import parity with ops)
+    )
+
+    register(spark)
+    s = (
+        spark.readStream.format("saprfc")
+        .option("table", "DD03L")
+        .option("pagesize", "300")
+        .load()
+    )
+    out = run_to_table(s.select("TABNAME"), "mem_saprfc_stream_unit", "append")
+    assert out.count() == 2500
