@@ -51,6 +51,7 @@ _PRIORITY = [
     "join_interval_overlap",  # banded interval-overlap join (both sides large)
     "dedup_connected_components",  # near-dup graph clustering (min-label fixpoint)
     "saprfc_stream_scan",  # saprfc DSv2 as a streaming source (page offsets)
+    "ann_ivf_pq_topk",  # full IVF+PQ serving (bucket prefilter x ADC)
     "text_pii_redact",  # PII scrub gate (planted email/phone masking)
     "text_tfidf_topk",  # per-doc TF-IDF keyword extraction
     "text_unigram_logprob",  # unigram-LM perplexity-proxy quality gate

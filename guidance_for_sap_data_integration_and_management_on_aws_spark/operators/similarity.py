@@ -563,6 +563,41 @@ def ann_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 PQ_ADC_K = 5
 
 
+def _pq_codebook(v: DataFrame) -> "np.ndarray":
+    """Collect the deterministic PQ codebook (bounded: k x dim doubles)."""
+    cents = sorted(
+        v.filter(F.col("vec_id") % PQ_CB_MOD == PQ_CB_RESIDUE)
+        .select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"))
+        .collect(),
+        key=lambda r: r["cid"],
+    )
+    return np.array([list(c["ce"]) for c in cents], dtype=np.float64)
+
+
+def _pq_reconstructor(C: "np.ndarray"):
+    """Arrow kernel: encode each vector per subspace and emit the centroid
+    concatenation — the vector ADC distances are computed against."""
+
+    @F.pandas_udf("array<double>")
+    def reconstruct(e: pd.Series) -> pd.Series:
+        if len(e) == 0:
+            return pd.Series([], dtype="object")
+        V = np.array(e.tolist(), dtype=np.float64)
+        R = np.empty_like(V)
+        for m in range(PQ_M):
+            sl = slice(m * PQ_SUB, (m + 1) * PQ_SUB)
+            Vm, Cm = V[:, sl], C[:, sl]
+            d2 = (
+                (Vm * Vm).sum(axis=1)[:, None]
+                + (Cm * Cm).sum(axis=1)[None, :]
+                - 2.0 * (Vm @ Cm.T)
+            )
+            R[:, sl] = Cm[d2.argmin(axis=1)]
+        return pd.Series(list(R))
+
+    return reconstruct
+
+
 @spec(
     f"""
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
@@ -614,31 +649,7 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = parallelize_small_scan(load(spark, sf_dir, "embeddings"), "vec_id").select(
         "vec_id", as_double("embedding").alias("e")
     )
-    cents = sorted(
-        v.filter(F.col("vec_id") % PQ_CB_MOD == PQ_CB_RESIDUE)
-        .select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"))
-        .collect(),
-        key=lambda r: r["cid"],
-    )
-    C = np.array([list(c["ce"]) for c in cents], dtype=np.float64)
-
-    @F.pandas_udf("array<double>")
-    def reconstruct(e: pd.Series) -> pd.Series:
-        if len(e) == 0:
-            return pd.Series([], dtype="object")
-        V = np.array(e.tolist(), dtype=np.float64)
-        R = np.empty_like(V)
-        for m in range(PQ_M):
-            sl = slice(m * PQ_SUB, (m + 1) * PQ_SUB)
-            Vm, Cm = V[:, sl], C[:, sl]
-            d2 = (
-                (Vm * Vm).sum(axis=1)[:, None]
-                + (Cm * Cm).sum(axis=1)[None, :]
-                - 2.0 * (Vm @ Cm.T)
-            )
-            R[:, sl] = Cm[d2.argmin(axis=1)]
-        return pd.Series(list(R))
-
+    reconstruct = _pq_reconstructor(_pq_codebook(v))
     neighbors = v.select("vec_id", reconstruct(F.col("e")).alias("r"))
     q = v.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("e").alias("qe")
@@ -660,6 +671,119 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec(
+    f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    c AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id % {C_MOD} = {C_RESIDUE}),
+    cb AS (SELECT vec_id AS pcid, e AS pce FROM v
+           WHERE vec_id % {PQ_CB_MOD} = {PQ_CB_RESIDUE}),
+    assigned AS (
+      SELECT vec_id, e, cid AS bucket
+      FROM (SELECT v.vec_id, v.e, c.cid,
+                   row_number() OVER (PARTITION BY v.vec_id
+                                      ORDER BY round({sql_cosine('v.e', 'c.ce')}, 6) DESC,
+                                               c.cid) AS rn
+            FROM v, c)
+      WHERE rn = 1
+    ),
+    sub AS (
+      SELECT v.vec_id, m.range AS m, cb.pcid,
+             row_number() OVER (
+               PARTITION BY v.vec_id, m.range
+               ORDER BY list_distance(
+                   v.e[CAST(m.range * {PQ_SUB} + 1 AS INT)
+                       : CAST(m.range * {PQ_SUB} + {PQ_SUB} AS INT)],
+                   cb.pce[CAST(m.range * {PQ_SUB} + 1 AS INT)
+                          : CAST(m.range * {PQ_SUB} + {PQ_SUB} AS INT)]),
+                   cb.pcid) AS rn
+      FROM v, range({PQ_M}) m, cb
+    ),
+    recon AS (
+      SELECT s.vec_id,
+             flatten(list(c2.pce[CAST(s.m * {PQ_SUB} + 1 AS INT)
+                                 : CAST(s.m * {PQ_SUB} + {PQ_SUB} AS INT)]
+                          ORDER BY s.m)) AS r
+      FROM (SELECT vec_id, m, pcid FROM sub WHERE rn = 1) s
+      JOIN cb c2 ON s.pcid = c2.pcid
+      GROUP BY s.vec_id
+    ),
+    probes AS (
+      SELECT qid, qe, cid AS bucket
+      FROM (SELECT v.vec_id AS qid, v.e AS qe, c.cid,
+                   row_number() OVER (PARTITION BY v.vec_id
+                                      ORDER BY round({sql_cosine('v.e', 'c.ce')}, 6) DESC,
+                                               c.cid) AS rn
+            FROM v, c WHERE v.vec_id < {N_QUERIES})
+      WHERE rn <= {N_PROBE}
+    ),
+    scored AS (
+      SELECT p.qid, a.vec_id AS neighbor_id,
+             round({sql_cosine('p.qe', 'r.r')}, 6) AS adc_sim
+      FROM probes p
+      JOIN assigned a ON p.bucket = a.bucket AND p.qid <> a.vec_id
+      JOIN recon r ON r.vec_id = a.vec_id
+    )
+    SELECT qid, neighbor_id, adc_sim FROM scored
+    QUALIFY row_number() OVER (PARTITION BY qid
+                               ORDER BY adc_sim DESC, neighbor_id) <= {IVF_TOP_K}
+    """,
+    doc="L3 IVF+PQ serving — the full production ANN shape (Jegou et al. "
+    "2011; FAISS's IVFPQ): coarse-quantizer bucket prefilter (nprobe="
+    f"{N_PROBE}) x ADC scoring against PQ reconstructions inside the "
+    "probed buckets.  At 100 TB the index holds (bucket, codes) — "
+    f"{PQ_M} bytes-ish per vector — candidates shuffle by bucket only, "
+    "decode is the map-side Arrow kernel, raw vectors never reach the "
+    "serving join.  Composes the oracle CTEs of ann_ivf_topk (coarse "
+    "assignment) and ann_pq_adc_topk (reconstruction) — each separately "
+    "driver-green, so a failure here isolates to the composition.",
+)
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = parallelize_small_scan(load(spark, sf_dir, "embeddings"), "vec_id").select(
+        "vec_id", as_double("embedding").alias("e")
+    )
+    cent = F.broadcast(
+        v.filter(F.col("vec_id") % C_MOD == C_RESIDUE).select(
+            F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+        )
+    )
+
+    def nearest(df: DataFrame, keep: int) -> DataFrame:
+        w = Window.partitionBy("vec_id").orderBy(F.desc("c_sim"), F.asc("cid"))
+        return (
+            df.join(cent)
+            .withColumn("c_sim", F.round(cosine(F.col("e"), F.col("ce")), 6))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= keep)
+            .drop("c_sim", "ce", "__rn")
+        )
+
+    reconstruct = _pq_reconstructor(_pq_codebook(v))
+    index = nearest(v, 1).select(
+        "vec_id",
+        F.col("cid").alias("bucket"),
+        reconstruct(F.col("e")).alias("r"),
+    )
+    probes = nearest(v.filter(F.col("vec_id") < N_QUERIES), N_PROBE).select(
+        F.col("vec_id").alias("qid"),
+        F.col("e").alias("qe"),
+        F.col("cid").alias("bucket"),
+    )
+    scored = probes.join(
+        index,
+        (probes.bucket == index.bucket) & (F.col("qid") != F.col("vec_id")),
+    ).select(
+        "qid",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine(F.col("qe"), F.col("r")), 6).alias("adc_sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("adc_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= IVF_TOP_K)
+        .select("qid", "neighbor_id", "adc_sim")
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_lsh_topk": ann_lsh_topk,
@@ -670,4 +794,5 @@ QUERIES: dict[str, QuerySpec] = {
     "embedding_quantize_int8": embedding_quantize_int8,
     "ann_pq_encode": ann_pq_encode,
     "ann_pq_adc_topk": ann_pq_adc_topk,
+    "ann_ivf_pq_topk": ann_ivf_pq_topk,
 }
