@@ -322,12 +322,14 @@ def test_ngram_topk_counts_against_python(spark, sf_dir):
 
 def test_pq_encode_against_numpy(spark, sf_dir):
     """PQ codes must equal a straight numpy per-subspace argmin over the
-    deterministic codebook (ties to the lowest centroid id)."""
+    deterministic fixed-k codebook (md5-ordered sample; ties to the lowest
+    centroid id)."""
+    import hashlib
+
     import numpy as np
 
     from guidance_for_sap_data_integration_and_management_on_aws_spark.operators.similarity import (
-        PQ_CB_MOD,
-        PQ_CB_RESIDUE,
+        PQ_CB_K,
         PQ_M,
         PQ_SUB,
         ann_pq_encode,
@@ -335,7 +337,8 @@ def test_pq_encode_against_numpy(spark, sf_dir):
 
     rows = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
     V = {r["vec_id"]: np.array(list(r["embedding"]), dtype=np.float64) for r in rows}
-    cids = sorted(i for i in V if i % PQ_CB_MOD == PQ_CB_RESIDUE)
+    by_digest = sorted(V, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    cids = sorted(by_digest[:PQ_CB_K])
     C = np.stack([V[i] for i in cids])
     got = {
         r["vec_id"]: [int(t) for t in r["pq_codes"].split(",")]

@@ -71,6 +71,30 @@ def test_pinned_bits_go_quadratic_adaptive_bits_stay_linear(spark, sf_dir):
     assert w10_adaptive / (10 * n1) <= 2 * max(w1 / n1, 9)
 
 
+def test_fixed_k_codebook_constant_across_corpus_scale(spark, sf_dir):
+    """r5 verdict #1: IVF centroid / PQ codebook cardinality must NOT grow
+    with the corpus (the old vec_id %% 61 rule made k ~ n/61 — a quadratic
+    assignment cost and an unbounded driver collect at 100x).  The fixed-k
+    md5-ordered sample keeps the collect at exactly k rows at any scale, and
+    assignment cost O(n*k*d) linear in n."""
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.operators.similarity import (
+        IVF_K,
+        PQ_CB_K,
+        _pq_codebook,
+        seed_vectors,
+    )
+
+    v1 = _vectors(spark, sf_dir)
+    v10 = _vectors(spark, sf_dir, copies=10)
+    assert seed_vectors(v1, IVF_K).count() == IVF_K
+    assert seed_vectors(v10, IVF_K).count() == IVF_K  # constant at 10x
+    assert _pq_codebook(v1).shape[0] == PQ_CB_K
+    assert _pq_codebook(v10).shape[0] == PQ_CB_K  # constant at 10x
+    # deterministic: the digest-ordered sample is a pure function of vec_ids
+    s1 = sorted(r["cid"] for r in seed_vectors(v1, IVF_K).collect())
+    assert s1 == sorted(r["cid"] for r in seed_vectors(v1, IVF_K).collect())
+
+
 def test_more_bits_yield_subset_of_pairs(spark, sf_dir):
     """Raising the resolution only SPLITS buckets (each bit subdivides), so
     the adaptive path returns a subset of the pinned-bits pairs — the
