@@ -235,8 +235,13 @@ def _hashed_token_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     while len(_TOKEN_CACHE) >= _TOKEN_CACHE_MAX:
-        _, old = _TOKEN_CACHE.popitem()
-        old.unpersist()
+        # FIFO: insertion order = oldest first (popitem() would evict the
+        # NEWEST and pin the stale entries forever)
+        old = _TOKEN_CACHE.pop(next(iter(_TOKEN_CACHE)))
+        try:
+            old.unpersist()
+        except Exception:
+            pass  # frame may belong to an already-stopped SparkSession
     _TOKEN_CACHE[key] = toks
     return toks
 
@@ -358,7 +363,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-CC_MAX_ITERS = 25  # fixpoint guard; min-label propagation halves eccentricity/iter
+# Fixpoint guard: ONE-HOP min-label propagation converges in O(component
+# diameter) rounds (each round the min label advances one hop — pointer
+# doubling, not used here, is what halves eccentricity).  Near-dup graphs
+# are diameter-bounded in practice; if a deeper chain exhausts the budget
+# the loop RAISES instead of returning unconverged labels.
+CC_MAX_ITERS = 25
 
 
 @spec(
@@ -433,6 +443,13 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             labels = new_labels
             if changed == 0:
                 break
+        else:
+            raise RuntimeError(
+                f"connected-components did not converge within {CC_MAX_ITERS} "
+                f"rounds ({changed} labels still changing) — a component "
+                "deeper than the budget; raise CC_MAX_ITERS or switch to "
+                "pointer-doubling"
+            )
         return labels.groupBy("component_id").agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
             F.min("doc_id").alias("keep_id"),

@@ -350,10 +350,13 @@ def _word_shingles(words: Column, k: int) -> Column:
 @spec(
     f"""
     WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    idx AS (SELECT doc_id, toks,
+                   unnest(generate_series(0, len(toks) - {DECON_NGRAM})) AS i
+            FROM w),
     sh AS (
-      SELECT DISTINCT w.doc_id,
-             array_to_string(toks[CAST(i.range + 1 AS INT) : CAST(i.range + {DECON_NGRAM} AS INT)], ' ') AS sh
-      FROM w, range(0, 256) i WHERE i.range + {DECON_NGRAM} <= len(toks)
+      SELECT DISTINCT doc_id,
+             array_to_string(toks[CAST(i + 1 AS INT) : CAST(i + {DECON_NGRAM} AS INT)], ' ') AS sh
+      FROM idx
     ),
     ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % {EVAL_MOD} = 0),
     tr AS (SELECT doc_id, sh FROM sh WHERE doc_id % {EVAL_MOD} <> 0),
@@ -481,12 +484,15 @@ CHUNK_STRIDE = 24  # overlap = CHUNK_SIZE - CHUNK_STRIDE
 @spec(
     f"""
     WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    idx AS (SELECT doc_id, toks,
+                   unnest(generate_series(0, (len(toks) - 1) // {CHUNK_STRIDE})) AS i
+            FROM w),
     c AS (
-      SELECT doc_id, CAST(i.range AS INT) AS chunk_idx,
-             CAST(1 + i.range * {CHUNK_STRIDE} AS BIGINT) AS chunk_start,
-             toks[CAST(1 + i.range * {CHUNK_STRIDE} AS INT)
-                  : CAST(i.range * {CHUNK_STRIDE} + {CHUNK_SIZE} AS INT)] AS chunk
-      FROM w, range(0, 256) i WHERE 1 + i.range * {CHUNK_STRIDE} <= len(toks)
+      SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+             CAST(1 + i * {CHUNK_STRIDE} AS BIGINT) AS chunk_start,
+             toks[CAST(1 + i * {CHUNK_STRIDE} AS INT)
+                  : CAST(i * {CHUNK_STRIDE} + {CHUNK_SIZE} AS INT)] AS chunk
+      FROM idx
     )
     SELECT doc_id, chunk_idx, chunk_start,
            CAST(len(chunk) AS INTEGER) AS n_chunk_tokens,
@@ -566,10 +572,10 @@ NGRAM_TOP_K = 20
 @spec(
     f"""
     WITH w AS (SELECT string_split(text, ' ') AS toks FROM documents),
+    idx AS (SELECT toks, unnest(generate_series(0, len(toks) - 2)) AS i FROM w),
     bi AS (
-      SELECT toks[CAST(i.range + 1 AS INT)] || ' ' || toks[CAST(i.range + 2 AS INT)]
-               AS bigram
-      FROM w, range(0, 256) i WHERE i.range + 2 <= len(toks)
+      SELECT toks[CAST(i + 1 AS INT)] || ' ' || toks[CAST(i + 2 AS INT)] AS bigram
+      FROM idx
     ),
     c AS (SELECT bigram, COUNT(*) AS n FROM bi GROUP BY bigram)
     SELECT bigram, n FROM c ORDER BY n DESC, bigram LIMIT {NGRAM_TOP_K}

@@ -376,13 +376,18 @@ class SapRfcReader(DataSourceReader):
             return batch
 
         for line in res[res["OUT_TABLE"]]:
+            # flush check leads the body so EVERY appending branch (corrupt
+            # rows included) honors the batch-size memory bound — a corrupt
+            # branch that `continue`d past it could grow the pending batch
+            # unboundedly on a long corrupt run
+            if len(cols[n]) >= self.ARROW_BATCH_ROWS:
+                yield flush()
             parts = line["WA"].strip().split(self.delimiter)
             if len(parts) != n:
                 if emit_corrupt:
                     for c in cols[:n]:
                         c.append(None)
                     cols[n].append(line["WA"])
-                continue
             else:
                 vals = {f.name: _py_cast(p, f) for f, p in zip(fields, parts)}
                 if not all(
@@ -392,8 +397,6 @@ class SapRfcReader(DataSourceReader):
                 for c, f in zip(cols, fields):
                     c.append(vals[f.name])
                 cols[n].append(None)
-            if len(cols[n]) >= self.ARROW_BATCH_ROWS:
-                yield flush()
         if cols[n]:
             yield flush()
 

@@ -127,3 +127,108 @@ def test_stateful_cents_round_half_up():
     assert _cents_half_up(pd.Series([0.625])) == 63
     assert _cents_half_up(pd.Series([-0.125])) == -13  # away from zero
     assert _cents_half_up(pd.Series([0.125, 0.625, 2.0])) == 13 + 63 + 200
+
+
+# ---------------------------------------------------------------------------
+# Round-5 advisor findings (ADVICE.md r05):
+# 8. n-gram oracles must be unbounded in document length (the fixed
+#    range(0, 256) literal silently undercounted docs > 257 tokens);
+# 9. _TOKEN_CACHE evicts FIFO (oldest insertion), and unpersist() on a
+#    dead-session frame must not break the query path;
+# 10. a long corrupt-line run must still honor the Arrow batch-size bound
+#     (the corrupt branch used to `continue` past the flush check).
+# ---------------------------------------------------------------------------
+
+
+def test_ngram_oracles_unbounded_past_256_tokens(spark, tmp_path):
+    """A 400-token doc (past the old 256-shingle oracle cap) must still
+    hash-match between the Spark builder and the DuckDB oracle for every
+    shingle-indexed query (bigram top-k, chunking, decontamination)."""
+    import duckdb
+
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.operators.text import (
+        pipeline_chunk_documents,
+        pipeline_decontaminate,
+        text_ngram_topk,
+    )
+    from tests.oracle_harness import compare
+
+    words = " ".join(f"w{i % 50}" for i in range(400))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [0, 1, 2],
+                "text": [words, "short doc text", words + " tail"],
+                "source": ["a", "a", "b"],
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    for q in (text_ngram_topk, pipeline_chunk_documents, pipeline_decontaminate):
+        compare(q.builder(spark, str(tmp_path)), con, q.oracle, q.builder.__name__)
+
+
+def test_token_cache_evicts_oldest_and_survives_dead_frames(spark, sf_dir):
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.operators import dedup
+
+    class _Fake:
+        def __init__(self, raises: bool):
+            self.raises = raises
+            self.unpersisted = False
+
+        def unpersist(self):
+            if self.raises:
+                raise RuntimeError("session already stopped")
+            self.unpersisted = True
+
+    saved = dict(dedup._TOKEN_CACHE)
+    dedup._TOKEN_CACHE.clear()
+    try:
+        fakes = [_Fake(raises=(i == 0)) for i in range(dedup._TOKEN_CACHE_MAX)]
+        for i, f in enumerate(fakes):
+            dedup._TOKEN_CACHE[("app", f"dir{i}")] = f
+        got = dedup._hashed_token_sets(spark, sf_dir)
+        assert got is not None
+        # oldest entry (index 0) evicted FIRST — and its raising unpersist
+        # did not propagate; the newest fakes survive
+        assert ("app", "dir0") not in dedup._TOKEN_CACHE
+        assert ("app", f"dir{len(fakes) - 1}") in dedup._TOKEN_CACHE
+        assert not fakes[-1].unpersisted
+    finally:
+        dedup._TOKEN_CACHE.clear()
+        dedup._TOKEN_CACHE.update(saved)
+
+
+def test_corrupt_run_honors_arrow_batch_bound(monkeypatch):
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.sources import saprfc_dsv2
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.sources.rfc import (
+        DEFAULT_DELIMITER,
+    )
+
+    valid = DEFAULT_DELIMITER.join(
+        ["T", "F", "0001", "X", "R", "CHAR", "001", "20200101"]
+    )
+
+    class _CorruptRunTransport:
+        def row_count(self, table):
+            return 101
+
+        def call(self, table, delimiter, offset, count, options=(), fields=()):
+            lines = [{"WA": "one-field-only"} for _ in range(100)]
+            lines.append({"WA": valid})
+            return {"OUT_TABLE": "DATA", "DATA": lines}
+
+    monkeypatch.setattr(
+        saprfc_dsv2, "_transport_from_options", lambda options: _CorruptRunTransport()
+    )
+    reader = SapRfcReader({"table": "DD03L"}, list(MockRfcTransport.FIELDS))
+    reader.ARROW_BATCH_ROWS = 16
+    batches = list(reader.read(saprfc_dsv2._PagePartition(0)))
+    assert sum(b.num_rows for b in batches) == 101
+    assert max(b.num_rows for b in batches) <= 16  # bound held mid-corrupt-run
+    corrupt = sum(b.column("_corrupt_record").null_count == 0 for b in batches)
+    assert corrupt  # corrupt rows did surface
