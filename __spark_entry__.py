@@ -21,81 +21,20 @@ from guidance_for_sap_data_integration_and_management_on_aws_spark.registry impo
 # Driver-budget-aware ordering.  The driver verifies roughly the FIRST 50
 # registry entries per round, so this list is re-sorted every round:
 #
-#   1. queries that were RED last round and are fixed this round
-#      (embedding_quantize_int8's output-shape fix), plus queries whose
-#      oracle or builder CHANGED this round, plus NEW queries;
-#   2. rows-only queries whose builders changed this round (weaker check,
-#      but the driver row should reflect the new code);
-#   3. ROTATION BALLAST: previously-green queries re-enter the checked
-#      window oldest-verification-first — the 43 queries whose latest green
-#      is still r02 lead (VERDICT r04 item 4), then the r03-only greens
-#      (TPC-H suite, physical-join variants, codecs, pipelines) queue
-#      behind them for the r6 window — so every green entry is periodically
-#      re-earned rather than trusted forever.
+#   1. STALENESS FIRST (r5 verdict item 2): the 17 queries whose latest
+#      driver green is still r02 — the whole streaming batch-equivalence
+#      family, the four UDF-surface queries, and the mm basics — lead the
+#      window so no green entry is ever older than two rounds;
+#   2. queries whose builder or oracle CHANGED this round (fixed-k IVF/PQ
+#      codebook seeding, unbounded n-gram oracles, token-cache/CC fixes,
+#      the saprfc reader's corrupt-run flush bound) — the driver row must
+#      reflect the new code;
+#   3. ROTATION BALLAST: oldest r03 greens (TPC-H head, physical joins)
+#      fill the ~50-query window; the remaining r03 greens queue just past
+#      the line for round 7 — every green entry is periodically re-earned
+#      rather than trusted forever.
 _PRIORITY = [
-    # --- red last round, fixed this round -----------------------------------
-    "embedding_quantize_int8",  # r4 err: list cells unhashable; q now a string
-    # --- new this round -----------------------------------------------------
-    "ingest_merge_into_route",  # MERGE INTO route via its fallback leg (r4 item 6)
-    "dedup_exact_bucketed",  # zero-shuffle dedup over bucketed storage (r4 item 7)
-    "dedup_incremental",  # batch-vs-bucketed-corpus anti-join dedup
-    "ann_pq_encode",  # product-quantization encoding (IVF-PQ compression)
-    "ann_pq_adc_topk",  # PQ asymmetric-distance serving top-k
-    "agg_percentiles",  # exact percentile_cont family
-    "fn_regex",  # regex function family beyond fn_string
-    "window_gap_fill",  # IGNORE NULLS last-observation-carried-forward
-    "window_sessionize",  # batch gaps-and-islands sessionization (T3's twin)
-    "agg_approx_percentile_error",  # quantile-sketch tolerance anchor
-    "events_funnel",  # ordered view->click->purchase funnel
-    "fn_bitwise",  # bitwise and/or/xor/shift/popcount family
-    "join_interval_overlap",  # banded interval-overlap join (both sides large)
-    "dedup_connected_components",  # near-dup graph clustering (min-label fixpoint)
-    "saprfc_stream_scan",  # saprfc DSv2 as a streaming source (page offsets)
-    "ann_ivf_pq_topk",  # full IVF+PQ serving (bucket prefilter x ADC)
-    "text_pii_redact",  # PII scrub gate (planted email/phone masking)
-    "text_tfidf_topk",  # per-doc TF-IDF keyword extraction
-    "text_unigram_logprob",  # unigram-LM perplexity-proxy quality gate
-    "ingest_scd2_snapshot",  # point-in-time view over the SCD2 history
-    # --- oracle/builder changed this round ----------------------------------
-    "text_ngram_topk",  # oracle shingle bound 128 -> 256 (ADVICE parity)
-    "dedup_minhash_lsh",  # tokenize-once cache (rows-only; recall anchor below)
-    "dedup_minhash_recall",  # value-level anchor over the changed LSH builder
-    "saprfc_scan_typed",  # Arrow-batched DSv2 reader
-    "saprfc_pushdown",  # Arrow-batched DSv2 reader (pushdown re-verified)
-    "saprfc_projection",  # Arrow-batched DSv2 reader (r4 2.1x regression)
-    "rfc_parse_errors",  # shares the saprfc mock-transport surface
-    "rfc_ingest_invariant",  # shares the saprfc mock-transport surface
-    "sink_roundtrip",  # r02 green + sits on the DSv2 scan path
-    # --- rotation ballast: greens last checked in r02, oldest-first ---------
-    "window_running",
-    "window_range_frame",
-    "window_topk_per_group",
-    "try_cast_best_effort",
-    "csv_scan_roundtrip",
-    "text_token_count",
-    "text_quality",
-    "text_lang_id",
-    "text_fingerprint",
-    "text_word_count",
-    "dedup_exact",
-    "pipeline_curation",
-    "dedup_exact_survivors",
-    "dedup_jaccard_pairs",
-    "dedup_embedding_cosine",
-    "ann_bruteforce_topk",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "ann_label_match",
-    "mm_payload_hash",
-    "mm_decode",
-    "mm_asset_stats",
-    "mm_resize",
-    "mm_frame_sample",
-    "udf_scalar_reverse",
-    "udf_pandas_l2norm",
-    "udf_grouped_stats",
-    "udtf_explode_words",
-    "udtf_bigrams",
+    # --- greens last checked in r02 (oldest in the registry) ----------------
     "stream_tumbling_agg",
     "stream_sliding_window",
     "stream_session_window",
@@ -104,7 +43,33 @@ _PRIORITY = [
     "stream_static_join",
     "stream_stream_join",
     "stream_deadletter_split",
-    # --- ~50-entry line; r03-only greens queue oldest-first for r6 ----------
+    "udf_scalar_reverse",
+    "udf_pandas_l2norm",
+    "udf_grouped_stats",
+    "udtf_explode_words",
+    "udtf_bigrams",
+    "mm_decode",
+    "mm_asset_stats",
+    "mm_resize",
+    "mm_frame_sample",
+    # --- builder/oracle changed this round ----------------------------------
+    "ann_ivf_topk",  # fixed-k md5-ordered centroid seeding (r5 verdict #1)
+    "ann_kmeans_assign",  # same seeding; exact anchor for the trainer below
+    "ann_ivf_train_kmeans",  # rows-only by contract (iterative float means)
+    "ann_pq_encode",  # fixed-k PQ codebook
+    "ann_pq_adc_topk",  # fixed-k PQ codebook
+    "ann_ivf_pq_topk",  # composition of both fixed-k seeds
+    "text_ngram_topk",  # oracle unbounded in doc length (ADVICE r5)
+    "pipeline_chunk_documents",  # oracle unbounded in doc length (ADVICE r5)
+    "pipeline_decontaminate",  # oracle unbounded in doc length (ADVICE r5)
+    "dedup_minhash_lsh",  # token-cache FIFO fix (rows-only; anchor adjacent)
+    "dedup_minhash_recall",  # value-level anchor over the changed LSH builder
+    "dedup_connected_components",  # convergence guard added
+    "saprfc_scan_typed",  # corrupt-run flush bound in the Arrow reader
+    "saprfc_pushdown",  # same reader loop, pushdown leg
+    "saprfc_projection",  # same reader loop, projection leg
+    "saprfc_stream_scan",  # streaming twin delegates to the same read()
+    # --- rotation ballast: oldest r03 greens fill the window ----------------
     "q1_pricing_summary",
     "q2_min_cost_supplier",
     "q3_shipping_priority",
@@ -119,6 +84,10 @@ _PRIORITY = [
     "q13_order_distribution",
     "q14_promo_revenue",
     "q15_top_supplier",
+    "join_inner",
+    "join_broadcast",
+    "join_shuffle_hash",
+    # --- ~50-entry line; remaining r03 greens queue for round 7 -------------
     "q16_supplier_counts",
     "q17_small_quantity",
     "q18_large_orders",
@@ -127,9 +96,6 @@ _PRIORITY = [
     "q21_waiting_suppliers",
     "q22_idle_customers",
     "agg_grouping_sets",
-    "join_inner",
-    "join_broadcast",
-    "join_shuffle_hash",
     "join_left_outer",
     "join_full_outer",
     "join_semi",
@@ -138,9 +104,7 @@ _PRIORITY = [
     "ingest_merge_upsert",
     "rfc_parse_valid",
     "orc_scan_roundtrip",
-    "pipeline_decontaminate",
     "text_repetition_filter",
-    "pipeline_chunk_documents",
     "sample_stratified",
     "pipeline_pack_sequences",
     "mm_video_frames",
@@ -150,8 +114,8 @@ _PRIORITY = [
     "mm_bmp_resize",
     "mm_wav_decode",
     "stream_incremental_upsert",
-    # r04 greens not listed trail in module order (they were all re-earned
-    # last round and are the freshest)
+    # r04/r05 greens not listed trail in module order (they are the
+    # freshest, re-earned within the last two rounds)
 ]
 
 

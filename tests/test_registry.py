@@ -19,14 +19,17 @@ def test_registry_shape():
     assert len(names) == len(set(names))
     # priority names lead, in order
     assert names[: len(entrymod._PRIORITY)] == entrymod._PRIORITY
-    # round-5 window layout: the fixed r4 red leads, then queries whose
-    # oracle/builder changed this round (the LSH rows-only entry rides with
-    # its value-level recall anchor), then oldest-green-first rotation
-    # ballast (the r02-only greens) fills the ~50-query driver window; the
-    # r03-only greens queue just past it for round 6.
-    assert names[0] == "embedding_quantize_int8"
+    # round-6 window layout: the 17 r02-stale queries lead (streaming
+    # family, UDF surface, mm basics — r5 verdict item 2), then queries
+    # whose builder/oracle changed this round (fixed-k IVF/PQ seeding,
+    # unbounded n-gram oracles, token-cache/reader fixes), then oldest-r03
+    # ballast; the remaining r03 greens queue just past the line for r7.
+    assert names[0] == "stream_tumbling_agg"
     window_rows_only = [n for n in names[:50] if reg[n].oracle is None]
-    assert window_rows_only == ["dedup_minhash_lsh"], window_rows_only
+    # both rows-only entries in the window carry adjacent exact anchors
+    # (ann_kmeans_assign and dedup_minhash_recall)
+    assert window_rows_only == ["ann_ivf_train_kmeans", "dedup_minhash_lsh"], window_rows_only
+    assert abs(names.index("ann_kmeans_assign") - names.index("ann_ivf_train_kmeans")) <= 2
     # the recall anchor rides in the window with the LSH entry it certifies
     assert abs(names.index("dedup_minhash_recall") - names.index("dedup_minhash_lsh")) <= 2
     assert names.index("dedup_minhash_recall") < 50  # inside the driver window
