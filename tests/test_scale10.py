@@ -110,3 +110,90 @@ def test_more_bits_yield_subset_of_pairs(spark, sf_dir):
     }
     assert p8 <= p4
     assert p8  # the exact-dup structure keeps plenty of pairs co-bucketed
+
+
+def test_interval_band_candidates_linear_in_time_extent(spark, sf_dir):
+    """join_interval_overlap's scale claim (r5 verdict item 6): candidate
+    volume is Sum_band n_a(b) * n_b(b).  10x the data spread over 10x the
+    time extent (same density) must yield ~10x the candidates — linear —
+    and every interval must touch <= 2 bands (the duplication bound that
+    keeps the banded shuffle narrow)."""
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.operators.joins import (
+        IVAL_DAYS,
+    )
+
+    o = load(spark, sf_dir, "orders")
+    od = F.col("o_orderdate").cast("date")
+    base = o.select(F.col("o_orderkey").alias("k"), od.alias("s"))
+    raw_span = base.agg(
+        (F.datediff(F.max("s"), F.min("s")) + IVAL_DAYS + 1).alias("d")
+    ).first()["d"]
+    # band-aligned shift: copies tile onto disjoint band ranges, so the
+    # 10x-extent candidate count is EXACTLY 10x (no cross-copy band sharing)
+    span = ((raw_span // IVAL_DAYS) + 2) * IVAL_DAYS
+
+    def extent_copies(n: int):
+        # k is kept verbatim (it drives the %50 / %77 side membership, so
+        # every copy must contribute the identical A/B composition); only
+        # the dates shift
+        out = base
+        for i in range(1, n):
+            out = out.unionByName(base.select("k", F.date_add("s", i * span).alias("s")))
+        return out.withColumn("e", F.date_add("s", IVAL_DAYS))
+
+    def candidates(df) -> tuple[int, int]:
+        day = F.datediff(F.col("s"), F.lit("1970-01-01").cast("date"))
+        end_day = F.datediff(F.col("e"), F.lit("1970-01-01").cast("date"))
+        bands = F.sequence(F.floor(day / IVAL_DAYS), F.floor((end_day - 1) / IVAL_DAYS))
+        banded = df.select("k", F.size(bands).alias("nb"), F.explode(bands).alias("band"))
+        max_bands = banded.agg(F.max("nb")).first()[0]
+        na = banded.filter(F.col("k") % 50 == 0).groupBy("band").agg(F.count(F.lit(1)).alias("na"))
+        nb_ = banded.filter(F.col("k") % 77 == 0).groupBy("band").agg(F.count(F.lit(1)).alias("nb_"))
+        tot = na.join(nb_, "band").agg(F.sum(F.col("na") * F.col("nb_"))).first()[0] or 0
+        return int(tot), int(max_bands)
+
+    c1, mb1 = candidates(extent_copies(1))
+    c10, mb10 = candidates(extent_copies(10))
+    assert mb1 <= 2 and mb10 <= 2  # duplication bound: length == band width
+    assert c1 > 0
+    # linear in extent: 10 disjoint copies -> exactly 10x (no cross-copy bands)
+    assert c10 == 10 * c1
+
+
+def test_incremental_dedup_shuffles_only_the_batch(spark, sf_dir):
+    """dedup_incremental's scale claim: the corpus side is bucketed storage
+    and contributes ZERO Exchange; scaling the corpus 10x must not add a
+    single Exchange to the plan (only the batch side shuffles, and the
+    batch is unchanged)."""
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.catalog import (
+        scratch_table,
+    )
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.col("text")).alias("norm_key")
+    )
+    batch = d.filter(F.col("doc_id") % 5 == 0)
+    mx = d.agg(F.max("doc_id")).first()[0] + 1
+
+    def plan_exchanges(copies: int) -> int:
+        corpus = d.filter(F.col("doc_id") % 5 != 0)
+        grown = corpus
+        for i in range(1, copies):
+            grown = grown.unionByName(
+                corpus.select(
+                    (F.col("doc_id") + i * mx).alias("doc_id"),
+                    F.md5(F.concat(F.lit(str(i)), "norm_key")).alias("norm_key"),
+                )
+            )
+        tbl = scratch_table(spark, f"scale_corpus_{copies}x", sf_dir)
+        grown.write.bucketBy(8, "norm_key").sortBy("norm_key").mode(
+            "overwrite"
+        ).saveAsTable(tbl)
+        joined = batch.join(spark.table(tbl).select("norm_key"), "norm_key", "left_anti")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        return plan.count("Exchange")
+
+    e1 = plan_exchanges(1)
+    e10 = plan_exchanges(10)
+    assert e1 == e10  # corpus growth adds no shuffle
+    assert e1 <= 1  # at most the batch-side exchange
