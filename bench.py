@@ -113,6 +113,40 @@ def main(check: bool = False) -> None:
 
     for variant in ("ordered", "dups", "late", "bad"):
         build_replay(spark, sf_dir, variant)
+    # warmup 4: one tiny stateful-streaming drain absorbs the one-time
+    # microbatch-engine + state-store-provider + streaming-codegen setup
+    # (measured: first watermark query 5.9s cold vs 2.4s after this warmup
+    # — the same kind of one-time cost warmups 2-3 absorb for the Python
+    # data source).  3 rows in the REAL events schema so the window-agg
+    # codegen and state schema match the queries being timed.
+    import datetime
+
+    from pyspark.sql import Row
+
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.streaming.replay import (
+        EVENTS_SCHEMA,
+        run_to_table,
+    )
+
+    wdir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".scratch", "bench-warm-stream"
+    )
+    wrows = [
+        Row(event_id=i, ts=datetime.datetime(2020, 1, 1, i), user_id=i,
+            event_type="view", value=1.0, props="{}")
+        for i in range(3)
+    ]
+    spark.createDataFrame(wrows, EVENTS_SCHEMA).write.mode("overwrite").parquet(wdir)
+    warm = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(wdir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(_F.window("ts", "1 hour"))
+        .agg(_F.count(_F.lit(1)).alias("n_events"))
+        .select(_F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("ws"),
+                "n_events")
+    )
+    run_to_table(warm, "bench_warm_stream", "append", shuffle_partitions=4)
 
     # Environment calibration: a fixed CPU-bound Spark job whose cost is
     # data-independent.  Cross-round headline comparisons divide by this to

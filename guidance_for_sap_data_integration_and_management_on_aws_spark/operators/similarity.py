@@ -455,11 +455,17 @@ def ann_ivf_train_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     "of equidistant, versus ~1e-15 kernel-vs-oracle arithmetic skew.",
 )
 def ann_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    v = parallelize_small_scan(load(spark, sf_dir, "embeddings"), "vec_id").select(
+    raw = load(spark, sf_dir, "embeddings")
+    v = parallelize_small_scan(raw, "vec_id").select(
         "vec_id", as_double("embedding").alias("e")
     )
+    # seed from the RAW scan: TakeOrdered straight off the files, no
+    # repartition shuffle in the seeding job (the parallelized frame is for
+    # the CPU-bound assignment pass only)
     cents = sorted(
-        seed_vectors(v.select("vec_id", "e"), IVF_K).collect(),
+        seed_vectors(
+            raw.select("vec_id", as_double("embedding").alias("e")), IVF_K
+        ).collect(),
         key=lambda r: r["cid"],
     )
     assign = centroid_assigner(cents)
@@ -547,11 +553,15 @@ PQ_CB_K = 16
     "(the driver-hashable form).",
 )
 def ann_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    v = parallelize_small_scan(load(spark, sf_dir, "embeddings"), "vec_id").select(
+    raw = load(spark, sf_dir, "embeddings")
+    v = parallelize_small_scan(raw, "vec_id").select(
         "vec_id", as_double("embedding").alias("e")
     )
+    # seed from the raw scan — no repartition shuffle in the codebook job
     cents = sorted(
-        seed_vectors(v.select("vec_id", "e"), PQ_CB_K).collect(),
+        seed_vectors(
+            raw.select("vec_id", as_double("embedding").alias("e")), PQ_CB_K
+        ).collect(),
         key=lambda r: r["cid"],
     )
     C = np.array([list(c["ce"]) for c in cents], dtype=np.float64)
@@ -661,10 +671,13 @@ def _pq_reconstructor(C: "np.ndarray"):
     "neighbor_id) — equal-code vectors tie exactly on both engines.",
 )
 def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    v = parallelize_small_scan(load(spark, sf_dir, "embeddings"), "vec_id").select(
+    raw = load(spark, sf_dir, "embeddings")
+    v = parallelize_small_scan(raw, "vec_id").select(
         "vec_id", as_double("embedding").alias("e")
     )
-    reconstruct = _pq_reconstructor(_pq_codebook(v))
+    reconstruct = _pq_reconstructor(
+        _pq_codebook(raw.select("vec_id", as_double("embedding").alias("e")))
+    )
     neighbors = v.select("vec_id", reconstruct(F.col("e")).alias("r"))
     q = v.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("e").alias("qe")
@@ -752,10 +765,12 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "driver-green, so a failure here isolates to the composition.",
 )
 def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    v = parallelize_small_scan(load(spark, sf_dir, "embeddings"), "vec_id").select(
+    raw = load(spark, sf_dir, "embeddings")
+    v = parallelize_small_scan(raw, "vec_id").select(
         "vec_id", as_double("embedding").alias("e")
     )
-    cent = F.broadcast(seed_vectors(v.select("vec_id", "e"), IVF_K))
+    raw_e = raw.select("vec_id", as_double("embedding").alias("e"))
+    cent = F.broadcast(seed_vectors(raw_e, IVF_K))
 
     def nearest(df: DataFrame, keep: int) -> DataFrame:
         w = Window.partitionBy("vec_id").orderBy(F.desc("c_sim"), F.asc("cid"))
@@ -767,7 +782,7 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .drop("c_sim", "ce", "__rn")
         )
 
-    reconstruct = _pq_reconstructor(_pq_codebook(v))
+    reconstruct = _pq_reconstructor(_pq_codebook(raw_e))
     index = nearest(v, 1).select(
         "vec_id",
         F.col("cid").alias("bucket"),

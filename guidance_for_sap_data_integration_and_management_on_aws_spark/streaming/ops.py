@@ -222,7 +222,12 @@ def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
     out = agg.select(_fmt("window.start").alias("window_start"), "n_events")
-    return run_to_table(out, "mem_stream_watermark_late_drop", "append")
+    # ~180 hourly windows of state: 4 stores cut per-batch open/commit
+    # overhead vs the default 8 (r5 verdict item 3); results are
+    # partition-count-independent (watermark is global, append emission is
+    # per-key) — asserted by the unchanged oracle.
+    return run_to_table(out, "mem_stream_watermark_late_drop", "append",
+                        shuffle_partitions=4)
 
 
 @spec(

@@ -197,28 +197,37 @@ class stream_shuffle:
     stream-stream join 13.6s -> 5.1s); a production job sizes this to its
     per-batch volume before first start — the same knob, a bigger number.
     Batch queries are unaffected (conf restored on exit; AQE coalesces
-    batch shuffles anyway)."""
+    batch shuffles anyway).
 
-    def __init__(self, spark: SparkSession):
+    ``parts`` overrides the default for queries whose state keyspace is
+    tiny (e.g. ~180 hourly windows in the watermark drop): every microbatch
+    pays per-store open/commit, so 4 stores beat 8 when state rows number
+    in the hundreds (measured ~15% drain time)."""
+
+    def __init__(self, spark: SparkSession, parts: int = STREAM_SHUFFLE_PARTITIONS):
         self.spark = spark
+        self.parts = parts
 
     def __enter__(self):
         self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
-        self.spark.conf.set(
-            "spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS)
-        )
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.parts))
 
     def __exit__(self, *exc):
         self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
         return False
 
 
-def run_to_table(sdf: DataFrame, name: str, output_mode: str) -> DataFrame:
+def run_to_table(
+    sdf: DataFrame,
+    name: str,
+    output_mode: str,
+    shuffle_partitions: int = STREAM_SHUFFLE_PARTITIONS,
+) -> DataFrame:
     """Drain the stream with Trigger.AvailableNow into a memory sink and
     return the sink table (driver collects it — test-scale only; production
     sinks are parquet/Kafka via the same writeStream call)."""
     spark = sdf.sparkSession
-    with stream_shuffle(spark):
+    with stream_shuffle(spark, shuffle_partitions):
         q = (
             sdf.writeStream.format("memory")
             .queryName(name)
