@@ -69,6 +69,11 @@ _PRIORITY = [
     "saprfc_pushdown",  # same reader loop, pushdown leg
     "saprfc_projection",  # same reader loop, projection leg
     "saprfc_stream_scan",  # streaming twin delegates to the same read()
+    # --- NEW this round -----------------------------------------------------
+    "ann_two_stage",  # PQ-recall + exact-rerank serving (two-stage ANN)
+    "dedup_incremental_jaccard",  # batch-vs-corpus near-dup (ingest tick)
+    "join_bloom_prefilter",  # explicit bloom runtime-filter join reduction
+    "lake_compact_roundtrip",  # small-files compaction, content-identical
     # --- rotation ballast: oldest r03 greens fill the window ----------------
     "q1_pricing_summary",
     "q2_min_cost_supplier",
@@ -83,11 +88,11 @@ _PRIORITY = [
     "q11_important_parts",
     "q13_order_distribution",
     "q14_promo_revenue",
+    # --- ~50-entry line; remaining r03 greens queue for round 7 -------------
     "q15_top_supplier",
     "join_inner",
     "join_broadcast",
     "join_shuffle_hash",
-    # --- ~50-entry line; remaining r03 greens queue for round 7 -------------
     "q16_supplier_counts",
     "q17_small_quantity",
     "q18_large_orders",

@@ -59,6 +59,9 @@ REDUCED_SF = {
     # embed the exact twin — same output-volume duty as above
     "dedup_minhash_recall": "sf0.01",
     "dedup_connected_components": "sf0.01",
+    # batch-vs-corpus exact twin: same dense-fixture output volume (~2.3M
+    # qualifying pairs at sf0.1)
+    "dedup_incremental_jaccard": "sf0.01",
 }
 
 

@@ -599,6 +599,81 @@ def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec(
+    f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS batch_id, b.doc_id AS corpus_id, COUNT(*) AS i
+      FROM tok a JOIN tok b ON a.w = b.w
+      WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT batch_id, corpus_id,
+           round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON batch_id = sa.doc_id
+    JOIN sizes sb ON corpus_id = sb.doc_id
+    WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= {JACCARD_T}
+    """,
+    doc="L2 INCREMENTAL near-dup (the fuzzy twin of dedup_incremental's "
+    "ingest-tick topology): docs with doc_id %% 5 == 0 play the arriving "
+    "batch and near-dup ONLY against the corpus — never corpus-vs-corpus.  "
+    "Both sides expose PPJoin prefixes under one shared (df, token) total "
+    "order (prefix filtering is order-agnostic, so correctness is "
+    "unaffected by computing df over the union), and the candidate join is "
+    "batch-prefix x corpus-prefix: candidate volume is proportional to the "
+    "BATCH, not the corpus pair count.  At 100 TB the corpus prefix index "
+    "is materialized once (bucketed by token, the dedup_exact_bucketed "
+    "treatment) and each tick's batch joins it — the same "
+    "only-the-tick-shuffles contract as exact incremental dedup.  Exact "
+    "verify on candidates -> exact oracle (the blocked rewrite is checked "
+    "value-for-value against the naive batch x corpus formulation).",
+)
+def dedup_incremental_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _hashed_token_sets(spark, sf_dir)
+    tok = toks.select(
+        "doc_id", F.size("toks").alias("n"), F.explode("toks").alias("w")
+    )
+    # one shared df order over the union: any common total order preserves
+    # the prefix-filter guarantee for cross-side pairs
+    dfreq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    ranked = tok.join(dfreq, "w").withColumn(
+        "rnk",
+        F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "w")),
+    )
+    prefix = ranked.filter(
+        F.col("rnk") <= F.col("n") - F.ceil(F.lit(JACCARD_T) * F.col("n")) + 1
+    ).select("doc_id", "w")
+    bp = prefix.filter(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("batch_id"), "w"
+    )
+    cp = prefix.filter(F.col("doc_id") % 5 != 0).select(
+        F.col("doc_id").alias("corpus_id"), "w"
+    )
+    cand = bp.join(cp, "w").select("batch_id", "corpus_id").dropDuplicates(
+        ["batch_id", "corpus_id"]
+    )
+    sized = toks.select("doc_id", "toks", F.size("toks").alias("nt"))
+    ta = sized.select(
+        F.col("doc_id").alias("batch_id"), F.col("toks").alias("ta"),
+        F.col("nt").alias("na"),
+    )
+    tb = sized.select(
+        F.col("doc_id").alias("corpus_id"), F.col("toks").alias("tb"),
+        F.col("nt").alias("nb"),
+    )
+    pairs = cand.join(ta, "batch_id").join(tb, "corpus_id")
+    inter = F.size(F.array_intersect("ta", "tb")).cast("double")
+    jac = F.round(inter / (F.col("na") + F.col("nb") - inter), 6)
+    return (
+        pairs.select("batch_id", "corpus_id", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_T)
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_exact": dedup_exact,
     "dedup_exact_bucketed": dedup_exact_bucketed,
@@ -606,6 +681,7 @@ QUERIES: dict[str, QuerySpec] = {
     "pipeline_curation": pipeline_curation,
     "dedup_exact_survivors": dedup_exact_survivors,
     "dedup_jaccard_pairs": dedup_jaccard_pairs,
+    "dedup_incremental_jaccard": dedup_incremental_jaccard,
     "dedup_connected_components": dedup_connected_components,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_minhash_recall": dedup_minhash_recall,

@@ -738,6 +738,53 @@ def ingest_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", F.col("value").alias("value_at_snap"))
 
 
+
+
+@spec(
+    """
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+           CAST(SUM(len(text)) AS BIGINT) AS char_sum
+    FROM documents GROUP BY lang, source
+    """,
+    doc="S4+ small-files COMPACTION round-trip (lake maintenance): the "
+    "documents table is deliberately fragmented into 48 tiny parquet files "
+    "(a streaming-ingest lake's natural state), compacted by "
+    "compact_parquet_dir — target file count derived from file-size "
+    "METADATA, one repartition rewrite, directory swap — then read back.  "
+    "Emits per-(lang, source) counts plus doc_id/char checksums, so the "
+    "oracle (the same stats off the ORIGINAL table) proves the rewrite is "
+    "content-identical; the file-count reduction itself is asserted "
+    "in-builder (raises if compaction failed to shrink the directory) and "
+    "unit-tested.",
+)
+def lake_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from ..sources.lake import compact_parquet_dir
+    from ..streaming.replay import scratch_dir
+
+    base = scratch_dir(f"compact-{uuid.uuid4().hex[:8]}")
+    path = f"{base}/documents"
+    docs = load(spark, sf_dir, "documents")
+    docs.repartition(48).write.mode("overwrite").parquet(path)
+    # ~sf0.01 documents total < 1 MiB: a 256 KiB target forces a real
+    # multi-file compaction at every driver SF without degenerating to 1
+    n_before, n_after = compact_parquet_dir(spark, path, target_file_bytes=256 << 10)
+    if not n_after < n_before:
+        raise RuntimeError(f"compaction did not shrink: {n_before} -> {n_after}")
+    return (
+        spark.read.parquet(path)
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("id_sum"),
+            F.sum(F.length("text")).alias("char_sum"),
+        )
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "ingest_merge_upsert": ingest_merge_upsert,
     "ingest_merge_into_route": ingest_merge_into_route,
@@ -754,4 +801,5 @@ QUERIES: dict[str, QuerySpec] = {
     "saprfc_pushdown": saprfc_pushdown,
     "saprfc_projection": saprfc_projection,
     "sink_roundtrip": sink_roundtrip,
+    "lake_compact_roundtrip": lake_compact_roundtrip,
 }

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..functions.exprs import SQL_DISC_PRICE, disc_price, sql_sum_money, sum_money
 from ..registry import QuerySpec, spec
 
 # ---------------------------------------------------------------------------
@@ -381,6 +382,103 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join reduction (the runtime-filter pattern Spark's
+# InjectRuntimeFilter applies automatically when statistics allow; built
+# explicitly here so the reduction is deterministic and plan-visible)
+# ---------------------------------------------------------------------------
+
+BLOOM_WORDS = 4096  # 2^18 bits in 64-bit words: a 32 KB task-closure bitmap
+BLOOM_BITS = BLOOM_WORDS * 64
+BLOOM_K = 3  # hash probes per key
+
+
+def bloom_build(keys: DataFrame, col: str) -> list[int]:
+    """Aggregate a Bloom bitmap over ``keys[col]`` as BLOOM_WORDS 64-bit
+    words: each key sets BLOOM_K bits (seeded xxhash64 positions); words
+    merge with bit_or — a single narrow aggregation whose output is BOUNDED
+    (BLOOM_WORDS rows) regardless of key count, so the driver collect stays
+    32 KB at any corpus size."""
+    pos = F.array(
+        *[
+            F.pmod(F.xxhash64(F.lit(s), F.col(col)), F.lit(BLOOM_BITS))
+            for s in range(BLOOM_K)
+        ]
+    )
+    rows = (
+        keys.select(F.explode(pos).alias("p"))
+        .select(
+            (F.col("p") / 64).cast("int").alias("w"),
+            # call_function: the DataFrame shiftleft binding only takes a
+            # Python-int shift; the SQL function accepts a column
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), (F.col("p") % 64).cast("int")
+            ).alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("word"))
+        .collect()
+    )
+    words = [0] * BLOOM_WORDS
+    for r in rows:
+        words[r["w"]] = r["word"]
+    return words
+
+
+def bloom_might_contain(words: list[int], key: F.Column) -> F.Column:
+    """Pure-expression Bloom probe: all BLOOM_K bit positions set.  The
+    bitmap rides as ONE array literal (no join, no broadcast variable), so
+    the predicate evaluates scan-side inside whole-stage codegen."""
+    arr = F.lit(words)
+    cond = F.lit(True)
+    for s in range(BLOOM_K):
+        p = F.pmod(F.xxhash64(F.lit(s), key), F.lit(BLOOM_BITS))
+        word = F.element_at(arr, (p / 64).cast("int") + 1)
+        bit = F.call_function("shiftleft", F.lit(1).cast("long"), (p % 64).cast("int"))
+        cond = cond & (word.bitwiseAND(bit) != 0)
+    return cond
+
+
+@spec(
+    f"""
+    SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           {sql_sum_money(SQL_DISC_PRICE, 'revenue')}
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY month
+    """,
+    doc="J1+ BLOOM-PREFILTERED join (explicit runtime-filter/semi-join "
+    "reduction): urgent orders build a fixed 32 KB Bloom bitmap (one "
+    "bounded aggregation, never a per-key collect), the LINEITEM scan "
+    "drops non-matching rows INSIDE its scan stage via a pure-expression "
+    "probe, and only survivors reach the join shuffle.  False positives "
+    "are eliminated by the residual exact equi-join, so the rewrite is "
+    "semantics-transparent and the oracle is the plain join.  At 100 TB "
+    "this is the difference between shuffling the whole fact table and "
+    "shuffling the ~1/5 that can match — the hand-built form of Spark's "
+    "InjectRuntimeFilter, deterministic and plan-locked "
+    "(tests/test_plans.py: the probe sits below the join Exchange).",
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey", "o_orderdate")
+    )
+    words = bloom_build(o, "o_orderkey")
+    li = load(spark, sf_dir, "lineitem").filter(
+        bloom_might_contain(words, F.col("l_orderkey"))
+    )
+    joined = li.join(o, li.l_orderkey == o.o_orderkey)
+    return joined.groupBy(
+        F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM").alias("month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        sum_money(disc_price(), "revenue"),
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "join_salted_skew": join_salted_skew,
     "join_inner": join_inner,
@@ -393,6 +491,7 @@ QUERIES: dict[str, QuerySpec] = {
     "join_cross_theta": join_cross_theta,
     "join_range_bands": join_range_bands,
     "join_interval_overlap": join_interval_overlap,
+    "join_bloom_prefilter": join_bloom_prefilter,
     "join_asof": join_asof,
 }
 

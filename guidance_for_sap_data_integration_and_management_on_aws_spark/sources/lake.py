@@ -152,3 +152,51 @@ def write_dual_sink(
 def read_back(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
     """S8: read the lake output back (schema round-trip check)."""
     return spark.read.format(fmt).load(path)
+
+
+def compact_parquet_dir(
+    spark: SparkSession, path: str, target_file_bytes: int = 128 << 20
+) -> tuple[int, int]:
+    """Small-files COMPACTION (lake maintenance): rewrite a parquet
+    directory so files approach ``target_file_bytes``.
+
+    The target file count comes from FILE METADATA only (sum of on-disk
+    sizes / target) — no data is read to plan the rewrite, so planning is
+    O(#files) at any corpus size.  The rewrite itself is one
+    ``repartition(n)`` pass (a round-robin shuffle, each writer emitting
+    one right-sized file) into a sibling directory, then an atomic-ish
+    directory swap.  Returns (files_before, files_after).
+
+    At 100 TB this runs per table-partition (compact only partitions whose
+    small-file count crosses a threshold, newest partitions first) — the
+    maintenance loop behind every streaming-ingest lake; production engines
+    ship it as OPTIMIZE/rewrite_data_files, and this is that operator's
+    dataflow on plain parquet.  No-ops (returns early) when the directory
+    already meets the target.
+    """
+    import glob
+    import math
+    import os
+    import shutil
+
+    files = [
+        f
+        for f in glob.glob(os.path.join(path, "*.parquet"))
+        + glob.glob(os.path.join(path, "part-*"))
+        if os.path.isfile(f) and not f.endswith(".crc")
+    ]
+    files = sorted(set(files))
+    n_before = len(files)
+    total = sum(os.path.getsize(f) for f in files)
+    n_target = max(1, math.ceil(total / target_file_bytes))
+    if n_target >= n_before:
+        return n_before, n_before
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "__compacting"
+    df.repartition(n_target).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    n_after = len(
+        [f for f in glob.glob(os.path.join(path, "part-*")) if not f.endswith(".crc")]
+    )
+    return n_before, n_after

@@ -441,3 +441,56 @@ def test_connected_components_against_union_find(spark, sf_dir):
         for r in dedup_connected_components.builder(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_compaction_shrinks_and_preserves_content(spark, sf_dir, tmp_path):
+    """compact_parquet_dir must reduce the file count to the metadata-derived
+    target and leave the row multiset byte-identical."""
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.sources.lake import (
+        compact_parquet_dir,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = str(tmp_path / "docs")
+    d.repartition(24).write.parquet(path)
+    before = sorted(r["doc_id"] for r in spark.read.parquet(path).collect())
+    n_before, n_after = compact_parquet_dir(spark, path, target_file_bytes=1 << 30)
+    assert n_before == 24 and n_after == 1  # everything fits one target file
+    after = sorted(r["doc_id"] for r in spark.read.parquet(path).collect())
+    assert after == before
+    # a directory already at target is a planning-only no-op
+    n2_before, n2_after = compact_parquet_dir(spark, path, target_file_bytes=1 << 30)
+    assert (n2_before, n2_after) == (1, 1)
+
+
+def test_bloom_prefilter_drops_most_nonmatching_rows(spark, sf_dir):
+    """The 32 KB bitmap must reject the bulk of non-matching fact rows
+    (urgent orders are ~1/5 of keys; fp rate at this fill is a few %), and
+    must NEVER reject a matching row (no false negatives — the property the
+    exact oracle already implies, asserted directly here)."""
+    from pyspark.sql import functions as F
+
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.catalog import load
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.operators.joins import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    words = bloom_build(o, "o_orderkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey")
+    n = li.count()
+    kept = li.filter(bloom_might_contain(words, F.col("l_orderkey"))).count()
+    true_match = li.join(o, li.l_orderkey == o.o_orderkey, "left_semi").count()
+    assert kept < 0.5 * n  # real reduction
+    assert kept >= true_match  # and zero false negatives
+    missed = (
+        li.join(o, li.l_orderkey == o.o_orderkey, "left_semi")
+        .filter(~bloom_might_contain(words, F.col("l_orderkey")))
+        .count()
+    )
+    assert missed == 0

@@ -384,3 +384,21 @@ def test_scd2_single_exchange_shared_sort(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ingest_scd2_history")
     assert n_exchanges(plan) == 1
     assert plan.count("Sort ") == 1
+
+
+def test_bloom_prefilter_sits_below_join_exchange(spark, sf_dir):
+    """join_bloom_prefilter's reduction claim: the Bloom probe must run in
+    the lineitem SCAN stage (a Filter under the fact-side Exchange), so
+    only survivors cross the shuffle — and it must remain semantics-
+    transparent (the exact equi-join is still present)."""
+    plan = _plan(spark, sf_dir, "join_bloom_prefilter")
+    lines = plan.splitlines()
+    probe = [i for i, l in enumerate(lines) if "Filter" in l and "shiftleft" in l]
+    assert probe, "bloom probe Filter missing from the plan"
+    # the tree prints parent-above-child: the probe Filter's child must be
+    # the lineitem scan itself (probe evaluates in the scan stage, so rows
+    # drop before the join's Exchange), not a post-join projection
+    below = "\n".join(lines[probe[0] : probe[0] + 3])
+    assert "FileScan parquet" in below and "lineitem" in below, below
+    # and the exact equi-join is still present (bloom is only a prefilter)
+    assert any(j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
