@@ -74,6 +74,7 @@ _PRIORITY = [
     "dedup_incremental_jaccard",  # batch-vs-corpus near-dup (ingest tick)
     "join_bloom_prefilter",  # explicit bloom runtime-filter join reduction
     "lake_compact_roundtrip",  # small-files compaction, content-identical
+    "udf_pandas_grouped_agg",  # GROUPED_AGG pandas UDF (true vectorized UDAF)
     # --- rotation ballast: oldest r03 greens fill the window ----------------
     "q1_pricing_summary",
     "q2_min_cost_supplier",
@@ -87,8 +88,8 @@ _PRIORITY = [
     "q10_returned_items",
     "q11_important_parts",
     "q13_order_distribution",
-    "q14_promo_revenue",
     # --- ~50-entry line; remaining r03 greens queue for round 7 -------------
+    "q14_promo_revenue",
     "q15_top_supplier",
     "join_inner",
     "join_broadcast",

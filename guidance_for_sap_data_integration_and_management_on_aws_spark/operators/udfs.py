@@ -137,10 +137,49 @@ def udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec(
+    """
+    SELECT lang,
+           CAST(median(n_chars) AS DOUBLE) AS median_chars,
+           round(CAST(quantile_cont(n_chars, 0.75) AS DOUBLE)
+                 - CAST(quantile_cont(n_chars, 0.25) AS DOUBLE), 6) AS iqr_chars
+    FROM documents GROUP BY lang
+    """,
+    doc="U2+ GROUPED_AGG pandas UDF — the true vectorized UDAF, completing "
+    "the UDF surface (scalar U1, scalar-vectorized U2, grouped-MAP U3, "
+    "UDTF U4): whole-group Arrow series in, ONE scalar out, usable "
+    "directly inside groupBy().agg() alongside builtins (unlike "
+    "applyInPandas, which replaces the whole aggregation).  Kernel = "
+    "per-language median and interquartile range via numpy; linear "
+    "interpolation on integer inputs at quarter fractions is exact in "
+    "float64, so the quantile_cont oracle matches bit-for-bit after "
+    "round(6).  Fast path for THESE stats is builtin percentile — the "
+    "GROUPED_AGG surface exists for aggregates builtins can't express "
+    "(model scoring over a group, sketch merges).",
+)
+def udf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @pandas_udf("double")
+    def median_chars(v: pd.Series) -> float:
+        return float(np.median(v.to_numpy(dtype="float64")))
+
+    @pandas_udf("double")
+    def iqr_chars(v: pd.Series) -> float:
+        a = v.to_numpy(dtype="float64")
+        p25, p75 = np.percentile(a, [25, 75])  # linear interpolation
+        return float(np.round(p75 - p25, 6))
+
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        median_chars("n_chars").alias("median_chars"),
+        iqr_chars("n_chars").alias("iqr_chars"),
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "udf_scalar_reverse": udf_scalar_reverse,
     "udf_pandas_l2norm": udf_pandas_l2norm,
     "udf_grouped_stats": udf_grouped_stats,
+    "udf_pandas_grouped_agg": udf_pandas_grouped_agg,
     "udtf_explode_words": udtf_explode_words,
     "udtf_bigrams": udtf_bigrams,
 }
