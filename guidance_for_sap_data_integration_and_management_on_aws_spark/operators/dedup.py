@@ -285,6 +285,49 @@ LSH_ROWS_PER_BAND = 2
 N_BANDS = N_MINHASHES // LSH_ROWS_PER_BAND
 
 
+def banded_signatures(hashed: DataFrame) -> DataFrame:
+    """(doc_id, band, h) banded MinHash rows for a (doc_id, toks) frame —
+    the shared signing step of the batch LSH query, and the frame a 100 TB
+    pipeline materializes ONCE as a (band, h)-bucketed signature index so
+    each ingest tick's batch can probe it with zero corpus shuffle
+    (incremental_lsh_candidates; plan-locked in tests/test_plans.py)."""
+
+    def minhash(seed: int) -> F.Column:
+        # NB: the lambda must take exactly one arg — F.transform passes the
+        # element index to a second parameter, which would clobber the seed.
+        return F.array_min(F.transform("toks", lambda h: F.xxhash64(F.lit(seed), h)))
+
+    # band key: both of the band's minhashes must agree -> hash the pair into
+    # one bigint so banded rows stay (doc_id, band, h) — as narrow as r=1
+    def band_key(b: int) -> F.Column:
+        return F.xxhash64(*[minhash(LSH_ROWS_PER_BAND * b + i) for i in range(LSH_ROWS_PER_BAND)])
+
+    sig = hashed.select(
+        "doc_id",
+        F.array(*[band_key(b) for b in range(N_BANDS)]).alias("sig"),
+    )
+    return sig.select("doc_id", F.posexplode("sig").alias("band", "h"))
+
+
+def incremental_lsh_candidates(
+    batch_banded: DataFrame, corpus_table: DataFrame
+) -> DataFrame:
+    """Candidate (batch_id, corpus_id) near-dup pairs for an arriving batch
+    against a PERSISTED signature index: ``corpus_table`` must be a
+    (corpus_id, band, h) table bucketed+sorted on (band, h), so the equi-
+    join needs no corpus-side Exchange — only the tick's batch shuffles.
+    The fuzzy analog of dedup_incremental's bucketed anti-join; callers
+    verify candidates with the exact-Jaccard kernel as in
+    dedup_minhash_lsh."""
+    return (
+        batch_banded.withColumnRenamed("doc_id", "batch_id")
+        .join(corpus_table, ["band", "h"])
+        .select("batch_id", "corpus_id")
+        .dropDuplicates(["batch_id", "corpus_id"])
+    )
+
+
+
 @spec(
     None,
     doc="L2 MinHash-LSH near-dup pairs at Jaccard distance < 0.45 (covers "
@@ -313,22 +356,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the persisted token cache makes "one pass" literal — the signature
     # build and both verify sides read the same materialized frame
     hashed = _hashed_token_sets(spark, sf_dir)
-
-    def minhash(seed: int) -> F.Column:
-        # NB: the lambda must take exactly one arg — F.transform passes the
-        # element index to a second parameter, which would clobber the seed.
-        return F.array_min(F.transform("toks", lambda h: F.xxhash64(F.lit(seed), h)))
-
-    # band key: both of the band's minhashes must agree -> hash the pair into
-    # one bigint so banded rows stay (doc_id, band, h) — as narrow as r=1
-    def band_key(b: int) -> F.Column:
-        return F.xxhash64(*[minhash(LSH_ROWS_PER_BAND * b + i) for i in range(LSH_ROWS_PER_BAND)])
-
-    sig = hashed.select(
-        "doc_id",
-        F.array(*[band_key(b) for b in range(N_BANDS)]).alias("sig"),
-    )
-    banded = sig.select("doc_id", F.posexplode("sig").alias("band", "h"))
+    banded = banded_signatures(hashed)
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (

@@ -402,3 +402,52 @@ def test_bloom_prefilter_sits_below_join_exchange(spark, sf_dir):
     assert "FileScan parquet" in below and "lineitem" in below, below
     # and the exact equi-join is still present (bloom is only a prefilter)
     assert any(j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+
+
+def test_incremental_lsh_corpus_side_zero_exchange(spark, sf_dir):
+    """The fuzzy incremental-ingest story: MinHash band signatures persist
+    as a (band, h)-bucketed index; an arriving batch's banded rows probe it
+    with ONE Exchange total (the batch side) — the corpus index is never
+    re-shuffled.  Also anchors recall: the bucketed probe must produce the
+    identical candidate set as the in-memory banded self-join restricted to
+    batch x corpus."""
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.catalog import (
+        scratch_table,
+    )
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.operators import dedup
+    from pyspark.sql import functions as F
+
+    hashed = dedup._hashed_token_sets(spark, sf_dir)
+    banded = dedup.banded_signatures(hashed)
+    corpus = banded.filter(F.col("doc_id") % 5 != 0).withColumnRenamed(
+        "doc_id", "corpus_id"
+    )
+    tbl = scratch_table(spark, "minhash_band_index", sf_dir)
+    corpus.write.bucketBy(8, "band", "h").sortBy("band", "h").mode(
+        "overwrite"
+    ).saveAsTable(tbl)
+    batch = banded.filter(F.col("doc_id") % 5 == 0)
+    cand = dedup.incremental_lsh_candidates(batch, spark.table(tbl))
+    with _no_broadcast(spark):
+        plan = executed_plan(cand)
+    assert "SortMergeJoin" in plan
+    # the corpus leg reads the bucketed table DIRECTLY under its join sort —
+    # no Exchange between the join and the index scan.  (The batch side and
+    # the candidate-pair dedup DO shuffle, but those are batch/candidate-
+    # proportional — the corpus is never re-shuffled.)
+    lines = plan.splitlines()
+    [scan_i] = [i for i, l in enumerate(lines) if "minhash_band_index" in l]
+    join_i = max(i for i, l in enumerate(lines) if "SortMergeJoin" in l and i < scan_i)
+    corpus_leg = "\n".join(lines[join_i:scan_i])
+    assert "Exchange" not in corpus_leg.rsplit("Sort", 1)[-1], corpus_leg
+    assert "Bucketed: true" in lines[scan_i]
+    # candidate-set identity vs the in-memory formulation
+    mem = (
+        batch.withColumnRenamed("doc_id", "batch_id")
+        .join(corpus, ["band", "h"])
+        .select("batch_id", "corpus_id")
+        .dropDuplicates(["batch_id", "corpus_id"])
+    )
+    got = {(r["batch_id"], r["corpus_id"]) for r in cand.collect()}
+    want = {(r["batch_id"], r["corpus_id"]) for r in mem.collect()}
+    assert got == want and got
