@@ -75,6 +75,7 @@ _PRIORITY = [
     "join_bloom_prefilter",  # explicit bloom runtime-filter join reduction
     "lake_compact_roundtrip",  # small-files compaction, content-identical
     "udf_pandas_grouped_agg",  # GROUPED_AGG pandas UDF (true vectorized UDAF)
+    "ann_matryoshka_recall",  # truncated-dim (MRL) recall eval vs full space
     # --- rotation ballast: oldest r03 greens fill the window ----------------
     "q1_pricing_summary",
     "q2_min_cost_supplier",
@@ -87,8 +88,8 @@ _PRIORITY = [
     "q9_product_profit",
     "q10_returned_items",
     "q11_important_parts",
-    "q13_order_distribution",
     # --- ~50-entry line; remaining r03 greens queue for round 7 -------------
+    "q13_order_distribution",
     "q14_promo_revenue",
     "q15_top_supplier",
     "join_inner",

@@ -904,6 +904,85 @@ def ann_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MRL_SUB_DIM = 16  # leading dims scored in the truncated space
+MRL_K = 5
+
+
+@spec(
+    f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < {N_QUERIES}),
+    full_k AS (
+      SELECT q.qid, v.vec_id AS neighbor_id
+      FROM q JOIN v ON q.qid <> v.vec_id
+      QUALIFY row_number() OVER (
+        PARTITION BY q.qid
+        ORDER BY round({sql_cosine('q.qe', 'v.e')}, 6) DESC, v.vec_id) <= {MRL_K}
+    ),
+    trunc_k AS (
+      SELECT q.qid, v.vec_id AS neighbor_id
+      FROM q JOIN v ON q.qid <> v.vec_id
+      QUALIFY row_number() OVER (
+        PARTITION BY q.qid
+        ORDER BY round({sql_cosine(f'q.qe[1:{MRL_SUB_DIM}]', f'v.e[1:{MRL_SUB_DIM}]')}, 6)
+                   DESC, v.vec_id) <= {MRL_K}
+    )
+    SELECT q.qid,
+           CAST(COALESCE(o.n, 0) AS BIGINT) AS n_overlap
+    FROM q
+    LEFT JOIN (SELECT f.qid, COUNT(*) AS n
+               FROM full_k f JOIN trunc_k t
+                 ON f.qid = t.qid AND f.neighbor_id = t.neighbor_id
+               GROUP BY f.qid) o ON q.qid = o.qid
+    """,
+    doc=f"L3 MATRYOSHKA-style truncation eval (the MRL serving question: how "
+    f"much recall do the leading {MRL_SUB_DIM} of {PQ_M * PQ_SUB} dims "
+    f"retain?): per query, |top-{MRL_K} in the truncated space ∩ "
+    f"top-{MRL_K} in the full space|.  The eval harness a training "
+    "pipeline runs on its embedding spaces before deploying truncated "
+    "indexes (4x memory/bandwidth cut if recall holds).  Both rankings "
+    "are rounded-cosine with vec_id tie-breaks, so the neighbor SETS are "
+    "deterministic and the overlap count is oracle-exact; array slicing "
+    "(F.slice / list slice) is the only added machinery.",
+)
+def ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("e")
+    )
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+    )
+
+    def topk(score: F.Column) -> DataFrame:
+        w = Window.partitionBy("qid").orderBy(F.desc("s"), F.asc("neighbor_id"))
+        return (
+            F.broadcast(q)
+            .join(v, F.col("qid") != F.col("vec_id"))
+            .select("qid", F.col("vec_id").alias("neighbor_id"), score.alias("s"))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= MRL_K)
+            .select("qid", "neighbor_id")
+        )
+
+    full_k = topk(F.round(cosine(F.col("qe"), F.col("e")), 6))
+    trunc_k = topk(
+        F.round(
+            cosine(
+                F.slice(F.col("qe"), 1, MRL_SUB_DIM), F.slice(F.col("e"), 1, MRL_SUB_DIM)
+            ),
+            6,
+        )
+    )
+    overlap = (
+        full_k.join(trunc_k, ["qid", "neighbor_id"])
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return q.select("qid").join(overlap, "qid", "left").select(
+        "qid", F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_overlap")
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_lsh_topk": ann_lsh_topk,
@@ -916,4 +995,5 @@ QUERIES: dict[str, QuerySpec] = {
     "ann_pq_adc_topk": ann_pq_adc_topk,
     "ann_ivf_pq_topk": ann_ivf_pq_topk,
     "ann_two_stage": ann_two_stage,
+    "ann_matryoshka_recall": ann_matryoshka_recall,
 }
