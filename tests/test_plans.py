@@ -451,3 +451,31 @@ def test_incremental_lsh_corpus_side_zero_exchange(spark, sf_dir):
     got = {(r["batch_id"], r["corpus_id"]) for r in cand.collect()}
     want = {(r["batch_id"], r["corpus_id"]) for r in mem.collect()}
     assert got == want and got
+
+
+def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path):
+    """§4 scale lever: a selective dim-side filter must prune FACT PARTITIONS
+    at runtime (Spark's DPP inserts a dynamicpruningexpression into the
+    partition filters) — at 100 TB this is the difference between scanning
+    every date partition and only the ones the dim actually references."""
+    import pyspark.sql.functions as F
+
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.catalog import load
+
+    load(spark, sf_dir, "lineitem").write.partitionBy("l_returnflag").parquet(
+        str(tmp_path / "li")
+    )
+    load(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("flag"), "o_orderkey"
+    ).dropDuplicates(["flag"]).write.parquet(str(tmp_path / "dim"))
+    fact = spark.read.parquet(str(tmp_path / "li"))
+    dim = spark.read.parquet(str(tmp_path / "dim")).filter(F.col("o_orderkey") >= 0)
+    j = fact.join(dim, fact.l_returnflag == dim.flag).select("l_orderkey", "flag")
+    plan = executed_plan(j)
+    assert "dynamicpruningexpression" in plan.lower(), plan
+    # pruning is semantics-transparent
+    flags = {r["flag"] for r in dim.collect()}
+    want = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin(flags)
+    ).count()
+    assert j.count() == want

@@ -172,3 +172,47 @@ def test_transform_with_state_v2(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_stateful_streaming_on_rocksdb_state_store(spark, sf_dir):
+    """The production state-store backend for state larger than executor
+    memory: the same windowed watermark aggregation must produce identical
+    results under RocksDBStateStoreProvider as under the default HDFS-backed
+    (in-memory) provider — the knob is config-only, no dataflow change."""
+    from pyspark.sql import functions as F
+
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.streaming.replay import (
+        build_replay,
+        read_events_stream,
+        run_to_table,
+    )
+
+    path = build_replay(spark, sf_dir, "ordered")
+
+    def drain(name: str):
+        s = (
+            read_events_stream(spark, path)
+            .withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.date_format("window.start", "yyyy-MM-dd HH:mm").alias("ws"), "n")
+        )
+        return sorted(
+            (r["ws"], r["n"]) for r in run_to_table(s, name, "append").collect()
+        )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    default = drain("rocks_default")
+    old = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        rocks = drain("rocks_rocksdb")
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+    assert rocks == default and rocks
