@@ -458,7 +458,11 @@ def bloom_might_contain(words: list[int], key: F.Column) -> F.Column:
     "this is the difference between shuffling the whole fact table and "
     "shuffling the ~1/5 that can match — the hand-built form of Spark's "
     "InjectRuntimeFilter, deterministic and plan-locked "
-    "(tests/test_plans.py: the probe sits below the join Exchange).",
+    "(tests/test_plans.py: the probe sits below the join Exchange).  Cost "
+    "threshold (why engines gate runtime filters on size estimates): the "
+    "probe costs ~3 hashes/row, which only pays when the avoided shuffle "
+    "is large — at fixture scale the demo costs more than it saves, by "
+    "design the same breakeven InjectRuntimeFilter's heuristics encode.",
 )
 def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = (
