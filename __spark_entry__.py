@@ -76,6 +76,7 @@ _PRIORITY = [
     "lake_compact_roundtrip",  # small-files compaction, content-identical
     "udf_pandas_grouped_agg",  # GROUPED_AGG pandas UDF (true vectorized UDAF)
     "ann_matryoshka_recall",  # truncated-dim (MRL) recall eval vs full space
+    "stream_stream_left_join",  # outer stream-stream interval join (T7++)
     # --- rotation ballast: oldest r03 greens fill the window ----------------
     "q1_pricing_summary",
     "q2_min_cost_supplier",
@@ -87,8 +88,8 @@ _PRIORITY = [
     "q8_market_share",
     "q9_product_profit",
     "q10_returned_items",
-    "q11_important_parts",
     # --- ~50-entry line; remaining r03 greens queue for round 7 -------------
+    "q11_important_parts",
     "q13_order_distribution",
     "q14_promo_revenue",
     "q15_top_supplier",

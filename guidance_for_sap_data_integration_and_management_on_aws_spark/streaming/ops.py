@@ -553,11 +553,85 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_table(joined, "mem_stream_stream_join", "append")
 
 
+@spec(
+    f"""
+    WITH v AS (SELECT event_id AS view_id, user_id, ts AS v_ts FROM events
+               WHERE event_type = 'view'),
+    c AS (SELECT event_id AS click_id, user_id AS c_user, ts AS c_ts FROM events
+          WHERE event_type = 'click'),
+    wm AS (SELECT least((SELECT max(ts) FROM events WHERE event_type = 'view'),
+                        (SELECT max(ts) FROM events WHERE event_type = 'click'))
+                  - INTERVAL '1 hour' AS w),
+    m AS (SELECT v.view_id, c.click_id, v.user_id, v.v_ts, c.c_ts
+          FROM v JOIN c ON v.user_id = c.c_user
+            AND c.c_ts > v.v_ts AND c.c_ts <= v.v_ts + INTERVAL '30 minutes')
+    SELECT view_id, click_id, user_id,
+           strftime(v_ts, '{SQL_TS_FMT}') AS view_ts,
+           strftime(c_ts, '{SQL_TS_FMT}') AS click_ts
+    FROM m
+    UNION ALL
+    SELECT v.view_id, NULL, v.user_id, strftime(v.v_ts, '{SQL_TS_FMT}'), NULL
+    FROM v, wm
+    WHERE v.view_id NOT IN (SELECT view_id FROM m)
+      AND v.v_ts + INTERVAL '30 minutes' < wm.w
+    """,
+    doc="T7++ stream-stream LEFT OUTER interval join — the hard half of "
+    "stream-stream joins (inner matches emit eagerly; NULL-extended rows "
+    "can only emit once the join is CLOSED for that left row, i.e. the "
+    "watermark passes its interval's upper bound — premature emission "
+    "would be retracted by a later match).  Oracle-EXACT via the "
+    "deterministic replay: matches equal the batch interval join; a view "
+    "emits NULL-extended iff unmatched AND v_ts + 30min < final watermark "
+    "(min of both sides' max event time, minus the 1h delay — unmatched "
+    "views above that horizon are still open state when the drain ends "
+    "and are correctly absent).  At 100 TB the watermark bound is what "
+    "keeps both sides' join state finite; a missing watermark makes "
+    "outer stream-stream joins unrunnable, not just slow.",
+)
+def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rdir = build_replay(spark, sf_dir, "ordered")
+    views = (
+        read_events_stream(spark, rdir, files_per_trigger=None)
+        .filter(F.col("event_type") == "view")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+    )
+    clicks = (
+        read_events_stream(spark, rdir, files_per_trigger=None)
+        .filter(F.col("event_type") == "click")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    joined = views.join(
+        clicks,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("c_ts") > F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "left_outer",
+    ).select(
+        "view_id",
+        "click_id",
+        F.col("v_user").alias("user_id"),
+        _fmt("v_ts").alias("view_ts"),
+        _fmt("c_ts").alias("click_ts"),
+    )
+    return run_to_table(joined, "mem_stream_stream_left_join", "append")
+
+
 QUERIES: dict[str, QuerySpec] = {
     "stream_incremental_upsert": stream_incremental_upsert,
     "stream_tumbling_agg": stream_tumbling_agg,
     "stream_windowed_topk": stream_windowed_topk,
     "stream_stream_join": stream_stream_join,
+    "stream_stream_left_join": stream_stream_left_join,
     "stream_sliding_window": stream_sliding_window,
     "stream_session_window": stream_session_window,
     "stream_watermark_late_drop": stream_watermark_late_drop,
