@@ -88,8 +88,8 @@ def test_fixed_k_codebook_constant_across_corpus_scale(spark, sf_dir):
     v10 = _vectors(spark, sf_dir, copies=10)
     assert seed_vectors(v1, IVF_K).count() == IVF_K
     assert seed_vectors(v10, IVF_K).count() == IVF_K  # constant at 10x
-    assert _pq_codebook(v1).shape[0] == PQ_CB_K
-    assert _pq_codebook(v10).shape[0] == PQ_CB_K  # constant at 10x
+    assert _pq_codebook(spark, v1, sf_dir + '#x1').shape[0] == PQ_CB_K
+    assert _pq_codebook(spark, v10, sf_dir + '#x10').shape[0] == PQ_CB_K  # constant at 10x
     # deterministic: the digest-ordered sample is a pure function of vec_ids
     s1 = sorted(r["cid"] for r in seed_vectors(v1, IVF_K).collect())
     assert s1 == sorted(r["cid"] for r in seed_vectors(v1, IVF_K).collect())
