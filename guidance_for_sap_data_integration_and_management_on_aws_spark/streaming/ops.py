@@ -301,6 +301,117 @@ def stream_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def _session_kernel(key, pdfs, state):
+    """T6+ EVENT-TIME-TIMEOUT kernel: per-user 30-min-gap sessions.  A
+    session closes either when a successor event opens the next one (emitted
+    inline) or when the WATERMARK passes last_ts + gap (emitted by the
+    timeout callback — the mechanism that flushes dangling sessions without
+    waiting for another event from that user)."""
+    import pandas as pd
+
+    gap_ms = 30 * 60 * 1000
+    cols = ["user_id", "start_ms", "end_ms", "n_events"]
+    closed: list[tuple] = []
+    if state.hasTimedOut:
+        start_ms, last_ms, n = state.get
+        closed.append((key[0], start_ms, last_ms, n))
+        state.remove()
+    else:
+        cur = list(state.get) if state.exists else None
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ts in pdf["ts"]:
+                t = int(ts.value // 1_000_000)  # epoch ms
+                if cur is None:
+                    cur = [t, t, 1]
+                elif t - cur[1] > gap_ms:
+                    closed.append((key[0], cur[0], cur[1], cur[2]))
+                    cur = [t, t, 1]
+                else:
+                    cur[1] = t
+                    cur[2] += 1
+        wm = state.getCurrentWatermarkMs()
+        if cur is not None and cur[1] + gap_ms <= wm:
+            # watermark already passed the gap: the session is closed fact,
+            # emit now rather than parking a timer in the past
+            closed.append((key[0], cur[0], cur[1], cur[2]))
+            state.remove()
+        elif cur is not None:
+            state.update(tuple(cur))
+            state.setTimeoutTimestamp(cur[1] + gap_ms)
+    yield pd.DataFrame(closed, columns=cols)
+
+
+@spec(
+    f"""
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sx AS (
+      SELECT user_id, ts,
+             CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+      FROM g
+    ),
+    s AS (
+      SELECT user_id, sid,
+             MIN(ts) AS s_start, MAX(ts) AS s_end,
+             COUNT(*) AS n_events
+      FROM sx GROUP BY user_id, sid
+    ),
+    wm AS (SELECT max(ts) - INTERVAL '1 hour' AS w FROM events),
+    last AS (SELECT user_id, max(sid) AS last_sid FROM s GROUP BY user_id)
+    SELECT s.user_id,
+           strftime(s.s_start, '{SQL_TS_FMT}') AS session_start,
+           strftime(s.s_end, '{SQL_TS_FMT}') AS session_end,
+           s.n_events
+    FROM s JOIN last ON s.user_id = last.user_id, wm
+    WHERE NOT (s.sid = last.last_sid
+               AND s.s_end + INTERVAL '30 minutes' >= wm.w)
+    """,
+    doc="T6+ stateful sessionization with EVENT-TIME TIMEOUTS "
+    "(applyInPandasWithState + GroupStateTimeout.EventTimeTimeout): the "
+    "timeout callback is what closes a user's dangling session once the "
+    "watermark passes last_ts + 30min — without it, a user who never "
+    "returns never emits.  Oracle-EXACT via the deterministic replay: "
+    "emitted sessions equal batch gaps-and-islands sessionization "
+    "(window_sessionize's CTE) minus each user's LAST session when its "
+    "end + gap is still >= the final watermark (max ts - 1h) — those are "
+    "open state when the drain ends, correctly unemitted.  The ordered "
+    "replay guarantees no event arrives after its session's timeout "
+    "(arrival order = ts order, and a fired timeout implies the watermark "
+    "— hence every later event — is beyond the gap), so timeout-closure "
+    "never splits a session the batch semantics would merge.",
+)
+def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    s = read_events_stream(spark, build_replay(spark, sf_dir, "ordered"))
+    closed = (
+        s.withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_kernel,
+            "user_id BIGINT, start_ms BIGINT, end_ms BIGINT, n_events BIGINT",
+            "start_ms BIGINT, last_ms BIGINT, n BIGINT",
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    out = closed.select(
+        "user_id",
+        _fmt(F.timestamp_millis(F.col("start_ms"))).alias("session_start"),
+        _fmt(F.timestamp_millis(F.col("end_ms"))).alias("session_end"),
+        "n_events",
+    )
+    return run_to_table(out, "mem_stream_stateful_sessions", "append")
+
+
 @spec(
     f"""
     SELECT user_id, strftime(ts, '{SQL_TS_FMT}') AS ts_s, event_id, value
@@ -632,6 +743,7 @@ QUERIES: dict[str, QuerySpec] = {
     "stream_windowed_topk": stream_windowed_topk,
     "stream_stream_join": stream_stream_join,
     "stream_stream_left_join": stream_stream_left_join,
+    "stream_stateful_sessions": stream_stateful_sessions,
     "stream_sliding_window": stream_sliding_window,
     "stream_session_window": stream_session_window,
     "stream_watermark_late_drop": stream_watermark_late_drop,
