@@ -301,6 +301,79 @@ def stream_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@spec(
+    f"""
+    WITH v AS (SELECT event_id AS view_id, user_id, ts AS v_ts FROM events
+               WHERE event_type = 'view'),
+    c AS (SELECT event_id AS click_id, user_id AS c_user, ts AS c_ts FROM events
+          WHERE event_type = 'click'),
+    wm AS (SELECT least((SELECT max(ts) FROM events WHERE event_type = 'view'),
+                        (SELECT max(ts) FROM events WHERE event_type = 'click'))
+                  - INTERVAL '1 hour' AS w),
+    m AS (SELECT v.view_id, c.click_id, v.user_id, v.v_ts, c.c_ts
+          FROM v JOIN c ON v.user_id = c.c_user
+            AND c.c_ts > v.v_ts AND c.c_ts <= v.v_ts + INTERVAL '30 minutes')
+    SELECT view_id, click_id, user_id,
+           strftime(v_ts, '{SQL_TS_FMT}') AS view_ts,
+           strftime(c_ts, '{SQL_TS_FMT}') AS click_ts
+    FROM m
+    UNION ALL
+    SELECT v.view_id, NULL, v.user_id, strftime(v.v_ts, '{SQL_TS_FMT}'), NULL
+    FROM v, wm
+    WHERE v.view_id NOT IN (SELECT view_id FROM m)
+      AND v.v_ts + INTERVAL '30 minutes' < wm.w
+    UNION ALL
+    SELECT NULL, c.click_id, c.c_user, NULL, strftime(c.c_ts, '{SQL_TS_FMT}')
+    FROM c, wm
+    WHERE c.click_id NOT IN (SELECT click_id FROM m)
+      AND c.c_ts < wm.w
+    """,
+    doc="T7++ stream-stream FULL OUTER interval join, completing the outer "
+    "family: each side's NULL-extended rows emit once the watermark closes "
+    "its match window — a view's window closes at v_ts + 30min (the upper "
+    "bound of matching clicks), a click's at c_ts itself (matching views "
+    "strictly precede it).  Oracle-exact via the same final-watermark "
+    "horizon rule as the left join; rows whose window is still open at "
+    "drain end are correctly absent.",
+)
+def stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rdir = build_replay(spark, sf_dir, "ordered")
+    views = (
+        read_events_stream(spark, rdir, files_per_trigger=None)
+        .filter(F.col("event_type") == "view")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+    )
+    clicks = (
+        read_events_stream(spark, rdir, files_per_trigger=None)
+        .filter(F.col("event_type") == "click")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    joined = views.join(
+        clicks,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("c_ts") > F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "full_outer",
+    ).select(
+        "view_id",
+        "click_id",
+        F.coalesce(F.col("v_user"), F.col("c_user")).alias("user_id"),
+        _fmt("v_ts").alias("view_ts"),
+        _fmt("c_ts").alias("click_ts"),
+    )
+    return run_to_table(joined, "mem_stream_stream_full_join", "append")
+
+
 def _session_kernel(key, pdfs, state):
     """T6+ EVENT-TIME-TIMEOUT kernel: per-user 30-min-gap sessions.  A
     session closes either when a successor event opens the next one (emitted
@@ -743,6 +816,7 @@ QUERIES: dict[str, QuerySpec] = {
     "stream_windowed_topk": stream_windowed_topk,
     "stream_stream_join": stream_stream_join,
     "stream_stream_left_join": stream_stream_left_join,
+    "stream_stream_full_join": stream_stream_full_join,
     "stream_stateful_sessions": stream_stateful_sessions,
     "stream_sliding_window": stream_sliding_window,
     "stream_session_window": stream_session_window,
