@@ -79,6 +79,7 @@ _PRIORITY = [
     "stream_stream_left_join",  # outer stream-stream interval join (T7++)
     "stream_stateful_sessions",  # event-time-timeout sessionization (T6+)
     "stream_stream_full_join",  # full-outer stream-stream interval join
+    "stream_chained_windows",  # chained stateful aggs (15-min -> hourly)
     # --- rotation ballast: oldest r03 greens fill the window ----------------
     "q1_pricing_summary",
     "q2_min_cost_supplier",
@@ -87,8 +88,8 @@ _PRIORITY = [
     "q5_local_supplier",
     "q6_forecast_revenue",
     "q7_volume_shipping",
-    "q8_market_share",
     # --- ~50-entry line; remaining r03 greens queue for round 7 -------------
+    "q8_market_share",
     "q9_product_profit",
     "q10_returned_items",
     "q11_important_parts",

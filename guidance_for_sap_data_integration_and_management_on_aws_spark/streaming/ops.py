@@ -374,6 +374,50 @@ def stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_table(joined, "mem_stream_stream_full_join", "append")
 
 
+@spec(
+    """
+    WITH wm AS (SELECT max(ts) - INTERVAL '10 minutes' AS w FROM events),
+    q15 AS (SELECT time_bucket(INTERVAL '15 minutes', ts) AS w15, COUNT(*) AS n15
+            FROM events GROUP BY w15)
+    SELECT strftime(time_bucket(INTERVAL '1 hour', w15), '%Y-%m-%d %H:%M') AS hour_start,
+           CAST(max(n15) AS BIGINT) AS max_n15,
+           CAST(sum(n15) AS BIGINT) AS sum_n15,
+           CAST(COUNT(*) AS BIGINT) AS n_quarters
+    FROM q15, wm
+    GROUP BY time_bucket(INTERVAL '1 hour', w15), wm.w
+    HAVING time_bucket(INTERVAL '1 hour', w15) + INTERVAL '1 hour' <= wm.w
+    """,
+    doc="T1+ CHAINED STATEFUL OPERATORS (Spark >= 3.4: multiple stateful "
+    "aggregations in ONE streaming query): 15-min tumbling counts roll up "
+    "into hourly max/sum/quarter-count — the pre-aggregation cascade a "
+    "100 TB metrics pipeline runs as one query instead of two jobs with an "
+    "intermediate topic.  Stage 1 emits only watermark-finalized quarters "
+    "downstream, so stage 2's hourly windows are exact; the oracle keeps "
+    "hours whose end <= final watermark (a finalized hour implies all its "
+    "quarters finalized, so no inner filter is needed).",
+)
+def stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = read_events_stream(spark, build_replay(spark, sf_dir, "ordered"),
+                           files_per_trigger=None)
+    q15 = (
+        s.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "15 minutes"))
+        .agg(F.count(F.lit(1)).alias("n15"))
+    )
+    hourly = q15.groupBy(F.window(F.col("window"), "1 hour")).agg(
+        F.max("n15").alias("max_n15"),
+        F.sum("n15").alias("sum_n15"),
+        F.count(F.lit(1)).alias("n_quarters"),
+    )
+    out = hourly.select(
+        F.date_format("window.start", "yyyy-MM-dd HH:mm").alias("hour_start"),
+        "max_n15",
+        "sum_n15",
+        "n_quarters",
+    )
+    return run_to_table(out, "mem_stream_chained_windows", "append")
+
+
 def _session_kernel(key, pdfs, state):
     """T6+ EVENT-TIME-TIMEOUT kernel: per-user 30-min-gap sessions.  A
     session closes either when a successor event opens the next one (emitted
@@ -818,6 +862,7 @@ QUERIES: dict[str, QuerySpec] = {
     "stream_stream_left_join": stream_stream_left_join,
     "stream_stream_full_join": stream_stream_full_join,
     "stream_stateful_sessions": stream_stateful_sessions,
+    "stream_chained_windows": stream_chained_windows,
     "stream_sliding_window": stream_sliding_window,
     "stream_session_window": stream_session_window,
     "stream_watermark_late_drop": stream_watermark_late_drop,
