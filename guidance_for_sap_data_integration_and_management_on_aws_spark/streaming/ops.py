@@ -448,9 +448,12 @@ def _session_kernel(key, pdfs, state):
                     cur[1] = t
                     cur[2] += 1
         wm = state.getCurrentWatermarkMs()
-        if cur is not None and cur[1] + gap_ms <= wm:
-            # watermark already passed the gap: the session is closed fact,
-            # emit now rather than parking a timer in the past
+        if cur is not None and cur[1] + gap_ms < wm:
+            # watermark already STRICTLY past the gap: the session is closed
+            # fact, emit now rather than parking a timer in the past.
+            # Strict < keeps this branch boundary-consistent with the timer
+            # path (timers fire when the watermark advances BEYOND the set
+            # timestamp) and with the oracle's `end + gap < wm` rule.
             closed.append((key[0], cur[0], cur[1], cur[2]))
             state.remove()
         elif cur is not None:
