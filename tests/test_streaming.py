@@ -216,3 +216,59 @@ def test_stateful_streaming_on_rocksdb_state_store(spark, sf_dir):
         else:
             spark.conf.set(key, old)
     assert rocks == default and rocks
+
+
+def test_session_timeout_boundary_is_strict(spark, tmp_path):
+    """Engineered tie: a session whose last_ts + gap lands EXACTLY on the
+    final watermark must NOT emit (timers fire strictly beyond their
+    timestamp; the oracle's horizon rule is strict <), while a session one
+    second below the tie must emit.  The fixture never produces exact ties,
+    so this pins the boundary the empirical SF checks cannot."""
+    import datetime
+
+    from pyspark.sql import Row, functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.streaming.ops import (
+        _session_kernel,
+    )
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.streaming.replay import (
+        EVENTS_SCHEMA,
+        run_to_table,
+        scratch_dir,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(eid, uid, ts):
+        return Row(event_id=eid, ts=ts, user_id=uid, event_type="view",
+                   value=1.0, props="{}")
+
+    m = datetime.timedelta(minutes=1)
+    # final watermark = max ts - 1h = t0 + 40min
+    wm = t0 + 40 * m
+    rows = [
+        # u1: session ends at wm - 30min EXACTLY -> last+gap == wm -> open
+        ev(1, 1, t0), ev(2, 1, wm - 30 * m),
+        # u3: session ends 1s below the tie -> last+gap < wm -> emits
+        ev(3, 3, t0), ev(4, 3, wm - 30 * m - datetime.timedelta(seconds=1)),
+        # u2: the watermark driver; its own session is open (absent)
+        ev(5, 2, wm + 60 * m),
+    ]
+    src = str(tmp_path / "events")
+    spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.parquet(src)
+    s = spark.readStream.schema(EVENTS_SCHEMA).parquet(src)
+    closed = (
+        s.withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_kernel,
+            "user_id BIGINT, start_ms BIGINT, end_ms BIGINT, n_events BIGINT",
+            "start_ms BIGINT, last_ms BIGINT, n BIGINT",
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    out = run_to_table(closed, "sess_boundary", "append")
+    got = {(r["user_id"], r["n_events"]) for r in out.collect()}
+    assert got == {(3, 2)}, got  # u3 only: u1 ties the horizon, u2 is open
