@@ -326,15 +326,19 @@ def stream_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFram
     SELECT NULL, c.click_id, c.c_user, NULL, strftime(c.c_ts, '{SQL_TS_FMT}')
     FROM c, wm
     WHERE c.click_id NOT IN (SELECT click_id FROM m)
-      AND c.c_ts < wm.w
+      AND c.c_ts <= wm.w
     """,
     doc="T7++ stream-stream FULL OUTER interval join, completing the outer "
     "family: each side's NULL-extended rows emit once the watermark closes "
-    "its match window — a view's window closes at v_ts + 30min (the upper "
-    "bound of matching clicks), a click's at c_ts itself (matching views "
-    "strictly precede it).  Oracle-exact via the same final-watermark "
-    "horizon rule as the left join; rows whose window is still open at "
-    "drain end are correctly absent.",
+    "its match window.  The two horizon boundaries are ASYMMETRIC, and the "
+    "asymmetry follows from the join condition's inequalities: a view "
+    "closes STRICTLY after v_ts + 30min (a click at exactly the watermark "
+    "can still arrive and satisfy c_ts <= v_ts + 30min), while a click "
+    "closes AT c_ts inclusive (a matching view needs v_ts < c_ts == "
+    "watermark — already below the watermark, impossible).  Both "
+    "boundaries pinned by an engineered exact-tie test in "
+    "tests/test_streaming.py; rows whose window is still open at drain "
+    "end are correctly absent.",
 )
 def stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     rdir = build_replay(spark, sf_dir, "ordered")

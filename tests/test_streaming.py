@@ -272,3 +272,67 @@ def test_session_timeout_boundary_is_strict(spark, tmp_path):
     out = run_to_table(closed, "sess_boundary", "append")
     got = {(r["user_id"], r["n_events"]) for r in out.collect()}
     assert got == {(3, 2)}, got  # u3 only: u1 ties the horizon, u2 is open
+
+
+def test_outer_join_horizon_boundaries_are_strict(spark, tmp_path):
+    """Engineered ties for the outer stream-stream join horizon rules — the
+    two sides are ASYMMETRIC, and the asymmetry follows from the join
+    condition: an unmatched view at v_ts + 30min == watermark must NOT
+    null-emit (a click at exactly the watermark could still arrive and
+    satisfy c_ts <= v_ts + 30min), while an unmatched click at c_ts ==
+    watermark MUST null-emit (a matching view would need v_ts < c_ts ==
+    watermark — already late, impossible).  This tie exposed a latent
+    strict-< bug in the registered oracle's right-side rule."""
+    import datetime
+
+    from pyspark.sql import Row, functions as F
+
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.streaming.replay import (
+        EVENTS_SCHEMA,
+        run_to_table,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    m = datetime.timedelta(minutes=1)
+    s1 = datetime.timedelta(seconds=1)
+    # drivers at wm + 1h on both sides fix the final watermark at t0 + 300min
+    wm = t0 + 300 * m
+    rows = [
+        Row(event_id=1, ts=wm - 30 * m, user_id=1, event_type="view", value=1.0, props="{}"),   # tie: v_ts+30m == wm -> open
+        Row(event_id=2, ts=wm - 30 * m - s1, user_id=2, event_type="view", value=1.0, props="{}"),  # below: emits
+        Row(event_id=3, ts=wm, user_id=3, event_type="click", value=1.0, props="{}"),           # tie: c_ts == wm -> open
+        Row(event_id=4, ts=wm - s1, user_id=4, event_type="click", value=1.0, props="{}"),      # below: emits
+        Row(event_id=5, ts=wm + 60 * m, user_id=9, event_type="view", value=1.0, props="{}"),   # watermark driver (left)
+        Row(event_id=6, ts=wm + 60 * m, user_id=9, event_type="click", value=1.0, props="{}"),  # watermark driver (right)
+    ]
+    src = str(tmp_path / "events")
+    spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.parquet(src)
+
+    def side(et, id_alias, user_alias, ts_alias):
+        return (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .parquet(src)
+            .filter(F.col("event_type") == et)
+            .withWatermark("ts", "1 hour")
+            .select(
+                F.col("event_id").alias(id_alias),
+                F.col("user_id").alias(user_alias),
+                F.col("ts").alias(ts_alias),
+            )
+        )
+
+    views = side("view", "view_id", "v_user", "v_ts")
+    clicks = side("click", "click_id", "c_user", "c_ts")
+    joined = views.join(
+        clicks,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("c_ts") > F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "full_outer",
+    ).select("view_id", "click_id")
+    out = run_to_table(joined, "outer_boundary", "append")
+    rows_out = {(r["view_id"], r["click_id"]) for r in out.collect()}
+    # driver pair 5/6 ties c_ts == v_ts (no match: c_ts > v_ts fails) and
+    # both sit above the horizon -> absent; view 1 ties the left horizon
+    # (open), click 3 ties the right horizon (CLOSED — inclusive side)
+    assert rows_out == {(2, None), (None, 3), (None, 4)}, rows_out
