@@ -336,3 +336,38 @@ def test_outer_join_horizon_boundaries_are_strict(spark, tmp_path):
     # both sit above the horizon -> absent; view 1 ties the left horizon
     # (open), click 3 ties the right horizon (CLOSED — inclusive side)
     assert rows_out == {(2, None), (None, 3), (None, 4)}, rows_out
+
+
+def test_window_finalization_tie_is_inclusive(spark, tmp_path):
+    """An append-mode window whose end equals the final watermark EXACTLY is
+    emitted (finalization is <=, unlike outer-join left-row closure which is
+    strict) — the boundary the tumbling/chained-window oracles rely on."""
+    import datetime
+
+    from pyspark.sql import Row, functions as F
+
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.streaming.replay import (
+        EVENTS_SCHEMA,
+        run_to_table,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        Row(event_id=1, ts=t0 + datetime.timedelta(minutes=5), user_id=1,
+            event_type="view", value=1.0, props="{}"),
+        # driver at 01:10 with a 10-min delay puts the final watermark at
+        # 01:00 — exactly the first window's end
+        Row(event_id=2, ts=t0 + datetime.timedelta(minutes=70), user_id=2,
+            event_type="view", value=1.0, props="{}"),
+    ]
+    src = str(tmp_path / "ev")
+    spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.parquet(src)
+    s = spark.readStream.schema(EVENTS_SCHEMA).parquet(src)
+    agg = (
+        s.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .count()
+        .select(F.date_format("window.start", "HH:mm").alias("ws"), "count")
+    )
+    t = run_to_table(agg, "wm_tie_inclusive", "append")
+    assert sorted((r["ws"], r["count"]) for r in t.collect()) == [("00:00", 1)]
