@@ -80,15 +80,17 @@ _PRIORITY = [
     "stream_stateful_sessions",  # event-time-timeout sessionization (T6+)
     "stream_stream_full_join",  # full-outer stream-stream interval join
     "stream_chained_windows",  # chained stateful aggs (15-min -> hourly)
+    "sql_recursive_chain",  # WITH RECURSIVE order-chain walk (Spark 4)
+    "fn_variant",  # VARIANT semi-structured type (Spark 4)
     # --- rotation ballast: oldest r03 greens fill the window ----------------
     "q1_pricing_summary",
     "q2_min_cost_supplier",
     "q3_shipping_priority",
     "q4_priority_check",
     "q5_local_supplier",
+    # --- ~50-entry line; remaining r03 greens queue for round 7 -------------
     "q6_forecast_revenue",
     "q7_volume_shipping",
-    # --- ~50-entry line; remaining r03 greens queue for round 7 -------------
     "q8_market_share",
     "q9_product_profit",
     "q10_returned_items",

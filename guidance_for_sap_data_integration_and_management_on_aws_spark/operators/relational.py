@@ -921,6 +921,84 @@ def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RECURSIVE_CHAIN_SQL = """
+    WITH RECURSIVE nxt AS (
+      SELECT o_custkey, o_orderkey,
+             lag(o_orderkey)  OVER w AS prev_key,
+             lead(o_orderkey) OVER w AS next_key
+      FROM orders WHERE o_custkey < 300
+      WINDOW w AS (PARTITION BY o_custkey
+                   ORDER BY CAST(o_orderdate AS DATE), o_orderkey)
+    ),
+    chain AS (
+      SELECT o_custkey, o_orderkey AS root_key, o_orderkey, 1 AS depth, next_key
+      FROM nxt WHERE prev_key IS NULL
+      UNION ALL
+      SELECT c.o_custkey, c.root_key, n.o_orderkey, c.depth + 1, n.next_key
+      FROM chain c JOIN nxt n ON n.o_orderkey = c.next_key
+      WHERE c.depth < 12
+    )
+    SELECT o_custkey, root_key, o_orderkey, depth FROM chain
+"""
+
+
+@spec(
+    _RECURSIVE_CHAIN_SQL,
+    doc="§3.4+ RECURSIVE CTE (Spark >= 4.0 WITH RECURSIVE): walk each "
+    "customer's order chain (orders linked to their date-successors) from "
+    "its root, emitting (root, order, depth) — variable-depth path "
+    "traversal, the query shape hierarchies/BOMs need and plain joins "
+    "cannot express at unknown depth.  IDENTICAL SQL runs on both engines "
+    "(lead/lag seed + UNION ALL step; the chain forest is acyclic so "
+    "UNION ALL terminates — Spark does not yet support the deduplicating "
+    "UNION recursion cyclic closures need, which is why connected "
+    "components stays on the iterative min-label operator).  Each "
+    "recursion step is one equi-join of the shrinking frontier against "
+    "the edge list — exactly the per-round dataflow "
+    "dedup_connected_components hand-schedules.",
+)
+def sql_recursive_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_RECURSIVE_CHAIN_SQL)
+
+
+@spec(
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+           CAST(COUNT(*) FILTER (WHERE json_extract_string(props, '$.absent')
+                                 IS NOT NULL) AS BIGINT) AS n_absent
+    FROM events GROUP BY event_type
+    """,
+    doc="§2.7+ VARIANT semi-structured type (Spark >= 4.0): props JSON "
+    "parses ONCE into the binary VARIANT encoding and fields extract with "
+    "typed paths (variant_get / try_variant_get) — the modern replacement "
+    "for per-access get_json_object string re-parsing, and the open-format "
+    "answer to shredded semi-structured columns at 100 TB.  try_variant_get "
+    "on a missing path yields NULL (counted, = 0) instead of failing; the "
+    "DuckDB oracle reads the same fields through its JSON functions.",
+)
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    return (
+        e.select(
+            "event_type",
+            F.expr("variant_get(parse_json(props), '$.k', 'int')").alias("k"),
+            F.expr("try_variant_get(parse_json(props), '$.absent', 'string')").alias(
+                "absent"
+            ),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.count("absent").alias("n_absent"),
+        )
+    )
+
+
 @spec(
     """
     SELECT l_returnflag,
@@ -1019,4 +1097,6 @@ QUERIES: dict[str, QuerySpec] = {
     "subquery_scalar": subquery_scalar,
     "pivot_linestatus": pivot_linestatus,
     "unpivot_measures": unpivot_measures,
+    "sql_recursive_chain": sql_recursive_chain,
+    "fn_variant": fn_variant,
 }
