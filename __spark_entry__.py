@@ -82,13 +82,14 @@ _PRIORITY = [
     "stream_chained_windows",  # chained stateful aggs (15-min -> hourly)
     "sql_recursive_chain",  # WITH RECURSIVE order-chain walk (Spark 4)
     "fn_variant",  # VARIANT semi-structured type (Spark 4)
+    "dedup_cluster_canonical",  # quality-argmax canonical per near-dup cluster
     # --- rotation ballast: oldest r03 greens fill the window ----------------
     "q1_pricing_summary",
     "q2_min_cost_supplier",
     "q3_shipping_priority",
     "q4_priority_check",
-    "q5_local_supplier",
     # --- ~50-entry line; remaining r03 greens queue for round 7 -------------
+    "q5_local_supplier",
     "q6_forecast_revenue",
     "q7_volume_shipping",
     "q8_market_share",

@@ -62,6 +62,8 @@ REDUCED_SF = {
     # batch-vs-corpus exact twin: same dense-fixture output volume (~2.3M
     # qualifying pairs at sf0.1)
     "dedup_incremental_jaccard": "sf0.01",
+    # rides the same CC fixpoint as dedup_connected_components
+    "dedup_cluster_canonical": "sf0.01",
 }
 
 

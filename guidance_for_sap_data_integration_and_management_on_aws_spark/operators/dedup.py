@@ -399,47 +399,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 CC_MAX_ITERS = 25
 
 
-@spec(
-    f"""
-    WITH RECURSIVE pairs AS ({_sql_jaccard_pairs(JACCARD_T)}),
-    edges AS (
-      SELECT da AS a, db AS b FROM pairs
-      UNION ALL SELECT db, da FROM pairs
-    ),
-    reach AS (
-      SELECT doc_id AS v, doc_id AS u FROM documents
-      UNION
-      SELECT r.v, e.b FROM reach r JOIN edges e ON r.u = e.a
-    ),
-    label AS (SELECT v AS doc_id, MIN(u) AS component_id FROM reach GROUP BY v)
-    SELECT component_id,
-           CAST(COUNT(*) AS BIGINT) AS n_docs,
-           MIN(doc_id) AS keep_id
-    FROM label GROUP BY component_id
-    """,
-    doc="L2 CONNECTED COMPONENTS over the near-dup pair graph — the "
-    "clustering step between pair generation and survivor selection (pair "
-    "lists alone under-dedup: A~B and B~C must collapse to ONE keeper even "
-    "when A~C misses the threshold).  Spark side is iterative MIN-LABEL "
-    "PROPAGATION: every doc starts as its own label; each round joins "
-    "labels across edges and takes the per-vertex min, until a round "
-    "changes nothing (converges in O(component diameter) rounds; the only "
-    "driver traffic is one changed-row COUNT per round — the k-means "
-    "trainer's topology).  The oracle computes the same components by "
-    "recursive-CTE transitive closure — an independent formulation, so the "
-    "distributed fixpoint is value-checked end-to-end.  Output is one row "
-    "per component (id = min doc_id, size, keeper).",
-)
-def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+def cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, component_id) labels from the min-label fixpoint over the
+    exact near-dup pair graph — the shared clustering step behind component
+    stats (dedup_connected_components) and canonical selection
+    (dedup_cluster_canonical).
+
+    Every iteration ends in localCheckpoint (eager): caching alone is NOT
+    enough for iterative DataFrames — the logical plan still grows by one
+    join per round and Catalyst re-optimizes the whole chain each time
+    (measured: per-round wall time 1.6s -> 28s by round 6 under persist;
+    flat ~1s with checkpoints).  Production swaps this for
+    checkpoint-to-object-storage; the loop shape is identical."""
     pairs = dedup_jaccard_pairs.builder(spark, sf_dir).select("da", "db")
     edges = pairs.union(pairs.select(F.col("db"), F.col("da"))).toDF("a", "b")
     edges = edges.persist()
-    # Every iteration ends in localCheckpoint (eager): caching alone is NOT
-    # enough for iterative DataFrames — the logical plan still grows by one
-    # join per round and Catalyst re-optimizes the whole chain each time
-    # (measured: per-round wall time 1.6s -> 28s by round 6 under persist;
-    # flat ~1s with checkpoints).  Production swaps this for
-    # checkpoint-to-object-storage; the loop shape is identical.
     labels = (
         load(spark, sf_dir, "documents")
         .select("doc_id")
@@ -478,12 +452,49 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "deeper than the budget; raise CC_MAX_ITERS or switch to "
                 "pointer-doubling"
             )
-        return labels.groupBy("component_id").agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.min("doc_id").alias("keep_id"),
-        )
+        return labels
     finally:
         edges.unpersist()
+
+
+
+
+@spec(
+    f"""
+    WITH RECURSIVE pairs AS ({_sql_jaccard_pairs(JACCARD_T)}),
+    edges AS (
+      SELECT da AS a, db AS b FROM pairs
+      UNION ALL SELECT db, da FROM pairs
+    ),
+    reach AS (
+      SELECT doc_id AS v, doc_id AS u FROM documents
+      UNION
+      SELECT r.v, e.b FROM reach r JOIN edges e ON r.u = e.a
+    ),
+    label AS (SELECT v AS doc_id, MIN(u) AS component_id FROM reach GROUP BY v)
+    SELECT component_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS keep_id
+    FROM label GROUP BY component_id
+    """,
+    doc="L2 CONNECTED COMPONENTS over the near-dup pair graph — the "
+    "clustering step between pair generation and survivor selection (pair "
+    "lists alone under-dedup: A~B and B~C must collapse to ONE keeper even "
+    "when A~C misses the threshold).  Spark side is iterative MIN-LABEL "
+    "PROPAGATION: every doc starts as its own label; each round joins "
+    "labels across edges and takes the per-vertex min, until a round "
+    "changes nothing (converges in O(component diameter) rounds; the only "
+    "driver traffic is one changed-row COUNT per round — the k-means "
+    "trainer's topology).  The oracle computes the same components by "
+    "recursive-CTE transitive closure — an independent formulation, so the "
+    "distributed fixpoint is value-checked end-to-end.  Output is one row "
+    "per component (id = min doc_id, size, keeper).",
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cc_labels(spark, sf_dir).groupBy("component_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min("doc_id").alias("keep_id"),
+    )
 
 
 RECALL_T = 0.7  # all-found threshold: P(LSH miss | jac=0.7) = (1-0.49)^12 ~ 3e-4
@@ -702,6 +713,71 @@ def dedup_incremental_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec(
+    f"""
+    WITH RECURSIVE pairs AS ({_sql_jaccard_pairs(JACCARD_T)}),
+    edges AS (
+      SELECT da AS a, db AS b FROM pairs
+      UNION ALL SELECT db, da FROM pairs
+    ),
+    reach AS (
+      SELECT doc_id AS v, doc_id AS u FROM documents
+      UNION
+      SELECT r.v, e.b FROM reach r JOIN edges e ON r.u = e.a
+    ),
+    label AS (SELECT v AS doc_id, MIN(u) AS component_id FROM reach GROUP BY v),
+    q AS (
+      SELECT doc_id,
+             round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                   / len(string_split(text, ' ')), 6) AS uniq_ratio
+      FROM documents
+    )
+    SELECT component_id, doc_id AS canonical_id, uniq_ratio AS canonical_uniq,
+           n_docs
+    FROM (SELECT l.component_id, l.doc_id, q.uniq_ratio,
+                 CAST(COUNT(*) OVER (PARTITION BY l.component_id) AS BIGINT)
+                   AS n_docs,
+                 row_number() OVER (PARTITION BY l.component_id
+                                    ORDER BY q.uniq_ratio DESC, l.doc_id) AS rn
+          FROM label l JOIN q USING (doc_id))
+    WHERE rn = 1
+    """,
+    doc="L2 CANONICAL SELECTION per near-dup cluster — the step after "
+    "clustering that min-id survivors get wrong: within each connected "
+    "component the pipeline keeps the HIGHEST-QUALITY copy (token "
+    "uniqueness ratio here; production plugs in its quality model), not "
+    "the lowest id.  Composes the CC fixpoint labels with a per-doc "
+    "quality score and one window argmax (rounded score + id tie-break, "
+    "deterministic on both engines); the oracle re-derives labels via the "
+    "recursive-CTE closure and ranks identically.  Completes the dedup "
+    "chain: pairs -> clusters -> canonical survivors.",
+)
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labels = cc_labels(spark, sf_dir)
+    d = load(spark, sf_dir, "documents")
+    w_arr = F.split(F.col("text"), " ")
+    uniq = F.round(
+        F.size(F.array_distinct(w_arr)).cast("double") / F.size(w_arr), 6
+    )
+    q = d.select("doc_id", uniq.alias("uniq_ratio"))
+    j = labels.join(q, "doc_id")
+    comp = Window.partitionBy("component_id")
+    rank = Window.partitionBy("component_id").orderBy(
+        F.desc("uniq_ratio"), F.asc("doc_id")
+    )
+    return (
+        j.withColumn("n_docs", F.count(F.lit(1)).over(comp).cast("bigint"))
+        .withColumn("__rn", F.row_number().over(rank))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "component_id",
+            F.col("doc_id").alias("canonical_id"),
+            F.col("uniq_ratio").alias("canonical_uniq"),
+            "n_docs",
+        )
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_exact": dedup_exact,
     "dedup_exact_bucketed": dedup_exact_bucketed,
@@ -711,6 +787,7 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_jaccard_pairs": dedup_jaccard_pairs,
     "dedup_incremental_jaccard": dedup_incremental_jaccard,
     "dedup_connected_components": dedup_connected_components,
+    "dedup_cluster_canonical": dedup_cluster_canonical,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_minhash_recall": dedup_minhash_recall,
     "dedup_simhash_buckets": dedup_simhash_buckets,
