@@ -479,3 +479,14 @@ def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path):
         F.col("l_returnflag").isin(flags)
     ).count()
     assert j.count() == want
+
+
+def test_two_stage_and_matryoshka_no_cartesian(spark, sf_dir):
+    """The round-6 ANN additions must keep the brute-force family's shape:
+    tiny query side broadcast against the corpus scan — never a cartesian
+    product, and exactly one window pass per ranking stage."""
+    for name, stages in (("ann_two_stage", 2), ("ann_matryoshka_recall", 2)):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" in plan, name
+        assert plan.count("RunningWindowFunction") <= stages * 2, name
