@@ -83,12 +83,13 @@ _PRIORITY = [
     "sql_recursive_chain",  # WITH RECURSIVE order-chain walk (Spark 4)
     "fn_variant",  # VARIANT semi-structured type (Spark 4)
     "dedup_cluster_canonical",  # quality-argmax canonical per near-dup cluster
+    "skyline_orders",  # two-phase distributed skyline (Pareto front)
     # --- rotation ballast: oldest r03 greens fill the window ----------------
     "q1_pricing_summary",
     "q2_min_cost_supplier",
     "q3_shipping_priority",
-    "q4_priority_check",
     # --- ~50-entry line; remaining r03 greens queue for round 7 -------------
+    "q4_priority_check",
     "q5_local_supplier",
     "q6_forecast_revenue",
     "q7_volume_shipping",

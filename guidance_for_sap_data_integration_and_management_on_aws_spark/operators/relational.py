@@ -921,6 +921,58 @@ def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec(
+    """
+    WITH p AS (SELECT DISTINCT o_totalprice AS price,
+                               CAST(o_orderdate AS DATE) AS odate
+               FROM orders)
+    SELECT price, odate FROM p a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM p b
+      WHERE b.price >= a.price AND b.odate <= a.odate
+        AND (b.price > a.price OR b.odate < a.odate)
+    )
+    """,
+    doc="O6+ SKYLINE (Pareto front; Borzsony et al. 2001, and 'Integration "
+    "of Skyline Queries into Spark SQL', EDBT 2023): the undominated "
+    "distinct (price MAX, orderdate MIN) pairs — no other order is both "
+    "at-least-as-expensive and at-least-as-early with one strict.  "
+    "Spark-first TWO-PHASE: each partition computes its LOCAL skyline with "
+    "a sort+sweep Arrow kernel (a local skyline always contains the global "
+    "one restricted to that partition, so phase 1 is a safe superset "
+    "reduction that shrinks n to ~skyline-size per partition); the small "
+    "candidate union then takes one final sweep.  At 100 TB phase 1 is "
+    "embarrassingly parallel map-side work and only candidates (typically "
+    "thousands) reach the final pass — never the O(n^2) self-join the "
+    "NOT-EXISTS oracle spells out.",
+)
+def skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    def local_skyline(pdfs):
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            # sort by (price DESC, odate ASC): a row is dominated iff some
+            # earlier row has odate <= its odate (with equal (price, odate)
+            # pairs pre-deduped, the running-min test is exact)
+            pdf = pdf.sort_values(["price", "odate"], ascending=[False, True])
+            run_min = pdf["odate"].cummin().shift(1)
+            keep = run_min.isna() | (pdf["odate"] < run_min)
+            yield pdf[keep]
+
+    o = load(spark, sf_dir, "orders")
+    pairs = o.select(
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderdate").cast("date").alias("odate"),
+    ).dropDuplicates(["price", "odate"])
+    schema = "price DOUBLE, odate DATE"
+    candidates = pairs.mapInPandas(local_skyline, schema)
+    # the candidate set is skyline-sized: one more sweep on a single task
+    # (documented small-side exception, like the driver-bounded collects)
+    return candidates.coalesce(1).mapInPandas(local_skyline, schema)
+
+
 _RECURSIVE_CHAIN_SQL = """
     WITH RECURSIVE nxt AS (
       SELECT o_custkey, o_orderkey,
@@ -1099,4 +1151,5 @@ QUERIES: dict[str, QuerySpec] = {
     "unpivot_measures": unpivot_measures,
     "sql_recursive_chain": sql_recursive_chain,
     "fn_variant": fn_variant,
+    "skyline_orders": skyline_orders,
 }
