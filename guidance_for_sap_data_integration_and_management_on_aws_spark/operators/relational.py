@@ -973,6 +973,54 @@ def skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return candidates.coalesce(1).mapInPandas(local_skyline, schema)
 
 
+@spec(
+    """
+    WITH p AS (
+      SELECT DISTINCT c_mktsegment AS seg, o_totalprice AS price,
+                      CAST(o_orderdate AS DATE) AS odate
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    )
+    SELECT seg, price, odate FROM p a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM p b
+      WHERE b.seg = a.seg AND b.price >= a.price AND b.odate <= a.odate
+        AND (b.price > a.price OR b.odate < a.odate)
+    )
+    """,
+    doc="O6+ PER-GROUP skyline (Pareto front within each market segment): "
+    "the grouped variant admits a fully DECLARATIVE scalable plan — sort "
+    "each group by price DESC and keep rows strictly below the running "
+    "minimum date, i.e. ONE partitioned window pass (groups shuffle by "
+    "segment key; no per-partition kernels, no candidate phase) — the "
+    "formulation skyline_orders' GLOBAL variant cannot use because a "
+    "global running-min window would collapse to one partition.  Same "
+    "NOT-EXISTS oracle, per group.",
+)
+def skyline_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    pairs = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_totalprice").alias("price"),
+            F.col("o_orderdate").cast("date").alias("odate"),
+        )
+        .dropDuplicates(["seg", "price", "odate"])
+    )
+    w = (
+        Window.partitionBy("seg")
+        .orderBy(F.desc("price"), F.asc("odate"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run_min = F.min("odate").over(w)
+    return (
+        pairs.withColumn("__m", run_min)
+        .filter(F.col("__m").isNull() | (F.col("odate") < F.col("__m")))
+        .select("seg", "price", "odate")
+    )
+
+
 _RECURSIVE_CHAIN_SQL = """
     WITH RECURSIVE nxt AS (
       SELECT o_custkey, o_orderkey,
@@ -1152,4 +1200,5 @@ QUERIES: dict[str, QuerySpec] = {
     "sql_recursive_chain": sql_recursive_chain,
     "fn_variant": fn_variant,
     "skyline_orders": skyline_orders,
+    "skyline_per_segment": skyline_per_segment,
 }
