@@ -85,10 +85,11 @@ _PRIORITY = [
     "dedup_cluster_canonical",  # quality-argmax canonical per near-dup cluster
     "skyline_orders",  # two-phase distributed skyline (Pareto front)
     "skyline_per_segment",  # grouped skyline via one partitioned window pass
+    "agg_boolean",  # bool_and/bool_or/count_if predicate rollups
     # --- rotation ballast: oldest r03 greens fill the window ----------------
     "q1_pricing_summary",
-    "q2_min_cost_supplier",
     # --- ~50-entry line; remaining r03 greens queue for round 7 -------------
+    "q2_min_cost_supplier",
     "q3_shipping_priority",
     "q4_priority_check",
     "q5_local_supplier",

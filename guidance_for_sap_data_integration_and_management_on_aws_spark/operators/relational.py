@@ -923,6 +923,32 @@ def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @spec(
     """
+    SELECT o_orderpriority,
+           bool_and(o_totalprice > 1000.0)   AS all_over_1k,
+           bool_or(o_totalprice > 400000.0)  AS any_over_400k,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+             AS n_finished,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="A7+ BOOLEAN aggregates (bool_and / bool_or — SQL:2023 ANY/EVERY) "
+    "plus count_if: the predicate-rollup family data-quality gates are "
+    "built from (\"did every row in the partition pass?\", \"did any row "
+    "trip the alarm?\").  Plain partial+final hash agg — booleans combine "
+    "associatively, so map-side combine applies like any sum.",
+)
+def agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.bool_and(F.col("o_totalprice") > 1000.0).alias("all_over_1k"),
+        F.bool_or(F.col("o_totalprice") > 400000.0).alias("any_over_400k"),
+        F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@spec(
+    """
     WITH p AS (SELECT DISTINCT o_totalprice AS price,
                                CAST(o_orderdate AS DATE) AS odate
                FROM orders)
@@ -1201,4 +1227,5 @@ QUERIES: dict[str, QuerySpec] = {
     "fn_variant": fn_variant,
     "skyline_orders": skyline_orders,
     "skyline_per_segment": skyline_per_segment,
+    "agg_boolean": agg_boolean,
 }
