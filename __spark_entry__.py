@@ -86,6 +86,10 @@ _PRIORITY = [
     "skyline_orders",  # two-phase distributed skyline (Pareto front)
     "skyline_per_segment",  # grouped skyline via one partitioned window pass
     "agg_boolean",  # bool_and/bool_or/count_if predicate rollups
+    "graph_copurchase_edges",  # per-order-local pair expansion + one shuffle
+    "graph_degree_distribution",  # degree profile of the derived graph
+    "graph_triangle_count",  # degree-oriented wedge join (O(sqrt m) fan-out)
+    "graph_pagerank",  # 3-iteration Pregel-as-joins, 1-row-broadcast n
     # --- rotation ballast: oldest r03 greens fill the window ----------------
     "q1_pricing_summary",
     # --- ~50-entry line; remaining r03 greens queue for round 7 -------------
@@ -139,6 +143,7 @@ _PRIORITY = [
 def _registry() -> dict[str, QuerySpec]:
     from guidance_for_sap_data_integration_and_management_on_aws_spark.operators import (
         dedup,
+        graph,
         ingest,
         joins,
         multimodal,
@@ -161,6 +166,7 @@ def _registry() -> dict[str, QuerySpec]:
         text,
         dedup,
         similarity,
+        graph,
         multimodal,
         udfs,
         streaming_ops,

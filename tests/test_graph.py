@@ -1,0 +1,52 @@
+"""Graph-operator invariants beyond oracle parity (tests/test_oracle_parity.py
+already runs all four graph queries differentially against DuckDB):
+structural properties that must hold at any scale, and plan shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from guidance_for_sap_data_integration_and_management_on_aws_spark.operators import graph
+
+
+def test_pagerank_mass_conservation(spark, sf_dir):
+    """Fixed-point PageRank loses only truncation mass: the total rank must
+    stay within n * (max_outdeg + 2) micro-units of PR_SCALE — integer
+    division drops < 1 unit per edge contribution and < 2 per node."""
+    pr = graph.graph_pagerank.builder(spark, sf_dir)
+    deg = (
+        graph.copurchase_edges(spark, sf_dir)
+        .select(F.explode(F.array("src", "dst")).alias("node"))
+        .groupBy("node")
+        .count()
+    )
+    n, max_deg = deg.agg(
+        F.count(F.lit(1)), F.max("count")
+    ).first()
+    total = pr.agg(F.sum("pr_fp")).first()[0]
+    slack = n * (max_deg + 2) * graph.PR_ITERS
+    assert 0 < total <= graph.PR_SCALE
+    assert graph.PR_SCALE - total <= slack, (total, slack)
+
+
+def test_triangle_counts_sum_to_three_per_triangle(spark, sf_dir):
+    per_node = graph.graph_triangle_count.builder(spark, sf_dir)
+    total = per_node.agg(F.sum("n_triangles")).first()[0]
+    assert total and total % 3 == 0  # every triangle credits 3 corners
+
+
+def test_degree_distribution_accounts_every_endpoint(spark, sf_dir):
+    e = graph.copurchase_edges(spark, sf_dir)
+    n_edges = e.count()
+    dist = graph.graph_degree_distribution.builder(spark, sf_dir)
+    endpoint_sum = dist.select(
+        F.sum(F.col("degree") * F.col("n_nodes"))
+    ).first()[0]
+    assert endpoint_sum == 2 * n_edges  # handshake lemma
+
+
+def test_graph_plans_have_no_cartesian_product(spark, sf_dir):
+    for name, q in graph.QUERIES.items():
+        plan = q.builder(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
