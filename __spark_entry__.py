@@ -90,6 +90,11 @@ _PRIORITY = [
     "graph_degree_distribution",  # degree profile of the derived graph
     "graph_triangle_count",  # degree-oriented wedge join (O(sqrt m) fan-out)
     "graph_pagerank",  # 3-iteration Pregel-as-joins, 1-row-broadcast n
+    "join_fuzzy_neighbors",  # deletion-signature (SymSpell) fuzzy self-join
+    "ts_interpolate_linear",  # anchor-bracketed linear densification
+    "agg_histogram",  # equi-width histogram, 1-row-broadcast min/max
+    "data_profile",  # one-pass per-column null/distinct/min/max profile
+    "time_bucket_rollup",  # q15 -> hour -> day -> total in one ROLLUP pass
     # --- rotation ballast: oldest r03 greens fill the window ----------------
     "q1_pricing_summary",
     # --- ~50-entry line; remaining r03 greens queue for round 7 -------------

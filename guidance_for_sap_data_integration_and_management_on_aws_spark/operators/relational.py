@@ -1185,8 +1185,180 @@ def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HIST_BUCKETS = 20
+
+
+@spec(
+    f"""
+    WITH s AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders),
+    b AS (
+      SELECT CAST(least(floor((o_totalprice - mn) / ((mx - mn) / {HIST_BUCKETS})),
+                        {HIST_BUCKETS - 1}) AS INT) AS bucket,
+             mn, mx
+      FROM orders, s
+    )
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+           round(mn + bucket * ((mx - mn) / {HIST_BUCKETS}), 6) AS lo,
+           round(mn + (bucket + 1) * ((mx - mn) / {HIST_BUCKETS}), 6) AS hi
+    FROM b GROUP BY bucket, mn, mx
+    """,
+    doc=f"EQUI-WIDTH HISTOGRAM ({HIST_BUCKETS} buckets over o_totalprice): "
+    "global min/max from one tiny aggregate ride along as a 1-row broadcast; "
+    "bucketing is a stateless map expression and the histogram itself one "
+    "narrow hash aggregation — two scans, no wide shuffle, the profiling "
+    "shape that precedes partition/skew decisions.  All arithmetic is the "
+    "identical IEEE expression tree on both engines (min/max are exact "
+    "doubles, no float summation), so the bucket ids and rounded bounds are "
+    "hash-exact.",
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select("o_totalprice")
+    s = o.agg(F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx"))
+    width = (F.col("mx") - F.col("mn")) / HIST_BUCKETS
+    b = o.crossJoin(F.broadcast(s)).select(
+        F.least(
+            F.floor((F.col("o_totalprice") - F.col("mn")) / width),
+            F.lit(HIST_BUCKETS - 1).cast("bigint"),
+        )
+        .cast("int")
+        .alias("bucket"),
+        "mn",
+        "mx",
+    )
+    return (
+        b.groupBy("bucket", "mn", "mx")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bucket",
+            "n",
+            F.round(F.col("mn") + F.col("bucket") * width, 6).alias("lo"),
+            F.round(F.col("mn") + (F.col("bucket") + 1) * width, 6).alias("hi"),
+        )
+    )
+
+
+# (column, kind) pairs profiled by data_profile; kind picks the min/max
+# string rendering that is deterministic across engines (decimal for money,
+# date for timestamps, plain cast for ints/strings).
+_PROFILE_COLS = (
+    ("o_custkey", "int"),
+    ("o_orderdate", "date"),
+    ("o_orderkey", "int"),
+    ("o_orderpriority", "str"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "money"),
+)
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c, kind in _PROFILE_COLS:
+        if kind == "money":
+            mn, mx = (
+                f"CAST(CAST({f}({c}) AS DECIMAL(12,2)) AS VARCHAR)" for f in ("min", "max")
+            )
+        elif kind == "date":
+            mn, mx = (f"CAST(CAST({f}({c}) AS DATE) AS VARCHAR)" for f in ("min", "max"))
+        else:
+            mn, mx = (f"CAST({f}({c}) AS VARCHAR)" for f in ("min", "max"))
+        parts.append(
+            f"SELECT '{c}' AS col_name,"
+            f" CAST(count(CASE WHEN {c} IS NULL THEN 1 END) AS BIGINT) AS n_nulls,"
+            f" CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,"
+            f" {mn} AS min_val, {mx} AS max_val FROM orders"
+        )
+    return " UNION ALL ".join(parts)
+
+
+@spec(
+    _profile_oracle(),
+    doc="COLUMN PROFILING (per-column null count, exact distinct count, "
+    "min/max) over orders — the data-quality summary a pipeline materializes "
+    "before schema-contract enforcement.  Spark computes ALL columns' "
+    "metrics in ONE aggregation pass (24 agg expressions over a single "
+    "scan), then pivots the 1-row result to long form driver-free via an "
+    "explode of per-column structs; the oracle is the readable UNION ALL "
+    "of per-column aggregates.  min/max surface as strings rendered "
+    "deterministically per type class (decimal(12,2) for money, DATE for "
+    "timestamps, plain casts otherwise).",
+)
+def data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    aggs = []
+    for c, kind in _PROFILE_COLS:
+        col = F.col(c)
+        aggs.append(F.count(F.when(col.isNull(), 1)).alias(f"{c}__nulls"))
+        aggs.append(F.count_distinct(col).alias(f"{c}__distinct"))
+        if kind == "money":
+            mn = F.min(col).cast("decimal(12,2)").cast("string")
+            mx = F.max(col).cast("decimal(12,2)").cast("string")
+        elif kind == "date":
+            mn = F.min(col.cast("date")).cast("string")
+            mx = F.max(col.cast("date")).cast("string")
+        else:
+            mn = F.min(col).cast("string")
+            mx = F.max(col).cast("string")
+        aggs.append(mn.alias(f"{c}__min"))
+        aggs.append(mx.alias(f"{c}__max"))
+    one_row = o.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col(f"{c}__nulls").alias("n_nulls"),
+            F.col(f"{c}__distinct").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_val"),
+            F.col(f"{c}__max").alias("max_val"),
+        )
+        for c, _ in _PROFILE_COLS
+    ]
+    return one_row.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
+@spec(
+    """
+    WITH e AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day,
+             CAST(hour(ts) AS INT) AS hr,
+             CAST(minute(ts) // 15 AS INT) AS q15,
+             value
+      FROM events
+    )
+    SELECT day, hr, q15,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+           CAST(grouping(day) + grouping(hr) + grouping(q15) AS INT) AS grain
+    FROM e GROUP BY ROLLUP(day, hr, q15)
+    """,
+    doc="TIME-HIERARCHY ROLLUP (quarter-hour -> hour -> day -> total) over "
+    "events — the batch form of a hypertable continuous aggregate: ONE scan "
+    "and one ROLLUP aggregation produce every downsampling grain at once "
+    "(partial aggregation is map-side, so the shuffle carries pre-combined "
+    "rows; at 100 TB this replaces four separate scan+agg jobs).  `grain` "
+    "counts the grouping flags (0 = finest .. 3 = grand total).  Value sums "
+    "go through DECIMAL(18,6) — exact, order-independent — and surface as "
+    "DOUBLE per the registry's float policy.",
+)
+def time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.hour("ts").cast("int").alias("hr"),
+        F.expr("minute(ts) div 15").cast("int").alias("q15"),
+        "value",
+    )
+    return ev.rollup("day", "hr", "q15").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        (F.grouping("day") + F.grouping("hr") + F.grouping("q15"))
+        .cast("int")
+        .alias("grain"),
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q1_pricing_summary": q1_pricing_summary,
+    "agg_histogram": agg_histogram,
+    "data_profile": data_profile,
+    "time_bucket_rollup": time_bucket_rollup,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier": q5_local_supplier,
     "filter_where": filter_where,

@@ -316,8 +316,88 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec(
+    """
+    WITH e AS (
+      SELECT event_id, user_id, ts, epoch_us(ts) AS t,
+             CASE WHEN event_type = 'purchase' THEN value END AS av,
+             CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END AS att
+      FROM events
+    ),
+    f AS (
+      SELECT event_id, user_id, t,
+             last_value(av IGNORE NULLS) OVER wp AS pv,
+             last_value(att IGNORE NULLS) OVER wp AS pts,
+             first_value(av IGNORE NULLS) OVER wn AS nv,
+             first_value(att IGNORE NULLS) OVER wn AS nts
+      FROM e
+      WINDOW wp AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wn AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_id, user_id, t AS t_us,
+           round(CASE WHEN pts IS NULL THEN nv
+                      WHEN nts IS NULL THEN pv
+                      WHEN nts = pts THEN pv
+                      ELSE pv + (nv - pv) * ((t - pts) / (nts - pts)) END,
+                 6) AS v_interp
+    FROM f
+    """,
+    doc="LINEAR TIME INTERPOLATION (the densification step beyond "
+    "window_gap_fill's LOCF): 'purchase' events are the observed anchor "
+    "points; every other event gets the time-weighted linear blend of its "
+    "bracketing anchors within the user, clamping to the nearest anchor at "
+    "series edges.  Same one-exchange topology as W2 — both IGNORE-NULLS "
+    "frames share the user_id partitioning and (ts, event_id) sort.  "
+    "Anchor times are exact integer epoch-micros, so the blend is one "
+    "identical IEEE expression tree on both engines (integer deltas cast "
+    "to double, one division, one multiply-add) — no float-sum ordering "
+    "anywhere.",
+)
+def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    anchor = F.col("event_type") == "purchase"
+    e = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+        F.when(anchor, F.col("value")).alias("av"),
+        F.when(anchor, F.unix_micros(F.col("ts").cast("timestamp"))).alias("att"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wp = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wn = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    f = e.select(
+        "event_id",
+        "user_id",
+        "t",
+        F.last("av", ignorenulls=True).over(wp).alias("pv"),
+        F.last("att", ignorenulls=True).over(wp).alias("pts"),
+        F.first("av", ignorenulls=True).over(wn).alias("nv"),
+        F.first("att", ignorenulls=True).over(wn).alias("nts"),
+    )
+    blend = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        (F.col("t") - F.col("pts")) / (F.col("nts") - F.col("pts"))
+    )
+    return f.select(
+        "event_id",
+        "user_id",
+        F.col("t").alias("t_us"),
+        F.round(
+            F.when(F.col("pts").isNull(), F.col("nv"))
+            .when(F.col("nts").isNull(), F.col("pv"))
+            .when(F.col("nts") == F.col("pts"), F.col("pv"))
+            .otherwise(blend),
+            6,
+        ).alias("v_interp"),
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "window_rank": window_rank,
+    "ts_interpolate_linear": ts_interpolate_linear,
     "window_distribution": window_distribution,
     "window_lag_lead": window_lag_lead,
     "window_running": window_running,
