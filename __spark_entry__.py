@@ -19,57 +19,24 @@ from guidance_for_sap_data_integration_and_management_on_aws_spark.registry impo
 
 
 # Driver-budget-aware ordering.  The driver verifies roughly the FIRST 50
-# registry entries per round, so this list is re-sorted every round:
+# registry entries per round, so this list is re-sorted every round by
+# criticality of the check:
 #
-#   1. STALENESS FIRST (r5 verdict item 2): the 17 queries whose latest
-#      driver green is still r02 — the whole streaming batch-equivalence
-#      family, the four UDF-surface queries, and the mm basics — lead the
-#      window so no green entry is ever older than two rounds;
-#   2. queries whose builder or oracle CHANGED this round (fixed-k IVF/PQ
-#      codebook seeding, unbounded n-gram oracles, token-cache/CC fixes,
-#      the saprfc reader's corrupt-run flush bound) — the driver row must
-#      reflect the new code;
-#   3. ROTATION BALLAST: oldest r03 greens (TPC-H head, physical joins)
-#      fill the ~50-query window; the remaining r03 greens queue just past
-#      the line for round 7 — every green entry is periodically re-earned
-#      rather than trusted forever.
+#   1. NEVER-CHECKED queries added this round — without a driver row they
+#      have no correctness signal at all;
+#   2. queries whose BUILDER OR ORACLE CHANGED since their last green
+#      (fixed-k IVF/PQ codebook seeding — the r5 verdict's #1 requires
+#      these green in r06 with the new code; unbounded n-gram oracles;
+#      token-cache/CC fixes);
+#   3. STALENESS rotation: the queries whose latest driver green is oldest
+#      (the r2-era streaming batch-equivalence family, UDF surface, mm
+#      basics), then the saprfc family (flush-bound fix touched an
+#      error-only path after its r5 green);
+#   4. ROTATION BALLAST: oldest r03 greens queue just past the line for
+#      round 7 — every green entry is periodically re-earned rather than
+#      trusted forever.
 _PRIORITY = [
-    # --- greens last checked in r02 (oldest in the registry) ----------------
-    "stream_tumbling_agg",
-    "stream_sliding_window",
-    "stream_session_window",
-    "stream_dedup_within_watermark",
-    "stream_stateful_running_totals",
-    "stream_static_join",
-    "stream_stream_join",
-    "stream_deadletter_split",
-    "udf_scalar_reverse",
-    "udf_pandas_l2norm",
-    "udf_grouped_stats",
-    "udtf_explode_words",
-    "udtf_bigrams",
-    "mm_decode",
-    "mm_asset_stats",
-    "mm_resize",
-    "mm_frame_sample",
-    # --- builder/oracle changed this round ----------------------------------
-    "ann_ivf_topk",  # fixed-k md5-ordered centroid seeding (r5 verdict #1)
-    "ann_kmeans_assign",  # same seeding; exact anchor for the trainer below
-    "ann_ivf_train_kmeans",  # rows-only by contract (iterative float means)
-    "ann_pq_encode",  # fixed-k PQ codebook
-    "ann_pq_adc_topk",  # fixed-k PQ codebook
-    "ann_ivf_pq_topk",  # composition of both fixed-k seeds
-    "text_ngram_topk",  # oracle unbounded in doc length (ADVICE r5)
-    "pipeline_chunk_documents",  # oracle unbounded in doc length (ADVICE r5)
-    "pipeline_decontaminate",  # oracle unbounded in doc length (ADVICE r5)
-    "dedup_minhash_lsh",  # token-cache FIFO fix (rows-only; anchor adjacent)
-    "dedup_minhash_recall",  # value-level anchor over the changed LSH builder
-    "dedup_connected_components",  # convergence guard added
-    "saprfc_scan_typed",  # corrupt-run flush bound in the Arrow reader
-    "saprfc_pushdown",  # same reader loop, pushdown leg
-    "saprfc_projection",  # same reader loop, projection leg
-    "saprfc_stream_scan",  # streaming twin delegates to the same read()
-    # --- NEW this round -----------------------------------------------------
+    # --- NEW this round (never driver-checked) ------------------------------
     "ann_two_stage",  # PQ-recall + exact-rerank serving (two-stage ANN)
     "dedup_incremental_jaccard",  # batch-vs-corpus near-dup (ingest tick)
     "join_bloom_prefilter",  # explicit bloom runtime-filter join reduction
@@ -89,13 +56,50 @@ _PRIORITY = [
     "graph_copurchase_edges",  # per-order-local pair expansion + one shuffle
     "graph_degree_distribution",  # degree profile of the derived graph
     "graph_triangle_count",  # degree-oriented wedge join (O(sqrt m) fan-out)
-    "graph_pagerank",  # 3-iteration Pregel-as-joins, 1-row-broadcast n
+    "graph_pagerank",  # fixed-point Pregel-as-joins, 1-row-broadcast n
     "join_fuzzy_neighbors",  # deletion-signature (SymSpell) fuzzy self-join
     "ts_interpolate_linear",  # anchor-bracketed linear densification
     "agg_histogram",  # equi-width histogram, 1-row-broadcast min/max
     "data_profile",  # one-pass per-column null/distinct/min/max profile
     "time_bucket_rollup",  # q15 -> hour -> day -> total in one ROLLUP pass
-    # --- rotation ballast: oldest r03 greens fill the window ----------------
+    # --- builder/oracle changed since their last driver green ---------------
+    "ann_ivf_topk",  # fixed-k md5-ordered centroid seeding (r5 verdict #1)
+    "ann_kmeans_assign",  # same seeding; exact anchor for the trainer below
+    "ann_ivf_train_kmeans",  # rows-only by contract (iterative float means)
+    "ann_pq_encode",  # fixed-k PQ codebook
+    "ann_pq_adc_topk",  # fixed-k PQ codebook
+    "ann_ivf_pq_topk",  # composition of both fixed-k seeds
+    "text_ngram_topk",  # oracle unbounded in doc length (ADVICE r5)
+    "pipeline_chunk_documents",  # oracle unbounded in doc length (ADVICE r5)
+    "pipeline_decontaminate",  # oracle unbounded in doc length (ADVICE r5)
+    "dedup_minhash_lsh",  # token-cache FIFO fix (rows-only; anchor adjacent)
+    "dedup_minhash_recall",  # value-level anchor over the changed LSH builder
+    "dedup_connected_components",  # convergence guard added
+    # --- greens last checked in r02 (oldest in the registry) ----------------
+    "stream_tumbling_agg",
+    "stream_sliding_window",
+    "stream_session_window",
+    "stream_dedup_within_watermark",
+    "stream_stateful_running_totals",
+    "stream_static_join",
+    "stream_stream_join",
+    "stream_deadletter_split",
+    "udf_scalar_reverse",
+    "udf_pandas_l2norm",
+    "udf_grouped_stats",
+    "udtf_explode_words",
+    "udtf_bigrams",
+    # --- ~50-entry line -----------------------------------------------------
+    "mm_decode",
+    "mm_asset_stats",
+    "mm_resize",
+    "mm_frame_sample",
+    # saprfc family: r5-green; only an error-path flush bound changed since
+    "saprfc_scan_typed",
+    "saprfc_pushdown",
+    "saprfc_projection",
+    "saprfc_stream_scan",
+    # --- rotation ballast: oldest r03 greens queue for round 7 --------------
     "q1_pricing_summary",
     # --- ~50-entry line; remaining r03 greens queue for round 7 -------------
     "q2_min_cost_supplier",
