@@ -62,6 +62,8 @@ _PRIORITY = [
     "agg_histogram",  # equi-width histogram, 1-row-broadcast min/max
     "data_profile",  # one-pass per-column null/distinct/min/max profile
     "time_bucket_rollup",  # q15 -> hour -> day -> total in one ROLLUP pass
+    "sample_weighted_priority",  # Duffield-Lund-Thorup priority sampling
+    "anomaly_zscore",  # per-group z-score outlier gate, exact decimal stats
     # --- builder/oracle changed since their last driver green ---------------
     "ann_ivf_topk",  # fixed-k md5-ordered centroid seeding (r5 verdict #1)
     "ann_kmeans_assign",  # same seeding; exact anchor for the trainer below

@@ -104,6 +104,22 @@ def sql_md5_byte(expr: str, byte_idx: int) -> str:
     return f"({sql_md5_hex_val(expr, p)} * 16 + {sql_md5_hex_val(expr, p + 1)})"
 
 
+def md5_h32(c: Column) -> Column:
+    """First 32 bits of md5(c) as a BIGINT — the portable uniform-hash seed
+    for sampling (one digest evaluation + one base conversion)."""
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("bigint")
+
+
+def sql_md5_h32_from(m: str) -> str:
+    """The md5_h32 value from an already-materialized md5 hex string ``m``
+    (DuckDB has no conv(); positional digit decode over the single digest)."""
+    terms = [
+        f"(strpos('{HEX}', substring({m}, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
 def md5_h16(c: Column) -> Column:
     """First 16 bits of md5(c) as an INT — ONE digest evaluation + one base
     conversion (vs 4 digest evaluations for two md5_byte extractions)."""

@@ -1354,9 +1354,62 @@ def time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Z_THRESHOLD = 3.0
+
+
+@spec(
+    f"""
+    WITH s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+             CAST(sum(CAST(value AS DECIMAL(18,6))
+                      * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s2
+      FROM events GROUP BY event_type
+    ),
+    z AS (
+      SELECT e.event_id, e.event_type, e.value,
+             (e.value - s.s1 / s.n)
+               / sqrt((s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n))
+                      * s.n / (s.n - 1)) AS zval
+      FROM events e JOIN s USING (event_type)
+    )
+    SELECT event_id, event_type, value, round(zval, 6) AS z
+    FROM z WHERE abs(zval) >= {Z_THRESHOLD}
+    """,
+    doc=f"Z-SCORE ANOMALY DETECTION (|z| >= {Z_THRESHOLD} per event_type): "
+    "per-group mean and sample variance come from EXACT decimal sums "
+    "(sum and sum-of-squares are order-independent), the z expression is "
+    "one identical IEEE tree (divisions, one multiply-subtract, one "
+    "correctly-rounded sqrt), so flagged rows and rounded scores are "
+    "hash-exact across engines.  Scale: the stats aggregate is k rows "
+    "(one per group) broadcast back into a map-side filter — one narrow "
+    "shuffle for the stats, none for the scoring pass; the outlier-gate "
+    "shape a quality pipeline runs before ingestion.",
+)
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    dv = F.col("value").cast("decimal(18,6)")
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dv).cast("double").alias("s1"),
+        F.sum(dv * dv).cast("double").alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    var = (F.col("s2") / F.col("n") - mean * mean) * F.col("n") / (F.col("n") - 1)
+    z = (F.col("value") - mean) / F.sqrt(var)
+    return (
+        ev.join(F.broadcast(s), "event_type")
+        .withColumn("zval", z)
+        .filter(F.abs(F.col("zval")) >= Z_THRESHOLD)
+        .select("event_id", "event_type", "value", F.round("zval", 6).alias("z"))
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q1_pricing_summary": q1_pricing_summary,
     "agg_histogram": agg_histogram,
+    "anomaly_zscore": anomaly_zscore,
     "data_profile": data_profile,
     "time_bucket_rollup": time_bucket_rollup,
     "q3_shipping_priority": q3_shipping_priority,

@@ -19,7 +19,14 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load, parallelize_small_scan
-from ..functions.exprs import md5_byte, md5_h16, sql_md5_byte, sql_md5_h16_from
+from ..functions.exprs import (
+    md5_byte,
+    md5_h16,
+    md5_h32,
+    sql_md5_byte,
+    sql_md5_h16_from,
+    sql_md5_h32_from,
+)
 from ..registry import QuerySpec, spec
 
 # Tiny deterministic English stopword list for the n-gram/stopword heuristic.
@@ -234,6 +241,57 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= 50)
         .select("doc_id", "source")
+    )
+
+
+WEIGHTED_QUOTA = 20  # weighted-sample size per stratum
+
+
+@spec(
+    f"""
+    WITH m AS (
+      SELECT doc_id, source, n_chars, md5(CAST(doc_id AS VARCHAR)) AS mh
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id, source, n_chars,
+             CAST(n_chars AS DOUBLE) * 4294967296.0
+               / (CAST({sql_md5_h32_from('mh')} AS DOUBLE) + 0.5) AS pri
+      FROM m
+    )
+    SELECT doc_id, source, n_chars, round(pri, 4) AS priority
+    FROM p
+    QUALIFY row_number() OVER (PARTITION BY source
+                               ORDER BY pri DESC, doc_id) <= {WEIGHTED_QUOTA}
+    """,
+    doc="WEIGHTED corpus sampling via PRIORITY SAMPLING (Duffield-Lund-"
+    "Thorup): each doc draws priority w/u with weight w = n_chars and "
+    "u = (h+0.5)/2^32 from the portable md5 seed; the per-stratum top-"
+    f"{WEIGHTED_QUOTA} priorities are the sample — longer documents "
+    "proportionally likelier, the token-budget-proportional draw a "
+    "training-mix pipeline uses.  Deterministic and engine-exact: the "
+    "priority is one identical IEEE expression (multiply + divide on exact "
+    "integers — no ln/pow, whose library rounding differs across engines), "
+    "seeded by the same digest both engines compute.  Scale: priorities are "
+    "map-side; the per-stratum top-k is the topk_orders partial-limit "
+    "topology — one shuffle on the stratum key.",
+)
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    h = md5_h32(F.col("doc_id").cast("string"))
+    p = d.withColumn(
+        "pri",
+        F.col("n_chars").cast("double")
+        * F.lit(4294967296.0)
+        / (h.cast("double") + F.lit(0.5)),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("pri"), F.asc("doc_id"))
+    return (
+        p.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= WEIGHTED_QUOTA)
+        .select("doc_id", "source", "n_chars", F.round("pri", 4).alias("priority"))
     )
 
 
@@ -821,6 +879,7 @@ QUERIES: dict[str, QuerySpec] = {
     "text_repetition_filter": text_repetition_filter,
     "pipeline_chunk_documents": pipeline_chunk_documents,
     "sample_stratified": sample_stratified,
+    "sample_weighted_priority": sample_weighted_priority,
     "pipeline_pack_sequences": pipeline_pack_sequences,
     "text_token_count": text_token_count,
     "text_quality": text_quality,
