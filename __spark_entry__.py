@@ -64,6 +64,8 @@ _PRIORITY = [
     "time_bucket_rollup",  # q15 -> hour -> day -> total in one ROLLUP pass
     "sample_weighted_priority",  # Duffield-Lund-Thorup priority sampling
     "anomaly_zscore",  # per-group z-score outlier gate, exact decimal stats
+    "text_sentiment_lexicon",  # map-side lexicon polarity scoring
+    "ml_linear_score",  # linear-model inference fused into the scan
     # --- builder/oracle changed since their last driver green ---------------
     "ann_ivf_topk",  # fixed-k md5-ordered centroid seeding (r5 verdict #1)
     "ann_kmeans_assign",  # same seeding; exact anchor for the trainer below

@@ -24,7 +24,15 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load, parallelize_small_scan
-from ..functions.vector import as_double, cosine, sign_bucket, sql_cosine, sql_sign_bucket
+from ..functions.vector import (
+    as_double,
+    cosine,
+    dot,
+    sign_bucket,
+    sql_cosine,
+    sql_dot,
+    sql_sign_bucket,
+)
 from ..registry import QuerySpec, spec
 
 N_QUERIES = 25  # bounded query set for the brute-force baseline
@@ -994,8 +1002,51 @@ def ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic toy linear model: w_j = ((7j mod 13) - 6) / 10, bias 0.1 —
+# a fixed literal vector both engines embed identically (stand-in for
+# trained weights shipped to the scorer).
+ML_DIM = 64
+ML_WEIGHTS = [((7 * j) % 13 - 6) / 10.0 for j in range(ML_DIM)]
+ML_BIAS = 0.1
+
+
+@spec(
+    f"""
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings)
+    SELECT vec_id, label,
+           round({ML_BIAS} + {sql_dot('e', 'CAST(' + repr(ML_WEIGHTS) + ' AS DOUBLE[])')}, 6)
+             AS score,
+           ({ML_BIAS} + {sql_dot('e', 'CAST(' + repr(ML_WEIGHTS) + ' AS DOUBLE[])')}) > 0
+             AS pred
+    FROM v
+    """,
+    doc="ML INFERENCE AS PURE DATAFLOW (the operator-fusion shape of ICDE "
+    "2025's SQL-inference pipeline): a linear classifier scores every "
+    "embedding inside the scan projection — the weight vector is a literal "
+    "broadcast into the expression, the dot product is the same built-in "
+    "zip_with/aggregate fold as the cosine kernels (JVM-side, whole-stage-"
+    "codegen'd, no UDF, no Python), and the decision threshold fuses into "
+    "the same map.  Zero shuffles at any corpus size.  The sign threshold "
+    "is applied to the UNROUNDED score on both engines; round(6) on the "
+    "surfaced score is the cosine precedent.",
+)
+def ml_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double("embedding").alias("e")
+    )
+    w = F.array(*[F.lit(x) for x in ML_WEIGHTS])
+    z = F.lit(ML_BIAS) + dot(F.col("e"), w)
+    return v.select(
+        "vec_id",
+        "label",
+        F.round(z, 6).alias("score"),
+        (z > 0).alias("pred"),
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
+    "ml_linear_score": ml_linear_score,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_train_kmeans": ann_ivf_train_kmeans,

@@ -244,6 +244,59 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SENT_POS = ("fast", "big")
+SENT_NEG = ("slow", "small")
+
+
+@spec(
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang, string_split(lower(text), ' ') AS toks
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, lang,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(toks, w -> w IN {SENT_POS!r})) AS BIGINT) AS n_pos,
+             CAST(len(list_filter(toks, w -> w IN {SENT_NEG!r})) AS BIGINT) AS n_neg
+      FROM t
+    )
+    SELECT doc_id, lang, n_pos, n_neg,
+           round((n_pos - n_neg) / CAST(n_tokens AS DOUBLE), 6) AS polarity,
+           CASE WHEN n_pos > n_neg THEN 'pos'
+                WHEN n_pos < n_neg THEN 'neg'
+                ELSE 'neutral' END AS label
+    FROM c
+    """,
+    doc="LEXICON SENTIMENT SCORING (the Spark-sentiment-at-scale shape of "
+    "EDBT 2016's Twitter pipeline): polarity = (pos-hits - neg-hits) / "
+    "tokens against a broadcast-sized lexicon, entirely map-side — tokenize, "
+    "two list_filter counts, one exact integer subtraction and one IEEE "
+    "division per document; zero shuffles, zero UDFs.  A production lexicon "
+    "(thousands of terms) would join a frequency-weighted term table "
+    "(the text_unigram_logprob topology) instead of inlining the IN list; "
+    "the dataflow is identical.",
+)
+def text_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    n_pos = F.size(F.filter(toks, lambda w: w.isin(*SENT_POS))).cast("bigint")
+    n_neg = F.size(F.filter(toks, lambda w: w.isin(*SENT_NEG))).cast("bigint")
+    return d.select(
+        "doc_id",
+        "lang",
+        n_pos.alias("n_pos"),
+        n_neg.alias("n_neg"),
+        F.round(
+            (n_pos - n_neg) / F.size(toks).cast("double"), 6
+        ).alias("polarity"),
+        F.when(n_pos > n_neg, "pos")
+        .when(n_pos < n_neg, "neg")
+        .otherwise("neutral")
+        .alias("label"),
+    )
+
+
 WEIGHTED_QUOTA = 20  # weighted-sample size per stratum
 
 
@@ -880,6 +933,7 @@ QUERIES: dict[str, QuerySpec] = {
     "pipeline_chunk_documents": pipeline_chunk_documents,
     "sample_stratified": sample_stratified,
     "sample_weighted_priority": sample_weighted_priority,
+    "text_sentiment_lexicon": text_sentiment_lexicon,
     "pipeline_pack_sequences": pipeline_pack_sequences,
     "text_token_count": text_token_count,
     "text_quality": text_quality,
