@@ -19,12 +19,16 @@ def test_registry_shape():
     assert len(names) == len(set(names))
     # priority names lead, in order
     assert names[: len(entrymod._PRIORITY)] == entrymod._PRIORITY
-    # round-6 window layout: the 17 r02-stale queries lead (streaming
-    # family, UDF surface, mm basics — r5 verdict item 2), then queries
-    # whose builder/oracle changed this round (fixed-k IVF/PQ seeding,
-    # unbounded n-gram oracles, token-cache/reader fixes), then oldest-r03
-    # ballast; the remaining r03 greens queue just past the line for r7.
-    assert names[0] == "stream_tumbling_agg"
+    # round-6 window layout (criticality order): NEVER-CHECKED round-6
+    # additions lead (no correctness signal without a driver row), then
+    # queries whose builder/oracle changed since their last green (fixed-k
+    # IVF/PQ seeding, unbounded n-gram oracles, token-cache/reader fixes),
+    # then the oldest stale greens; ballast queues past the ~50 line.
+    assert names[0] == "ann_two_stage"
+    # the brand-new operator families sit inside the checked window
+    for probe in ("graph_pagerank", "join_fuzzy_neighbors", "data_profile",
+                  "ml_linear_score", "ann_incremental_topk"):
+        assert names.index(probe) < 50, probe
     window_rows_only = [n for n in names[:50] if reg[n].oracle is None]
     # both rows-only entries in the window carry adjacent exact anchors
     # (ann_kmeans_assign and dedup_minhash_recall)
