@@ -54,7 +54,31 @@ edges AS (
 """
 
 
+# The derived edge set is SHARED by every graph query (degree, triangles,
+# PageRank) and re-USED inside each one (the oriented edge list feeds three
+# join legs; PageRank consumes it every iteration).  Left lazy, Catalyst
+# replicates the whole build subtree per use — measured 90 file scans / 229
+# exchanges in the triangle plan at fixture scale.  The support-thresholded
+# edge set is TINY relative to the corpus (the agg collapses ~1.2M candidate
+# pairs to ~3.5k edges at sf0.1), so materialize it once per (session,
+# sf_dir) with localCheckpoint — the in-session analog of writing the
+# derived edge table once and serving all graph queries from it, exactly
+# what a 100 TB pipeline does.  Same memoization precedent as similarity's
+# _SEED_CACHE; keyed by applicationId so a new session never sees a dead
+# frame.
+_EDGE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _EDGE_CACHE.get(key)
+    if hit is None:
+        hit = _copurchase_edges_plan(spark, sf_dir).localCheckpoint(eager=True)
+        _EDGE_CACHE[key] = hit
+    return hit
+
+
+def _copurchase_edges_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(src, dst, w) co-purchase edges with src < dst and support >= 2.
 
     The pair expansion happens inside an order-key equi-join, so work per
