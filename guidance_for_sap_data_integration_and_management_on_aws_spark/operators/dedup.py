@@ -399,7 +399,24 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 CC_MAX_ITERS = 25
 
 
+# The converged label frame is shared by component stats AND canonical
+# selection; the fixpoint costs several join+checkpoint rounds, so memoize
+# the (already-checkpointed, lineage-free) result per (session, sf_dir) —
+# the in-session analog of materializing the cluster-label table once per
+# corpus snapshot.  Same precedent as graph._EDGE_CACHE / _SEED_CACHE.
+_CC_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _CC_CACHE.get(key)
+    if hit is None:
+        hit = _cc_labels_fixpoint(spark, sf_dir)
+        _CC_CACHE[key] = hit
+    return hit
+
+
+def _cc_labels_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, component_id) labels from the min-label fixpoint over the
     exact near-dup pair graph — the shared clustering step behind component
     stats (dedup_connected_components) and canonical selection
