@@ -490,3 +490,49 @@ def test_two_stage_and_matryoshka_no_cartesian(spark, sf_dir):
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" in plan, name
         assert plan.count("RunningWindowFunction") <= stages * 2, name
+
+
+def test_fuzzy_join_is_signature_equijoin(spark, sf_dir):
+    """Deletion-signature blocking must surface as an equi-join on the
+    (pos, sig) key — never a nested-loop/cartesian over names."""
+    plan = _plan(spark, sf_dir, "join_fuzzy_neighbors")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_data_profile_single_scan(spark, sf_dir):
+    """All 24 profile metrics come from ONE pass over orders."""
+    plan = _plan(spark, sf_dir, "data_profile")
+    assert len(file_scans(plan)) == 1
+
+
+def test_stats_broadcast_joins(spark, sf_dir):
+    """1-row/k-row stats frames ride as broadcasts: the scoring pass never
+    shuffles the fact side against them."""
+    for name in ("agg_histogram", "anomaly_zscore"):
+        plan = _plan(spark, sf_dir, name)
+        assert "SortMergeJoin" not in plan, name
+        assert "BroadcastExchange" in plan, name
+
+
+def test_time_rollup_single_aggregation(spark, sf_dir):
+    """The whole grain hierarchy comes from one Expand + one agg exchange —
+    not four scan+agg jobs."""
+    plan = _plan(spark, sf_dir, "time_bucket_rollup")
+    assert plan.count("Expand") == 1
+    assert len(file_scans(plan)) == 1
+
+
+def test_interpolation_single_exchange(spark, sf_dir):
+    """Both IGNORE-NULLS frames share the user_id partitioning: one window
+    exchange end-to-end."""
+    plan = _plan(spark, sf_dir, "ts_interpolate_linear")
+    assert n_exchanges(plan) == 1
+
+
+def test_map_side_scoring_no_exchange(spark, sf_dir):
+    """Sentiment and linear inference are scan-fused map work: zero
+    exchanges anywhere in the plan."""
+    for name in ("text_sentiment_lexicon", "ml_linear_score"):
+        plan = _plan(spark, sf_dir, name)
+        assert n_exchanges(plan) == 0, name
