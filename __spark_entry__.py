@@ -67,6 +67,7 @@ _PRIORITY = [
     "text_sentiment_lexicon",  # map-side lexicon polarity scoring
     "ml_linear_score",  # linear-model inference fused into the scan
     "ann_incremental_topk",  # batch-only rescore + state merge (exact)
+    "graph_components",  # pointer-doubling CC, O(log diameter) rounds
     # --- builder/oracle changed since their last driver green ---------------
     "ann_ivf_topk",  # fixed-k md5-ordered centroid seeding (r5 verdict #1)
     "ann_kmeans_assign",  # same seeding; exact anchor for the trainer below
