@@ -157,11 +157,14 @@ def main(check: bool = False) -> None:
     # data-independent.  Cross-round headline comparisons divide by this to
     # separate engine regressions from host-load drift (observed 1.4x
     # headline swing between idle-box runs within one session).
-    t0 = time.perf_counter()
-    spark.range(50_000_000).selectExpr("xxhash64(id) AS h").write.mode(
-        "overwrite"
-    ).format("noop").save()
-    calib = round(time.perf_counter() - t0, 3)
+    def run_calib() -> float:
+        t0 = time.perf_counter()
+        spark.range(50_000_000).selectExpr("xxhash64(id) AS h").write.mode(
+            "overwrite"
+        ).format("noop").save()
+        return round(time.perf_counter() - t0, 3)
+
+    calib_start = run_calib()
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
@@ -178,6 +181,14 @@ def main(check: bool = False) -> None:
         except Exception as e:  # keep the bench line intact; surface the error
             errors[name] = f"{type(e).__name__}: {e}"[:200]
 
+    # Re-measure calibration AFTER the suite as a DIAGNOSTIC only (surfaced
+    # as calib_sec_end): an end-of-run sample runs on a maximally-JIT-warm
+    # JVM and measures warmup, not host load (observed 0.50s start vs 0.20s
+    # end in one run), so folding it into the divisor would break the
+    # start-sample convention every prior round's normalized numbers use.
+    calib_end = run_calib()
+    calib = calib_start
+
     # Calibration-normalized twins (VERDICT r03 item 8): divide by this run's
     # calib_sec so cross-round diffs separate host-load drift (1.3-6x swings
     # observed between runs on this box) from real engine regressions.  Unit:
@@ -192,6 +203,8 @@ def main(check: bool = False) -> None:
         "all_queries_total": round(sum(timings.values()), 3),
         "n_queries": len(timings),
         "calib_sec": calib,
+        "calib_sec_start": calib_start,
+        "calib_sec_end": calib_end,
         "queries_norm": norm,
         "value_norm": round(total / calib, 3) if calib else None,
         "all_queries_total_norm": round(sum(timings.values()) / calib, 3) if calib else None,
