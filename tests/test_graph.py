@@ -50,3 +50,17 @@ def test_graph_plans_have_no_cartesian_product(spark, sf_dir):
     for name, q in graph.QUERIES.items():
         plan = q.builder(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, name
+
+
+def test_derived_frames_memoized_per_session(spark, sf_dir):
+    """The edge set and the converged component labels are materialized once
+    per (session, sf_dir) and shared — a regression here silently restores
+    the replicated-subtree plans the caches were added to kill."""
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.operators.dedup import (
+        cc_labels,
+    )
+
+    assert graph.copurchase_edges(spark, sf_dir) is graph.copurchase_edges(
+        spark, sf_dir
+    )
+    assert cc_labels(spark, sf_dir) is cc_labels(spark, sf_dir)
