@@ -69,6 +69,7 @@ _PRIORITY = [
     "ann_incremental_topk",  # batch-only rescore + state merge (exact)
     "graph_components",  # pointer-doubling CC, O(log diameter) rounds
     # --- builder/oracle changed since their last driver green ---------------
+    "window_distribution",  # de-rounded: sf0.1 sweep found a half-repr flip
     "ann_ivf_topk",  # fixed-k md5-ordered centroid seeding (r5 verdict #1)
     "ann_kmeans_assign",  # same seeding; exact anchor for the trainer below
     "ann_ivf_train_kmeans",  # rows-only by contract (iterative float means)

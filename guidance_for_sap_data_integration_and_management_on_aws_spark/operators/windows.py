@@ -145,24 +145,30 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 @spec(
     """
     SELECT c_custkey, c_nationkey,
-           round(percent_rank() OVER w, 6) AS pct_rank,
-           round(cume_dist()    OVER w, 6) AS cume,
-           ntile(7)             OVER w AS septile
+           percent_rank() OVER w AS pct_rank,
+           cume_dist()    OVER w AS cume,
+           ntile(7)       OVER w AS septile
     FROM customer
     WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
     """,
     doc="W1 distribution functions: percent_rank / cume_dist / ntile(7) per "
-    "nation (deterministic tie-break; round(6) absorbs the one double "
-    "division).  Completes the ranking-family surface beyond "
-    "window_rank's row_number/rank/dense_rank/ntile(4).",
+    "nation (deterministic tie-break).  Completes the ranking-family "
+    "surface beyond window_rank's row_number/rank/dense_rank/ntile(4).  "
+    "Surfaced UNROUNDED, deliberately: both engines compute the identical "
+    "IEEE division of the same integer rank/count, so the raw doubles are "
+    "bit-exact — while round(6) is what DIVERGES: when cume = k/n has a "
+    "shortest decimal repr ending in ...5 at the 7th place (e.g. 333/640 = "
+    "0.5203125), Spark rounds that shortest repr HALF_UP (-> ...13) but "
+    "DuckDB rounds the binary value (just below the half) down (-> ...12) — "
+    "found by sf0.1 parity sweep, round 6.",
 )
 def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
     return load(spark, sf_dir, "customer").select(
         "c_custkey",
         "c_nationkey",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
         F.ntile(7).over(w).alias("septile"),
     )
 
