@@ -68,6 +68,7 @@ _PRIORITY = [
     "ml_linear_score",  # linear-model inference fused into the scan
     "ann_incremental_topk",  # batch-only rescore + state merge (exact)
     "graph_components",  # pointer-doubling CC, O(log diameter) rounds
+    "graph_kcore",  # iterative k-core peeling, converge-or-raise
     # --- builder/oracle changed since their last driver green ---------------
     "window_distribution",  # de-rounded: sf0.1 sweep found a half-repr flip
     "ann_ivf_topk",  # fixed-k md5-ordered centroid seeding (r5 verdict #1)

@@ -399,9 +399,87 @@ def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         bi.unpersist()
 
 
+KCORE_K = 3
+# Peel-round budget: the fixture needs 10 rounds at sf0.01; the oracle
+# unrolls this many rounds (idempotent once the fixpoint is reached), and
+# the Spark loop RAISES if still peeling afterwards — a visible error, never
+# a silently-divergent answer.
+KCORE_MAX_ROUNDS = 24
+
+
+def _kcore_oracle() -> str:
+    # every g{i} is referenced twice per round (by n{i} and g{i+1}); without
+    # MATERIALIZED, DuckDB inlines CTEs and the base-scan expansion grows
+    # 2^rounds (observed as a too-many-open-files explosion at 24 rounds)
+    cte = f"""
+    WITH {_EDGES_CTE.strip()},
+    g0 AS MATERIALIZED (SELECT src AS a, dst AS b FROM edges
+                        UNION ALL SELECT dst, src FROM edges)"""
+    for i in range(KCORE_MAX_ROUNDS):
+        cte += f""",
+    n{i} AS MATERIALIZED (SELECT a AS node FROM g{i}
+                          GROUP BY a HAVING count(*) >= {KCORE_K}),
+    g{i + 1} AS MATERIALIZED (SELECT g.a, g.b FROM g{i} g
+                              JOIN n{i} x ON g.a = x.node
+                              JOIN n{i} y ON g.b = y.node)"""
+    return cte + f"""
+    SELECT a AS node, CAST(count(*) AS BIGINT) AS core_degree
+    FROM g{KCORE_MAX_ROUNDS} GROUP BY a
+    """
+
+
+@spec(
+    _kcore_oracle(),
+    doc=f"K-CORE DECOMPOSITION (k={KCORE_K}) of the co-purchase graph via "
+    "iterative peeling: repeatedly drop nodes whose degree within the "
+    "surviving subgraph is below k, until stable — the standard "
+    "dense-subgraph extraction a curation pipeline runs for spam/bot "
+    "cluster detection and community seeding.  Each peel round is one "
+    "degree aggregation + two semi-joins on the node id (shuffle-by-key "
+    "only), localCheckpoint'ed so planning cost stays flat (the CC "
+    "precedent); one changed-count collect per round; raises past the "
+    "round budget instead of returning a half-peeled subgraph.  The "
+    "oracle unrolls the same peeling (idempotent at the fixpoint), so "
+    "agreement is exact.  Output: surviving nodes with their in-core "
+    "degree (>= k by construction).",
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e0 = copurchase_edges(spark, sf_dir).select("src", "dst")
+    g = (
+        e0.unionAll(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .toDF("a", "b")
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(KCORE_MAX_ROUNDS):
+        keep = (
+            g.groupBy(F.col("a").alias("node"))
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= KCORE_K)
+            .select("node")
+        )
+        pruned = (
+            g.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        n_old, n_new = g.count(), pruned.count()
+        g = pruned
+        if n_new == n_old:
+            break
+    else:
+        raise RuntimeError(
+            f"k-core peeling did not stabilize within {KCORE_MAX_ROUNDS} rounds"
+        )
+    return g.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("core_degree")
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "graph_copurchase_edges": graph_copurchase_edges,
     "graph_components": graph_components,
+    "graph_kcore": graph_kcore,
     "graph_degree_distribution": graph_degree_distribution,
     "graph_triangle_count": graph_triangle_count,
     "graph_pagerank": graph_pagerank,
