@@ -69,6 +69,8 @@ _PRIORITY = [
     "ann_incremental_topk",  # batch-only rescore + state merge (exact)
     "graph_components",  # pointer-doubling CC, O(log diameter) rounds
     "graph_kcore",  # iterative k-core peeling, converge-or-raise
+    "ingest_cdc_apply",  # changefeed -> final state, delete tombstones
+    "lake_schema_evolution",  # mergeSchema read across evolved batches
     # --- builder/oracle changed since their last driver green ---------------
     "window_distribution",  # de-rounded: sf0.1 sweep found a half-repr flip
     "ann_ivf_topk",  # fixed-k md5-ordered centroid seeding (r5 verdict #1)

@@ -785,8 +785,107 @@ def lake_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec(
+    """
+    WITH feed AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+      FROM events
+    ),
+    latest AS (
+      SELECT user_id, ts, value, op,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM feed
+    )
+    SELECT user_id, value AS latest_value,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS as_of
+    FROM latest WHERE rn = 1 AND op <> 'D'
+    """,
+    doc="CDC APPLY WITH DELETE MARKERS: events replayed as a changefeed "
+    "(op = D for 'error' rows, upsert otherwise) collapse to final table "
+    "state — last op per key wins, keys whose last op is a delete vanish.  "
+    "Completes the delta-load family (merge upsert / SCD2 / incremental "
+    "upsert) with the tombstone semantics a lakehouse CDC sink needs; the "
+    "reference's full-extract design has no delete story at all "
+    "(/root/reference/pyrfc_read_table/pyrfc_read_table.py replaces the "
+    "whole table each run).  One key-partitioned window — the same "
+    "single-shuffle shape as topk-per-group, so 100 TB changefeeds apply "
+    "in one pass.",
+)
+def ingest_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    feed = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        feed.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select(
+            "user_id",
+            F.col("value").alias("latest_value"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("as_of"),
+        )
+    )
+
+
+@spec(
+    """
+    WITH b1 AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0),
+    b2 AS (SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+           WHERE o_orderkey % 2 = 1)
+    SELECT COALESCE(b.o_orderpriority, '<pre-evolution>') AS priority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM (SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority FROM b1
+          UNION ALL SELECT * FROM b2) b
+    GROUP BY 1
+    """,
+    doc="SCHEMA EVOLUTION on the lake: batch 1 lands (o_orderkey, "
+    "o_totalprice), batch 2 adds o_orderpriority; a mergeSchema read unifies "
+    "both under one scan with NULLs for the pre-evolution rows — the "
+    "additive-column migration every long-lived ingestion hits (the "
+    "reference rewrites its whole extract per run and cannot evolve).  "
+    "Spark: two real parquet writes + spark.read.option('mergeSchema') — "
+    "schema unification happens at PLANNING time from footers, the scan "
+    "stays one pass; at 100 TB the same read serves any mix of old/new "
+    "files.  Oracle states the union-with-NULL form directly.",
+)
+def lake_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from ..streaming.replay import scratch_dir
+
+    base = scratch_dir(f"evolve-{uuid.uuid4().hex[:8]}")
+    o = load(spark, sf_dir, "orders")
+    o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    ).write.mode("overwrite").parquet(f"{base}/batch=1")
+    o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    ).write.mode("overwrite").parquet(f"{base}/batch=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{base}/batch=1", f"{base}/batch=2"
+    )
+    return merged.groupBy(
+        F.coalesce(F.col("o_orderpriority"), F.lit("<pre-evolution>")).alias("priority")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double").alias("total"),
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "ingest_merge_upsert": ingest_merge_upsert,
+    "ingest_cdc_apply": ingest_cdc_apply,
+    "lake_schema_evolution": lake_schema_evolution,
     "ingest_merge_into_route": ingest_merge_into_route,
     "ingest_scd2_history": ingest_scd2_history,
     "ingest_scd2_snapshot": ingest_scd2_snapshot,
