@@ -1,6 +1,7 @@
 """Distributed graph analytics over relational edge sets (SURVEY §2 [EXT]):
-co-occurrence edge building, degree distribution, triangle counting, and
-fixed-iteration PageRank.
+co-occurrence edge building, degree distribution, triangle counting,
+fixed-iteration PageRank, pointer-doubling connected components, and k-core
+decomposition.
 
 The reference ships no graph operators (it is a single-table extractor —
 `/root/reference/pyrfc_read_table/pyrfc_read_table.py`); these are the
@@ -25,7 +26,11 @@ Scale design (100 TB):
   is one equi-join (edges x ranks) + one aggregation — the canonical
   Pregel-as-joins formulation.  Node count enters as a 1-row broadcast
   (no driver-side collect of data); iterations are fixed (3), so the oracle
-  unrolls to plain CTEs and stays hash-exact under round(6).
+  unrolls to plain CTEs; rank mass is fixed-point integer, so the result is
+  bit-exact with no rounding anywhere.
+* **Iterative fixpoints** (components, k-core) localCheckpoint every round
+  (flat planning cost) and RAISE past their round budget instead of
+  returning an unconverged answer.
 """
 
 from __future__ import annotations
