@@ -71,6 +71,7 @@ _PRIORITY = [
     "graph_kcore",  # iterative k-core peeling, converge-or-raise
     "ingest_cdc_apply",  # changefeed -> final state, delete tombstones
     "lake_schema_evolution",  # mergeSchema read across evolved batches
+    "text_numericalize",  # vocab build + order-preserving token->id encode
     # --- builder/oracle changed since their last driver green ---------------
     "window_distribution",  # de-rounded: sf0.1 sweep found a half-repr flip
     "ann_ivf_topk",  # fixed-k md5-ordered centroid seeding (r5 verdict #1)

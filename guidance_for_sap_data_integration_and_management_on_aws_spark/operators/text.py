@@ -244,6 +244,58 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec(
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    e AS (SELECT doc_id, unnest(toks) AS word,
+                 generate_subscripts(toks, 1) AS pos
+          FROM w),
+    v AS (SELECT word,
+                 row_number() OVER (ORDER BY count(*) DESC, word) AS wid
+          FROM e GROUP BY word)
+    SELECT e.doc_id,
+           string_agg(v.wid, ',' ORDER BY e.pos) AS token_ids,
+           CAST(count(*) AS BIGINT) AS n_tokens
+    FROM e JOIN v USING (word)
+    GROUP BY e.doc_id
+    """,
+    doc="VOCABULARY BUILD + NUMERICALIZATION (the tokenize-to-ids step of "
+    "training prep): the corpus vocabulary is ranked by frequency "
+    "(deterministic word tie-break) and every document's token sequence is "
+    "rewritten as the comma-joined id sequence, order-preserving.  Scale: "
+    "the vocabulary aggregation is bounded by |vocab| (map-side combined), "
+    "rides as a broadcast into the token join, and the re-assembly is one "
+    "doc-keyed aggregation — at 100 TB exactly the two-pass shape a real "
+    "tokenizer-id pipeline uses (build vocab once, then a map-side encode "
+    "pass).  Position order is pinned on both engines (array_sort on the "
+    "(pos, id) structs / string_agg ORDER BY pos), so the id string is "
+    "hash-exact.",
+)
+def text_numericalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    e = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "word"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
+    from pyspark.sql import Window
+
+    wv = Window.orderBy(F.desc("freq"), F.asc("word"))
+    vocab = (
+        e.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select("word", F.row_number().over(wv).alias("wid"))
+    )
+    joined = e.join(F.broadcast(vocab), "word")
+    ids_in_order = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "wid"))),
+        lambda x: x["wid"].cast("string"),
+    )
+    return joined.groupBy("doc_id").agg(
+        F.array_join(ids_in_order, ",").alias("token_ids"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )
+
+
 SENT_POS = ("fast", "big")
 SENT_NEG = ("slow", "small")
 
@@ -934,6 +986,7 @@ QUERIES: dict[str, QuerySpec] = {
     "sample_stratified": sample_stratified,
     "sample_weighted_priority": sample_weighted_priority,
     "text_sentiment_lexicon": text_sentiment_lexicon,
+    "text_numericalize": text_numericalize,
     "pipeline_pack_sequences": pipeline_pack_sequences,
     "text_token_count": text_token_count,
     "text_quality": text_quality,
