@@ -859,11 +859,18 @@ def ingest_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     "files.  Oracle states the union-with-NULL form directly.",
 )
 def lake_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import uuid
+    import hashlib
+    import os
 
-    from ..streaming.replay import scratch_dir
+    from ..streaming.replay import _SCRATCH
 
-    base = scratch_dir(f"evolve-{uuid.uuid4().hex[:8]}")
+    # deterministic per-sf path, REUSED across invocations AND processes
+    # (mode=overwrite rewrites both batches in place; md5 not str hash —
+    # the latter is salted per-process) — a fresh uuid dir per call would
+    # accumulate unbounded scratch parquet
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.abspath(os.path.join(_SCRATCH, "evolve", f"sf-{key}"))
+    os.makedirs(base, exist_ok=True)
     o = load(spark, sf_dir, "orders")
     o.filter(F.col("o_orderkey") % 2 == 0).select(
         "o_orderkey", "o_totalprice"

@@ -1370,12 +1370,16 @@ Z_THRESHOLD = 3.0
                       * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s2
       FROM events GROUP BY event_type
     ),
+    sv AS (
+      SELECT event_type, n, s1,
+             (s2 / n - (s1 / n) * (s1 / n)) * n / (n - 1) AS var
+      FROM s WHERE n > 1
+    ),
     z AS (
       SELECT e.event_id, e.event_type, e.value,
-             (e.value - s.s1 / s.n)
-               / sqrt((s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n))
-                      * s.n / (s.n - 1)) AS zval
-      FROM events e JOIN s USING (event_type)
+             (e.value - sv.s1 / sv.n) / sqrt(sv.var) AS zval
+      FROM events e JOIN sv USING (event_type)
+      WHERE sv.var > 0
     )
     SELECT event_id, event_type, value, round(zval, 6) AS z
     FROM z WHERE abs(zval) >= {Z_THRESHOLD}
@@ -1385,7 +1389,12 @@ Z_THRESHOLD = 3.0
     "(sum and sum-of-squares are order-independent), the z expression is "
     "one identical IEEE tree (divisions, one multiply-subtract, one "
     "correctly-rounded sqrt), so flagged rows and rounded scores are "
-    "hash-exact across engines.  Scale: the stats aggregate is k rows "
+    "hash-exact across engines.  Degenerate groups are EXCLUDED identically "
+    "on both engines (n > 1 and var > 0): with n == 1 the n/(n-1) term is a "
+    "zero division whose result is engine-specific (Spark non-ANSI NULL vs "
+    "DuckDB IEEE inf/NaN with NaN-high comparison semantics), and all-equal "
+    "groups yield NaN z-scores with the same divergence.  Scale: the stats "
+    "aggregate is k rows "
     "(one per group) broadcast back into a map-side filter — one narrow "
     "shuffle for the stats, none for the scoring pass; the outlier-gate "
     "shape a quality pipeline runs before ingestion.",
@@ -1400,9 +1409,12 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mean = F.col("s1") / F.col("n")
     var = (F.col("s2") / F.col("n") - mean * mean) * F.col("n") / (F.col("n") - 1)
-    z = (F.col("value") - mean) / F.sqrt(var)
+    # degenerate-group guard (see docstring): n > 1 filters the zero
+    # division, var > 0 filters all-equal groups before the sqrt
+    sv = s.filter(F.col("n") > 1).withColumn("var", var).filter(F.col("var") > 0)
+    z = (F.col("value") - mean) / F.sqrt(F.col("var"))
     return (
-        ev.join(F.broadcast(s), "event_type")
+        ev.join(F.broadcast(sv), "event_type")
         .withColumn("zval", z)
         .filter(F.abs(F.col("zval")) >= Z_THRESHOLD)
         .select("event_id", "event_type", "value", F.round("zval", 6).alias("z"))

@@ -1016,7 +1016,7 @@ ML_BIAS = 0.1
     SELECT vec_id, label,
            round({ML_BIAS} + {sql_dot('e', 'CAST(' + repr(ML_WEIGHTS) + ' AS DOUBLE[])')}, 6)
              AS score,
-           ({ML_BIAS} + {sql_dot('e', 'CAST(' + repr(ML_WEIGHTS) + ' AS DOUBLE[])')}) > 0
+           round({ML_BIAS} + {sql_dot('e', 'CAST(' + repr(ML_WEIGHTS) + ' AS DOUBLE[])')}, 6) > 0
              AS pred
     FROM v
     """,
@@ -1027,8 +1027,10 @@ ML_BIAS = 0.1
     "zip_with/aggregate fold as the cosine kernels (JVM-side, whole-stage-"
     "codegen'd, no UDF, no Python), and the decision threshold fuses into "
     "the same map.  Zero shuffles at any corpus size.  The sign threshold "
-    "is applied to the UNROUNDED score on both engines; round(6) on the "
-    "surfaced score is the cosine precedent.",
+    "is applied to the ROUNDED score on both engines: the two dot folds may "
+    "accumulate in different orders, so a raw score within a few ulps of 0 "
+    "could flip the boolean across engines while the round(6) score (the "
+    "cosine precedent) is stable.",
 )
 def ml_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = load(spark, sf_dir, "embeddings").select(
@@ -1040,7 +1042,7 @@ def ml_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         F.round(z, 6).alias("score"),
-        (z > 0).alias("pred"),
+        (F.round(z, 6) > 0).alias("pred"),
     )
 
 

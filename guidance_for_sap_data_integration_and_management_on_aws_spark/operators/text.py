@@ -314,7 +314,7 @@ SENT_NEG = ("slow", "small")
       FROM t
     )
     SELECT doc_id, lang, n_pos, n_neg,
-           round((n_pos - n_neg) / CAST(n_tokens AS DOUBLE), 6) AS polarity,
+           (n_pos - n_neg) / CAST(n_tokens AS DOUBLE) AS polarity,
            CASE WHEN n_pos > n_neg THEN 'pos'
                 WHEN n_pos < n_neg THEN 'neg'
                 ELSE 'neutral' END AS label
@@ -339,9 +339,11 @@ def text_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         n_pos.alias("n_pos"),
         n_neg.alias("n_neg"),
-        F.round(
-            (n_pos - n_neg) / F.size(toks).cast("double"), 6
-        ).alias("polarity"),
+        # surfaced UNROUNDED: both engines evaluate the identical IEEE
+        # division on exact small integers, so the doubles are bit-equal;
+        # round(x, 6) would re-introduce the Spark-vs-DuckDB half-repr flip
+        # class fixed for window_distribution in round 6
+        ((n_pos - n_neg) / F.size(toks).cast("double")).alias("polarity"),
         F.when(n_pos > n_neg, "pos")
         .when(n_pos < n_neg, "neg")
         .otherwise("neutral")

@@ -249,22 +249,64 @@ def test_fuzzy_join_candidates_linear_in_corpus(spark, sf_dir):
 
 
 def test_incremental_topk_work_independent_of_corpus(spark, sf_dir):
-    """ann_incremental_topk's scale claim: per-tick scoring work is
-    |Q| x |batch| + |Q| x k, INDEPENDENT of the old-corpus size.  Grow the
-    old corpus 10x with the batch unchanged: the batch-score row count is
-    identical, and the merge input is |Q| x (k + |batch|) both times."""
+    """ann_incremental_topk's scale claim: the per-tick MERGE INPUT is
+    |Q| x (k + |batch|) rows, INDEPENDENT of the old-corpus size — the old
+    corpus contributes only its maintained top-k state, never a rescore.
+    Measured (not assumed): replicate the builder's stages, grow the old
+    corpus 10x with the batch unchanged, and Spark-count the rows entering
+    the final top-k merge at both sizes.  Fails if the served state ever
+    scales with the corpus (e.g. topk returning more than k per query) or
+    if batch scoring picks up corpus-sized input."""
+    from pyspark.sql import Window
+
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.functions.vector import cosine
     from guidance_for_sap_data_integration_and_management_on_aws_spark.operators.similarity import (
+        INC_K,
         INC_MOD,
         N_QUERIES,
     )
 
-    v = load(spark, sf_dir, "embeddings").select("vec_id", "label")
-    batch_n = v.filter(F.col("vec_id") % INC_MOD == 0).count()
-    q_n = v.filter(
+    v = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double("embedding").alias("e")
+    )
+    batch = v.filter(F.col("vec_id") % INC_MOD == 0)
+    q = v.filter(
         (F.col("vec_id") < N_QUERIES) & (F.col("vec_id") % INC_MOD != 0)
-    ).count()
-    # batch-score pairs, by construction of the builder's score(batch) stage
-    pairs = q_n * batch_n  # qid != vec_id never trims (disjoint mod classes)
-    # a 10x old corpus changes neither factor
-    assert pairs == q_n * batch_n
+    ).select(F.col("vec_id").alias("qid"), F.col("e").alias("qe"))
+    mx = v.agg(F.max("vec_id")).first()[0] + 1
+    # grown ids keep % INC_MOD != 0 (old partition) by skipping multiples
+    grow_off = mx * INC_MOD + 1
+
+    def score(side):
+        return (
+            F.broadcast(q)
+            .join(side, F.col("qid") != F.col("vec_id"))
+            .select("qid", F.col("vec_id").alias("neighbor_id"),
+                    F.round(cosine(F.col("qe"), F.col("e")), 6).alias("cos_sim"))
+        )
+
+    def topk(scored):
+        w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+        return (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= INC_K)
+            .drop("__rn")
+        )
+
+    def merge_input_rows(copies: int) -> int:
+        old = v.filter(F.col("vec_id") % INC_MOD != 0)
+        for i in range(1, copies):
+            old = old.unionByName(
+                v.filter(F.col("vec_id") % INC_MOD != 0).withColumn(
+                    "vec_id", F.col("vec_id") + F.lit(i * grow_off)
+                )
+            )
+        served = topk(score(old))  # the maintained state: |Q| x k rows
+        return served.unionAll(score(batch)).count()
+
+    n1 = merge_input_rows(1)
+    n10 = merge_input_rows(10)
+    q_n, batch_n = q.count(), batch.count()
     assert q_n > 0 and batch_n > 0
+    assert n1 == q_n * (INC_K + batch_n)
+    assert n10 == n1  # 10x old corpus: identical per-tick merge volume
