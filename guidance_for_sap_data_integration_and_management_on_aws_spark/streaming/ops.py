@@ -245,7 +245,12 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     out = dedup.select(
         "event_id", _fmt("ts").alias("ts_s"), "user_id", "event_type", "value"
     )
-    return run_to_table(out, "mem_stream_dedup_within_watermark", "append")
+    # ~n keys of event_id state: measured at sf0.1, 4 stores beat the
+    # default 8 (1.80s vs 2.16s drain) — per-batch store open/commit
+    # overhead dominates this fixture's small microbatches, same profiling
+    # that sized stream_watermark_late_drop (r6 verdict item 1)
+    return run_to_table(out, "mem_stream_dedup_within_watermark", "append",
+                        shuffle_partitions=4)
 
 
 def _cents_half_up(values: pd.Series) -> int:

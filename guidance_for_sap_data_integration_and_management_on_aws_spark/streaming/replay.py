@@ -112,29 +112,38 @@ def _write_single_file(df: DataFrame, directory: str, filename: str, mtime: int)
     os.utime(path, (mtime, mtime))
 
 
+_BASE_MTIME = 1_600_000_000
+
+
 def build_replay(spark: SparkSession, sf_dir: str, variant: str = "ordered") -> str:
     """Materialize the events fixture as N_CHUNKS mtime-ordered parquet files;
     returns the directory to point ``readStream`` at.  Cached per
     (sf_dir, variant) within the process — the chunk content is a pure
     function of both (chunk i = rows at global positions
     [round(i*n/4), round((i+1)*n/4)) of the (ts, event_id) order, exactly
-    the slices the driver-side builder this replaces produced)."""
+    the slices the driver-side builder this replaces produced).
+
+    Only "ordered" pays the global-rank pipeline; the scenario variants are
+    pure per-chunk file rewrites DERIVED from the ordered chunk files (r6
+    verdict: each variant re-running the rank + 4 full-scan writes charged
+    ~4s of replay build to its one consumer query — the dups build was most
+    of stream_dedup_within_watermark's 4.15x flag).  The derivations commute
+    with the rank because none of them touches the (ts, event_id) sort keys:
+    "bad" rewrites props in place, "dups" duplicates rows inside their own
+    chunk, "late" moves whole rows between chunks."""
     cached = _REPLAY_CACHE.get((sf_dir, variant))
     if cached is not None and os.path.isdir(cached):
         return cached
     if variant not in ("ordered", "dups", "late", "bad"):
         raise ValueError(f"unknown replay variant {variant!r}")
 
+    if variant != "ordered":
+        out = _derive_variant(spark, build_replay(spark, sf_dir, "ordered"), variant)
+        _REPLAY_CACHE[(sf_dir, variant)] = out
+        return out
+
     ev = load(spark, sf_dir, "events")
     cols = ev.columns
-    if variant == "bad":
-        ev = ev.withColumn(
-            "props",
-            F.when(F.col("event_id") % 101 == 0, F.lit("{bad")).otherwise(
-                F.col("props")
-            ),
-        )
-
     ranked, n, cached_part = _with_global_pos(ev)
     bounds = [round(i * n / N_CHUNKS) for i in range(N_CHUNKS + 1)]
     chunk = None
@@ -142,25 +151,45 @@ def build_replay(spark: SparkSession, sf_dir: str, variant: str = "ordered") -> 
         cond = F.col("__pos") < bounds[i + 1]
         chunk = F.when(cond, i) if chunk is None else chunk.when(cond, i)
     ranked = ranked.withColumn("__chunk", chunk.otherwise(N_CHUNKS - 1))
-    if variant == "late":
-        # withheld events arrive in the final chunk, days late
-        ranked = ranked.withColumn(
-            "__chunk",
-            F.when(F.col("event_id") % 97 == 0, N_CHUNKS - 1).otherwise(
-                F.col("__chunk")
-            ),
-        )
 
-    out = scratch_dir(f"replay-{variant}")
-    base_mtime = 1_600_000_000
+    out = scratch_dir("replay-ordered")
     for i in range(N_CHUNKS):
         cdf = ranked.filter(F.col("__chunk") == i).select(*cols)
-        if variant == "dups":
+        _write_single_file(cdf, out, f"chunk_{i:03d}.parquet", _BASE_MTIME + i)
+    cached_part.unpersist()  # chunk files are the durable artifact
+    _REPLAY_CACHE[(sf_dir, "ordered")] = out
+    return out
+
+
+def _derive_variant(spark: SparkSession, ordered_dir: str, variant: str) -> str:
+    """Rewrite the ordered chunk files into a scenario variant.  Each input
+    is one already-sorted single-file chunk (~n/N_CHUNKS rows), so every
+    derivation is a tiny local job — no rank, no events-table scan."""
+    out = scratch_dir(f"replay-{variant}")
+    chunks = [
+        spark.read.parquet(os.path.join(ordered_dir, f"chunk_{i:03d}.parquet"))
+        for i in range(N_CHUNKS)
+    ]
+    for i, cdf in enumerate(chunks):
+        if variant == "bad":
+            cdf = cdf.withColumn(
+                "props",
+                F.when(F.col("event_id") % 101 == 0, F.lit("{bad")).otherwise(
+                    F.col("props")
+                ),
+            )
+        elif variant == "dups":
             # every 10th event arrives twice within its own chunk
             cdf = cdf.union(cdf.filter(F.col("event_id") % 10 == 0))
-        _write_single_file(cdf, out, f"chunk_{i:03d}.parquet", base_mtime + i)
-    cached_part.unpersist()  # chunk files are the durable artifact
-    _REPLAY_CACHE[(sf_dir, variant)] = out
+        elif variant == "late":
+            if i < N_CHUNKS - 1:
+                # withheld from their ts-ordered chunk ...
+                cdf = cdf.filter(F.col("event_id") % 97 != 0)
+            else:
+                # ... and appended to the final chunk, days late
+                for earlier in chunks[: N_CHUNKS - 1]:
+                    cdf = cdf.union(earlier.filter(F.col("event_id") % 97 == 0))
+        _write_single_file(cdf, out, f"chunk_{i:03d}.parquet", _BASE_MTIME + i)
     return out
 
 
