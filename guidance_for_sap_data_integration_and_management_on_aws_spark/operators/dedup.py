@@ -181,9 +181,25 @@ def _sql_jaccard_pairs(threshold: float) -> str:
     "all-shared-token blocking's, while a corpus-wide stop token (df = N) "
     "sorts into every suffix and can no longer generate k^2 candidate pairs "
     "(regression-locked in tests/test_llm_ops.py with a planted stop token). "
-    "The exact twin of the MinHash-LSH path, per SURVEY §5.2.",
+    "The exact twin of the MinHash-LSH path, per SURVEY §5.2.  The "
+    "(da, db, jaccard) frame is MEMOIZED per (session, sf_dir): it feeds "
+    "this query, the CC fixpoint's edge set, and the LSH recall anchor — "
+    "the in-session analog of materializing the verified-pair table once "
+    "per corpus snapshot (the _TOKEN_CACHE / graph._EDGE_CACHE precedent).",
 )
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _jaccard_pairs_cached(spark, sf_dir)
+
+
+_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+_PAIRS_CACHE_MAX = 4  # one live SF dir + headroom; oldest unpersisted on evict
+
+
+def _jaccard_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _PAIRS_CACHE.get(key)
+    if hit is not None:
+        return hit
     d = load(spark, sf_dir, "documents")
     cand = _prefix_candidates(d, JACCARD_T)
     toks = _hashed_token_sets(spark, sf_dir)
@@ -193,7 +209,20 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = F.size(F.array_intersect("ta", "tb")).cast("double")
     union = F.size(F.array_union("ta", "tb")).cast("double")
     jac = F.round(inter / union, 6)
-    return pairs.select("da", "db", jac.alias("jaccard")).filter(F.col("jaccard") >= JACCARD_T)
+    out = (
+        pairs.select("da", "db", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_T)
+        .persist()
+    )
+    while len(_PAIRS_CACHE) >= _PAIRS_CACHE_MAX:
+        # FIFO: insertion order = oldest first (see _TOKEN_CACHE)
+        old = _PAIRS_CACHE.pop(next(iter(_PAIRS_CACHE)))
+        try:
+            old.unpersist()
+        except Exception:
+            pass  # frame may belong to an already-stopped SparkSession
+    _PAIRS_CACHE[key] = out
+    return out
 
 
 def _parallelize_scan(df: DataFrame) -> DataFrame:
@@ -391,11 +420,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Fixpoint guard: ONE-HOP min-label propagation converges in O(component
-# diameter) rounds (each round the min label advances one hop — pointer
-# doubling, not used here, is what halves eccentricity).  Near-dup graphs
-# are diameter-bounded in practice; if a deeper chain exhausts the budget
-# the loop RAISES instead of returning unconverged labels.
+# Fixpoint guard: POINTER-DOUBLING min-label propagation (the shared
+# graph.min_label_fixpoint kernel) converges in O(log component diameter)
+# rounds — 25 covers astronomically deep chains; if exhausted anyway the
+# loop RAISES instead of returning unconverged labels.
 CC_MAX_ITERS = 25
 
 
@@ -417,61 +445,28 @@ def cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cc_labels_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, component_id) labels from the min-label fixpoint over the
-    exact near-dup pair graph — the shared clustering step behind component
-    stats (dedup_connected_components) and canonical selection
+    """(doc_id, component_id) labels over the exact near-dup pair graph —
+    the shared clustering step behind component stats
+    (dedup_connected_components) and canonical selection
     (dedup_cluster_canonical).
 
-    Every iteration ends in localCheckpoint (eager): caching alone is NOT
-    enough for iterative DataFrames — the logical plan still grows by one
-    join per round and Catalyst re-optimizes the whole chain each time
-    (measured: per-round wall time 1.6s -> 28s by round 6 under persist;
-    flat ~1s with checkpoints).  Production swaps this for
-    checkpoint-to-object-storage; the loop shape is identical."""
-    pairs = dedup_jaccard_pairs.builder(spark, sf_dir).select("da", "db")
+    Delegates to ``graph.min_label_fixpoint`` — the POINTER-DOUBLING kernel
+    (r6 verdict item 3 unified this with graph_components' loop; the
+    previous one-hop propagation here was O(component diameter) rounds vs
+    O(log diameter) with shortcutting, and each saved round is a join +
+    checkpoint + count).  Isolated documents (no near-dup edges) enter as
+    their own singleton components via the full doc_id node set."""
+    from .graph import min_label_fixpoint
+
+    # the pairs frame is already persisted by _jaccard_pairs_cached; the
+    # per-round union over its cached blocks is trivial, so no second persist
+    pairs = _jaccard_pairs_cached(spark, sf_dir).select("da", "db")
     edges = pairs.union(pairs.select(F.col("db"), F.col("da"))).toDF("a", "b")
-    edges = edges.persist()
-    labels = (
-        load(spark, sf_dir, "documents")
-        .select("doc_id")
-        .withColumn("component_id", F.col("doc_id"))
-        .localCheckpoint(eager=True)
+    nodes = load(spark, sf_dir, "documents").select(F.col("doc_id").alias("node"))
+    labels = min_label_fixpoint(nodes, edges, CC_MAX_ITERS)
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("lbl").alias("component_id")
     )
-    try:
-        for _ in range(CC_MAX_ITERS):
-            neighbor_min = (
-                edges.join(labels, edges.a == labels.doc_id)
-                .groupBy(F.col("b").alias("doc_id"))
-                .agg(F.min("component_id").alias("n_min"))
-            )
-            new_labels = (
-                labels.join(neighbor_min, "doc_id", "left")
-                .select(
-                    "doc_id",
-                    F.least(
-                        "component_id", F.coalesce("n_min", "component_id")
-                    ).alias("component_id"),
-                )
-                .localCheckpoint(eager=True)
-            )
-            changed = (
-                new_labels.join(labels.withColumnRenamed("component_id", "old"), "doc_id")
-                .filter(F.col("component_id") != F.col("old"))
-                .count()
-            )
-            labels = new_labels
-            if changed == 0:
-                break
-        else:
-            raise RuntimeError(
-                f"connected-components did not converge within {CC_MAX_ITERS} "
-                f"rounds ({changed} labels still changing) — a component "
-                "deeper than the budget; raise CC_MAX_ITERS or switch to "
-                "pointer-doubling"
-            )
-        return labels
-    finally:
-        edges.unpersist()
 
 
 
@@ -498,11 +493,13 @@ def _cc_labels_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "clustering step between pair generation and survivor selection (pair "
     "lists alone under-dedup: A~B and B~C must collapse to ONE keeper even "
     "when A~C misses the threshold).  Spark side is iterative MIN-LABEL "
-    "PROPAGATION: every doc starts as its own label; each round joins "
-    "labels across edges and takes the per-vertex min, until a round "
-    "changes nothing (converges in O(component diameter) rounds; the only "
-    "driver traffic is one changed-row COUNT per round — the k-means "
-    "trainer's topology).  The oracle computes the same components by "
+    "PROPAGATION WITH POINTER DOUBLING (graph.min_label_fixpoint, the "
+    "kernel shared with graph_components): every doc starts as its own "
+    "label; each round takes the min over neighbors' labels AND the "
+    "label's label, until a round changes nothing (O(log component "
+    "diameter) rounds; the only driver traffic is one changed-row COUNT "
+    "per round — the k-means trainer's topology).  The oracle computes "
+    "the same components by "
     "recursive-CTE transitive closure — an independent formulation, so the "
     "distributed fixpoint is value-checked end-to-end.  Output is one row "
     "per component (id = min doc_id, size, keeper).",
