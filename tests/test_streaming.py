@@ -138,9 +138,10 @@ def test_watermark_schedule_one_batch_lag(spark, sf_dir):
 
 def test_transform_with_state_v2(spark, sf_dir):
     """Modern-API twin of T6 (transformWithStateInPandas): same final
-    per-user totals as the batch GROUP BY.  Requires protobuf, which this
-    container's pyspark does not ship — skipped there, exercised wherever
-    the dependency exists."""
+    per-user totals as the batch GROUP BY.  Requires protobuf; since round 7
+    pb_runtime.ensure_protobuf provisions a pure-Python runtime where one
+    exists on the box, so this runs here — and still skips gracefully in
+    environments with no protobuf distribution at all."""
     import pytest
 
     from guidance_for_sap_data_integration_and_management_on_aws_spark.streaming.ops import (
@@ -150,7 +151,7 @@ def test_transform_with_state_v2(spark, sf_dir):
 
     if not has_transform_with_state_runtime():
         with pytest.raises(ImportError, match="protobuf"):
-            stream_stateful_v2(spark, sf_dir)
+            stream_stateful_v2.builder(spark, sf_dir)
         pytest.skip("protobuf not available: transformWithState runtime absent")
 
     from pyspark.sql import functions as F
@@ -159,7 +160,7 @@ def test_transform_with_state_v2(spark, sf_dir):
 
     got = {
         (r["user_id"], r["n_events"], r["total_cents"])
-        for r in stream_stateful_v2(spark, sf_dir).collect()
+        for r in stream_stateful_v2.builder(spark, sf_dir).collect()
     }
     want = {
         (r["user_id"], r["n"], r["cents"])
