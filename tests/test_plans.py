@@ -191,6 +191,18 @@ def test_incremental_dedup_shuffles_only_the_batch(spark, sf_dir):
     assert "SortMergeJoin" in plan and "LeftAnti" in plan
 
 
+def test_bucketed_write_join_and_agg_have_zero_exchanges(spark, sf_dir):
+    """lake_bucketed_write joins two tables both bucketed on the join key
+    and aggregates on that same key: the ENTIRE plan must be Exchange-free
+    — both scans read the bucket layout (Bucketed: true), the merge join
+    consumes it directly, and the groupBy reuses the join's distribution.
+    This is the §4 co-location contract: the shuffle was paid once at
+    write time."""
+    plan = _plan(spark, sf_dir, "lake_bucketed_write")
+    assert n_exchanges(plan) == 0, plan
+    assert "SortMergeJoin" in plan, plan
+
+
 def test_pq_encode_is_map_side(spark, sf_dir):
     """PQ encoding must stay map-side: the only exchange is the
     parallelize-small-scan repartition; no join, no window — the codebook
