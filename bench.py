@@ -53,17 +53,21 @@ HEADLINE = [
 ]
 
 # query -> scale-factor directory NAME (resolved against the configured
-# data root, not a hardcoded absolute path)
+# data root, not a hardcoded absolute path).  r6 verdict item 5: ONLY the
+# genuinely quadratic exact ORACLES stay reduced; everything with a claimed
+# sub-quadratic scale path benches at the full SF.
 REDUCED_SF = {
+    # exact all-pairs Jaccard twin: ~7M qualifying pairs at sf0.1 (57% of
+    # ALL doc pairs in the dense fixture) — pure oracle duty; the
+    # production near-dup path at full SF is dedup_minhash_lsh
     "dedup_jaccard_pairs": "sf0.01",
-    # embed the exact twin — same output-volume duty as above
+    # recall anchor = the exact twin filtered at 0.7 — same quadratic
+    # output volume by construction
     "dedup_minhash_recall": "sf0.01",
+    # components OVER the quadratic pair set — its input is the oracle
+    # twin's output, so it inherits the same volume (the contraction
+    # kernel itself is benched at full SF via dedup_cluster_canonical)
     "dedup_connected_components": "sf0.01",
-    # batch-vs-corpus exact twin: same dense-fixture output volume (~2.3M
-    # qualifying pairs at sf0.1)
-    "dedup_incremental_jaccard": "sf0.01",
-    # rides the same CC fixpoint as dedup_connected_components
-    "dedup_cluster_canonical": "sf0.01",
 }
 
 
