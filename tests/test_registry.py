@@ -19,24 +19,22 @@ def test_registry_shape():
     assert len(names) == len(set(names))
     # priority names lead, in order
     assert names[: len(entrymod._PRIORITY)] == entrymod._PRIORITY
-    # round-6 window layout (criticality order): NEVER-CHECKED round-6
+    # round-7 window layout (criticality order): NEVER-CHECKED round-7
     # additions lead (no correctness signal without a driver row), then
-    # queries whose builder/oracle changed since their last green (fixed-k
-    # IVF/PQ seeding, unbounded n-gram oracles, token-cache/reader fixes),
-    # then the oldest stale greens; ballast queues past the ~50 line.
-    assert names[0] == "ann_two_stage"
-    # the brand-new operator families sit inside the checked window
-    for probe in ("graph_pagerank", "join_fuzzy_neighbors", "data_profile",
-                  "ml_linear_score", "ann_incremental_topk"):
+    # queries whose builder/oracle changed since their last green (float-
+    # parity fixes, contraction CC kernel, derived replay variants), then
+    # the r2-stale greens and the oldest r3 greens per the rotation
+    # invariant; remaining ballast queues past the ~50 line.
+    assert names[0] in ("stream_stateful_v2", "lake_bucketed_write")
+    # changed-since-green and stale-rotation entries sit inside the window
+    for probe in ("lake_bucketed_write", "anomaly_zscore",
+                  "dedup_cluster_canonical", "stream_dedup_within_watermark",
+                  "mm_decode", "udtf_bigrams", "q1_pricing_summary"):
         assert names.index(probe) < 50, probe
+    # this round's window is fully oracle-checked — the three rows-only
+    # entries (all r6-checked, each with a green exact anchor) rotate out
     window_rows_only = [n for n in names[:50] if reg[n].oracle is None]
-    # both rows-only entries in the window carry adjacent exact anchors
-    # (ann_kmeans_assign and dedup_minhash_recall)
-    assert window_rows_only == ["ann_ivf_train_kmeans", "dedup_minhash_lsh"], window_rows_only
-    assert abs(names.index("ann_kmeans_assign") - names.index("ann_ivf_train_kmeans")) <= 2
-    # the recall anchor rides in the window with the LSH entry it certifies
-    assert abs(names.index("dedup_minhash_recall") - names.index("dedup_minhash_lsh")) <= 2
-    assert names.index("dedup_minhash_recall") < 50  # inside the driver window
+    assert window_rows_only == [], window_rows_only
     # every builder is callable and every oracle is non-empty SQL text
     for n, q in reg.items():
         assert callable(q.builder), n
