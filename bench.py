@@ -64,6 +64,12 @@ REDUCED_SF = {
     # recall anchor = the exact twin filtered at 0.7 — same quadratic
     # output volume by construction
     "dedup_minhash_recall": "sf0.01",
+    # NOT reduced — dedup_incremental_jaccard (batch-vs-corpus) and
+    # dedup_cluster_canonical (contraction CC + window argmax) claim
+    # sub-quadratic SCALING and so bench at full SF; note their sf0.1 wall
+    # time is dominated by the FIXTURE's pathological pair density (57% of
+    # all doc pairs qualify at 0.6 — the batch x corpus qualifying-pair
+    # mass is ~2.3M rows), not by the operators' asymptotics.
     # components OVER the quadratic pair set — its input is the oracle
     # twin's output, so it inherits the same volume (the contraction
     # kernel itself is benched at full SF via dedup_cluster_canonical)

@@ -39,7 +39,15 @@ _LOCAL_DEFAULTS: dict[str, str] = {
     # Filter pushdown into Python data sources (the saprfc DSv2 connector).
     "spark.sql.python.filterPushdown.enabled": "true",
     "spark.ui.enabled": "false",
-    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # Heap sized to the local harness: local[32] runs 32 concurrent tasks in
+    # ONE JVM, so executor-memory rules of thumb (~0.5g/core + cached
+    # tables) apply to the driver heap here.  8g was measurably undersized
+    # for a full bench pass — ~200 queries of accumulated memory-sink rows,
+    # bounded token/pair caches and localCheckpoint blocks pushed the old
+    # heap into GC thrash that inflated late-run streaming queries 3-4x
+    # (r7 measurement: stream-stream full join 15.8s at 8g vs 3.0s at 16g,
+    # identical plans).  A cluster deployment sets executor memory instead.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
 }
 
 
