@@ -372,3 +372,86 @@ def test_window_finalization_tie_is_inclusive(spark, tmp_path):
     )
     t = run_to_table(agg, "wm_tie_inclusive", "append")
     assert sorted((r["ws"], r["count"]) for r in t.collect()) == [("00:00", 1)]
+
+
+def test_derived_replay_variants_match_their_contracts(spark, sf_dir):
+    """The scenario variants are DERIVED from the ordered chunk files (round
+    7 — previously each re-ran the full global-rank pipeline).  Lock the
+    derivation's content contracts against the ordered chunks:
+
+    * dups: chunk i = ordered chunk i plus one extra copy of each
+      event_id % 10 == 0 row FROM THAT CHUNK (dup arrives in its own chunk);
+    * late: chunks 0..N-2 = ordered minus event_id % 97 == 0; final chunk =
+      ordered final plus every withheld row — global multiset unchanged;
+    * bad: same rows as ordered per chunk, props rewritten to '{bad' exactly
+      on event_id % 101 == 0.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.streaming.replay import (
+        build_replay,
+    )
+
+    dirs = {v: build_replay(spark, sf_dir, v) for v in ("ordered", "dups", "late", "bad")}
+
+    def chunk(variant: str, i: int):
+        return spark.read.parquet(
+            os.path.join(dirs[variant], f"chunk_{i:03d}.parquet")
+        )
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    for i in range(N_CHUNKS):
+        o = chunk("ordered", i)
+        # dups: ordered + its own % 10 == 0 rows once more
+        assert rows(chunk("dups", i)) == rows(
+            o.union(o.filter(F.col("event_id") % 10 == 0))
+        )
+        # bad: same multiset with props corrupted on % 101 == 0
+        expect_bad = o.withColumn(
+            "props",
+            F.when(F.col("event_id") % 101 == 0, F.lit("{bad")).otherwise(
+                F.col("props")
+            ),
+        )
+        assert rows(chunk("bad", i)) == rows(expect_bad)
+        # late: early chunks lose the withheld rows
+        if i < N_CHUNKS - 1:
+            assert rows(chunk("late", i)) == rows(
+                o.filter(F.col("event_id") % 97 != 0)
+            )
+    withheld = [
+        r
+        for i in range(N_CHUNKS - 1)
+        for r in rows(chunk("ordered", i).filter(F.col("event_id") % 97 == 0))
+    ]
+    assert rows(chunk("late", N_CHUNKS - 1)) == sorted(
+        rows(chunk("ordered", N_CHUNKS - 1)) + withheld
+    )
+
+
+def test_pb_runtime_provisioning_is_idempotent_and_worker_visible(spark):
+    """ensure_protobuf: repeated calls are cheap and stable, the driver can
+    import google.protobuf afterwards, and when the import is served by the
+    vendored zip the SparkContext worker environment carries it (the
+    channel transformWithStateInPandas's state server boots from)."""
+    import os
+    import sys
+
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.streaming import pb_runtime
+
+    ok1 = pb_runtime.ensure_protobuf(spark)
+    ok2 = pb_runtime.ensure_protobuf(spark)
+    assert ok1 == ok2
+    if not ok1:  # environment with no protobuf distribution at all
+        return
+    from google.protobuf import descriptor  # noqa: F401
+
+    if pb_runtime._zip_in_use is not None:
+        assert pb_runtime._zip_in_use in sys.path
+        env = spark.sparkContext.environment
+        assert pb_runtime._zip_in_use in env.get("PYTHONPATH", "").split(os.pathsep)
+        assert env.get(pb_runtime._VERSION_CHECK_FLAG) == "true"
