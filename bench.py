@@ -100,11 +100,23 @@ def main(check: bool = False) -> None:
     spark = get_spark("bench")
     qs = entrymod.queries()
 
+    def drop_memory_sinks() -> None:
+        """Free each streaming query's memory-sink rows once timed.  The
+        memory sink is a TEST harness (production streams write parquet or
+        Kafka); left in place, ~20 drained streams' worth of collected rows
+        stay referenced by their temp views for the rest of the bench and
+        feed old-gen GC pressure late in the run."""
+        for t in spark.catalog.listTables():
+            if t.name.startswith("mem_"):
+                spark.catalog.dropTempView(t.name)
+
     def run(name: str) -> float:
         where = reduced.get(name, sf_dir)
         t0 = time.perf_counter()
         qs[name](spark, where).write.mode("overwrite").format("noop").save()
-        return time.perf_counter() - t0
+        dt = time.perf_counter() - t0
+        drop_memory_sinks()
+        return dt
 
     run("q1_pricing_summary")  # warmup: JVM + codegen + parquet footer cache
     # warmup 2: Python-datasource worker pool (the saprfc DSv2 scan pays a

@@ -205,7 +205,15 @@ def _jaccard_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = _hashed_token_sets(spark, sf_dir)
     ta = toks.select(F.col("doc_id").alias("da"), F.col("toks").alias("ta"))
     tb = toks.select(F.col("doc_id").alias("db"), F.col("toks").alias("tb"))
-    pairs = cand.join(ta, "da").join(tb, "db")
+    # EXPLICIT broadcast of the token-set table into the verify joins: the
+    # candidate side is the big one (quadratic pair mass in this dense
+    # fixture), and shuffling a token ARRAY per candidate row is the whole
+    # cost — measured 72s shuffle vs 4-6s broadcast at sf0.1, with AQE
+    # flip-flopping between the two when left to its own size estimates
+    # (the post-repartition tokenize frame has no stats).  At corpus scales
+    # where the token table outgrows a broadcast, the exact twin is oracle
+    # duty anyway — the production near-dup path is the banded LSH.
+    pairs = cand.join(F.broadcast(ta), "da").join(F.broadcast(tb), "db")
     inter = F.size(F.array_intersect("ta", "tb")).cast("double")
     union = F.size(F.array_union("ta", "tb")).cast("double")
     jac = F.round(inter / union, 6)
@@ -407,7 +415,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tb = sized.select(
         F.col("doc_id").alias("db"), F.col("toks").alias("tb"), F.col("n").alias("nb")
     )
-    pairs = cand.join(ta, "da").join(tb, "db")
+    # broadcast the token sets into the verify (see _jaccard_pairs_cached)
+    pairs = cand.join(F.broadcast(ta), "da").join(F.broadcast(tb), "db")
     scored = pairs.select(
         "da", "db", "na", "nb",
         F.size(F.array_intersect("ta", "tb")).cast("double").alias("__i"),
@@ -718,7 +727,8 @@ def dedup_incremental_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("corpus_id"), F.col("toks").alias("tb"),
         F.col("nt").alias("nb"),
     )
-    pairs = cand.join(ta, "batch_id").join(tb, "corpus_id")
+    # broadcast the token sets into the verify (see _jaccard_pairs_cached)
+    pairs = cand.join(F.broadcast(ta), "batch_id").join(F.broadcast(tb), "corpus_id")
     inter = F.size(F.array_intersect("ta", "tb")).cast("double")
     jac = F.round(inter / (F.col("na") + F.col("nb") - inter), 6)
     return (
