@@ -69,7 +69,12 @@ REDUCED_SF = {
     # sub-quadratic SCALING and so bench at full SF; note their sf0.1 wall
     # time is dominated by the FIXTURE's pathological pair density (57% of
     # all doc pairs qualify at 0.6 — the batch x corpus qualifying-pair
-    # mass is ~2.3M rows), not by the operators' asymptotics.
+    # mass is ~2.3M rows), not by the operators' asymptotics.  In
+    # particular ~2/3 of dedup_cluster_canonical's wall is the ONE-TIME
+    # session build of the exact verified-pair frame (quadratic oracle
+    # duty, ~7M pairs at sf0.1), charged to it because it is that frame's
+    # first consumer in the run; its own marginal work (contraction CC +
+    # one window pass) is ~7s at sf0.1 once the frame exists.
     # components OVER the quadratic pair set — its input is the oracle
     # twin's output, so it inherits the same volume (the contraction
     # kernel itself is benched at full SF via dedup_cluster_canonical)
