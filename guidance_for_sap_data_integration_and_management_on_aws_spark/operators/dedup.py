@@ -532,7 +532,12 @@ RECALL_T = 0.7  # all-found threshold: P(LSH miss | jac=0.7) = (1-0.49)^12 ~ 3e-
     "path recovered 100% of the >= 0.7 pairs — value-for-value, not just a "
     "row count.  Deterministic: fixed seeds, fixed fixture (the banding "
     "admits jac-0.7 pairs with P ~ 0.9997/band-set; the fixture's pair mass "
-    "sits well above the threshold, measured zero misses at sf0.001/0.01).",
+    "sits well above the threshold, measured zero misses at sf0.001/0.01 — "
+    "the driver's check SFs).  The exact-oracle equivalence is an "
+    "SF-level measurement, not a law: the r7 sf0.1 sweep measured the "
+    "banding's first misses there, 3 of 5,114,528 qualifying pairs "
+    "(recall 0.9999994) — exactly the probabilistic admission the LSH "
+    "design trades for never running the quadratic verify.",
 )
 def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = dedup_jaccard_pairs.builder(spark, sf_dir).filter(
