@@ -17,6 +17,8 @@ Scale design:
 
 from __future__ import annotations
 
+from fractions import Fraction
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -288,10 +290,27 @@ JACCARD_T = 0.6
 
 def _prefix_candidates(documents: DataFrame, t: float) -> DataFrame:
     """Candidate (da, db) pairs for token-set Jaccard >= t via prefix
-    filtering.  Exact (never misses a qualifying pair): if
-    |A∩B| >= ceil(t*|A|) then the common tokens cannot all fit in A's
-    ceil(t*|A|) - 1 element suffix, so both docs expose a shared token in
-    their prefixes under the common (df, w) total order."""
+    filtering (SSJoin) plus the length and positional prunes (PPJoin, Xiao
+    et al. 2008).  All three are exact (never miss a qualifying pair):
+
+    * prefix: if |A∩B| >= ceil(t*|A|) the common tokens cannot all fit in
+      A's ceil(t*|A|) - 1 element suffix, so both docs expose a shared
+      token in their prefixes under the common (df, w) total order;
+    * length: J >= t implies min(|A|,|B|) >= |A∩B| >= t*|A∪B| >=
+      t*max(|A|,|B|);
+    * positional: a qualifying pair needs overlap i >= t/(1+t)*(|A|+|B|),
+      and its FIRST shared token (which the prefix guarantee places inside
+      both prefixes) bounds i by 1 + min(|A|-rnk_A, |B|-rnk_B) — every
+      token before it on either side is unshared by minimality.  A pair
+      survives dropDuplicates iff SOME matching prefix row passes, and the
+      first-shared-token row always does.
+
+    Both prunes are evaluated in exact integer arithmetic (t as p/q via
+    Fraction) so no float-rounding edge can drop a boundary pair.  They
+    only shrink the candidate set that reaches the array-intersect verify
+    stage — the expensive part — at the cost of two ints per prefix row."""
+    frac = Fraction(str(t))
+    p, q = frac.numerator, frac.denominator
     toks = _parallelize_scan(documents).select(
         "doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("toks")
     )
@@ -307,11 +326,20 @@ def _prefix_candidates(documents: DataFrame, t: float) -> DataFrame:
     )
     prefix = ranked.filter(
         F.col("rnk") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1
-    ).select("doc_id", "w")
+    ).select("doc_id", "n", "rnk", "w")
     a = prefix.alias("a")
     b = prefix.alias("b")
+    na, nb = F.col("a.n"), F.col("b.n")
+    # overlap upper bound through this shared token (1-indexed ranks)
+    ubound = F.lit(1) + F.least(na - F.col("a.rnk"), nb - F.col("b.rnk"))
     return (
-        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (q * F.least(na, nb) >= p * F.greatest(na, nb))
+            & ((q + p) * ubound >= p * (na + nb)),
+        )
         .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
         .dropDuplicates(["da", "db"])
     )
@@ -713,15 +741,37 @@ def dedup_incremental_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prefix = ranked.filter(
         F.col("rnk") <= F.col("n") - F.ceil(F.lit(JACCARD_T) * F.col("n")) + 1
-    ).select("doc_id", "w")
+    ).select("doc_id", "n", "rnk", "w")
     bp = prefix.filter(F.col("doc_id") % 5 == 0).select(
-        F.col("doc_id").alias("batch_id"), "w"
+        F.col("doc_id").alias("batch_id"),
+        F.col("n").alias("bn"),
+        F.col("rnk").alias("brnk"),
+        F.col("w").alias("bw"),
     )
     cp = prefix.filter(F.col("doc_id") % 5 != 0).select(
-        F.col("doc_id").alias("corpus_id"), "w"
+        F.col("doc_id").alias("corpus_id"),
+        F.col("n").alias("cn"),
+        F.col("rnk").alias("crnk"),
+        F.col("w").alias("cw"),
     )
-    cand = bp.join(cp, "w").select("batch_id", "corpus_id").dropDuplicates(
-        ["batch_id", "corpus_id"]
+    # exact-integer length + positional prunes (see _prefix_candidates) —
+    # lossless, and they shrink the candidate set before the token-array
+    # verify join, the expensive stage.  Token columns are RENAMED per side:
+    # bp/cp share lineage, so an a["w"] == b["w"] predicate would resolve
+    # trivially true and silently degrade the equi-join to a cross product.
+    tp, tq = Fraction(str(JACCARD_T)).numerator, Fraction(str(JACCARD_T)).denominator
+    ubound = F.lit(1) + F.least(
+        F.col("bn") - F.col("brnk"), F.col("cn") - F.col("crnk")
+    )
+    cand = (
+        bp.join(
+            cp,
+            (F.col("bw") == F.col("cw"))
+            & (tq * F.least("bn", "cn") >= tp * F.greatest("bn", "cn"))
+            & ((tq + tp) * ubound >= tp * (F.col("bn") + F.col("cn"))),
+        )
+        .select("batch_id", "corpus_id")
+        .dropDuplicates(["batch_id", "corpus_id"])
     )
     sized = toks.select("doc_id", "toks", F.size("toks").alias("nt"))
     ta = sized.select(
