@@ -48,6 +48,9 @@ _PRIORITY = [
     # --- 1. NEW this round (never driver-checked) ---------------------------
     "stream_stateful_v2",  # Spark 4 transformWithStateInPandas (T6 modern API)
     "lake_bucketed_write",  # bucketed saveAsTable + zero-Exchange join/agg
+    "events_retention_cohorts",  # cohort retention matrix over events
+    "agg_hll_sketch_union",  # mergeable per-shard Datasketches HLL union
+    "text_bm25_topk",  # Okapi BM25 ranked retrieval over documents
     # --- 2. builder/oracle changed since their last green -------------------
     "text_sentiment_lexicon",  # polarity surfaced unrounded (ADVICE r6)
     "anomaly_zscore",  # degenerate groups excluded on both engines (ADVICE r6)

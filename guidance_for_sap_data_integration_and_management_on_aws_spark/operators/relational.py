@@ -400,6 +400,57 @@ def agg_approx_distinct_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HLL_TOL = 0.05  # default lgConfigK=12 -> ~1.6% std error; 5% is > 3 sigma
+
+
+@spec(
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS union_within_tol
+    FROM events GROUP BY event_type
+    """,
+    doc="MERGEABLE DISTINCT-COUNT SKETCHES (Datasketches HLL, Spark 3.5+ "
+    "hll_sketch_agg / hll_union_agg / hll_sketch_estimate): per-key "
+    "cardinality built as PER-SHARD sketches first, then unioned — the "
+    "100 TB pattern where each ingest shard or day-partition materializes "
+    "a fixed-size sketch and the serving layer merges thousands of them "
+    "without rescanning rows (what approx_count_distinct cannot do: its "
+    "sketch state is not a first-class mergeable value).  Cross-engine "
+    "contract follows agg_approx_distinct_error: the estimate itself is "
+    "engine-specific, so the surfaced columns are the exact count plus a "
+    "boolean asserting the unioned estimate lands within tolerance, which "
+    "the oracle states as TRUE.",
+)
+def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    shard = F.pmod(F.col("user_id"), F.lit(8)).alias("__shard")
+    sketches = ev.groupBy("event_type", shard).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    unioned = sketches.groupBy("event_type").agg(
+        F.hll_union_agg("sk").alias("sk")
+    )
+    est = unioned.select(
+        "event_type", F.hll_sketch_estimate("sk").alias("__est")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    err = (
+        F.abs(F.col("__est") - F.col("exact_users"))
+        / F.col("exact_users").cast("double")
+    )
+    return (
+        exact.join(est, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            (err <= HLL_TOL).alias("union_within_tol"),
+        )
+    )
+
+
 APPROX_PCT_TOL = 0.05  # relative tolerance for approx_percentile at accuracy 10k
 
 
@@ -1442,6 +1493,7 @@ QUERIES: dict[str, QuerySpec] = {
     "agg_count_distinct": agg_count_distinct,
     "agg_approx_distinct": agg_approx_distinct,
     "agg_approx_distinct_error": agg_approx_distinct_error,
+    "agg_hll_sketch_union": agg_hll_sketch_union,
     "agg_rollup": agg_rollup,
     "agg_cube": agg_cube,
     "agg_grouping_sets": agg_grouping_sets,

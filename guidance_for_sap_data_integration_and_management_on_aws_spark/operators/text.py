@@ -974,7 +974,83 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BM25_TERMS = ("vector", "join", "merge")  # fixture-vocabulary query terms
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 25
+
+
+@spec(
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(dl) AS BIGINT) AS tot_dl FROM dl),
+    qtf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok
+            WHERE w IN ('vector', 'join', 'merge') GROUP BY doc_id, w),
+    dfreq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM qtf GROUP BY w),
+    s AS (
+      SELECT q.doc_id,
+             ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * {BM25_K1 + 1}
+               / (tf + {BM25_K1} * ({1 - BM25_B} + {BM25_B} * dl
+                    / (CAST(tot_dl AS DOUBLE) / n_docs))) AS ts
+      FROM qtf q JOIN dfreq USING (w) JOIN dl USING (doc_id), stats
+    )
+    SELECT doc_id, round(SUM(ts), 6) AS bm25
+    FROM s GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id LIMIT {BM25_TOP_K}
+    """,
+    doc="L4 BM25 RANKED RETRIEVAL (Okapi k1=1.2, b=0.75) for a fixed "
+    "query-term set over the corpus — the lexical-search scoring a "
+    "training-data pipeline uses for targeted corpus slicing (pull the "
+    "top-k docs about X) and as the sparse side of hybrid retrieval next "
+    "to the ANN family.  Doc lengths aggregate once over the exploded "
+    "frame, term frequencies only for the query terms (the filter prunes "
+    "the frame BEFORE the groupBy), document frequencies derive from the "
+    "per-doc tf rows, and the 1-row corpus stats ride in as a broadcast.  "
+    "The final top-k is sort+limit -> TakeOrderedAndProject (per-partition "
+    "top-k, no single-partition window).  Arithmetic order mirrors the "
+    "oracle token-for-token so both engines fold identical doubles; "
+    "round(6) absorbs ln-ulp and 3-term summation-order differences "
+    "(the text_unigram_logprob precedent).",
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tok = parallelize_small_scan(d, "doc_id").select(
+        "doc_id", F.explode(_words()).alias("w")
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("tot_dl"),
+    )
+    qtf = (
+        tok.filter(F.col("w").isin(*BM25_TERMS))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = qtf.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    s = qtf.join(dfreq, "w").join(dl, "doc_id").crossJoin(F.broadcast(stats))
+    avgdl = F.col("tot_dl").cast("double") / F.col("n_docs")
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + BM25_K1 * (
+        (1 - BM25_B) + BM25_B * F.col("dl") / avgdl
+    )
+    term_score = idf * F.col("tf") * (BM25_K1 + 1) / denom
+    return (
+        s.groupBy("doc_id")
+        .agg(F.round(F.sum(term_score), 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(BM25_TOP_K)
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "text_bm25_topk": text_bm25_topk,
     "pipeline_decontaminate": pipeline_decontaminate,
     "text_pii_redact": text_pii_redact,
     "text_tfidf_topk": text_tfidf_topk,

@@ -401,7 +401,66 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec(
+    """
+    WITH first AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_ts
+      FROM events GROUP BY user_id
+    ),
+    act AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS week_ts FROM events
+    ),
+    sizes AS (
+      SELECT cohort_ts, COUNT(*) AS cohort_size FROM first GROUP BY cohort_ts
+    )
+    SELECT strftime(f.cohort_ts, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', f.cohort_ts, a.week_ts) // 7 AS BIGINT)
+             AS week_offset,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active,
+           CAST(s.cohort_size AS BIGINT) AS cohort_size
+    FROM act a JOIN first f USING (user_id)
+    JOIN sizes s ON f.cohort_ts = s.cohort_ts
+    GROUP BY f.cohort_ts, week_offset, s.cohort_size
+    """,
+    doc="COHORT RETENTION matrix over the event stream — the standard "
+    "product-analytics rollup (users grouped by first-active week; how many "
+    "of each cohort return k weeks later): one groupBy for each user's "
+    "cohort week, one DISTINCT over (user, active-week), a user_id-keyed "
+    "join, and one count-distinct per (cohort, offset) cell.  Every stage "
+    "keys on user_id until the final cell aggregation, so one hash "
+    "partitioning serves the build; the cohort-size side is cohort-count "
+    "rows and broadcasts.  Counts stay exact integers — no float ratio on "
+    "the contract surface, callers derive retention_pct = n_active / "
+    "cohort_size themselves.  Week truncation is ISO-Monday on both "
+    "engines; offsets divide exactly (both endpoints are week-truncated).",
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_ts")
+    )
+    act = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week_ts")
+    ).distinct()
+    sizes = first.groupBy("cohort_ts").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    off = (F.datediff("week_ts", "cohort_ts") / 7).cast("bigint")
+    return (
+        act.join(first, "user_id")
+        .join(F.broadcast(sizes), "cohort_ts")
+        .groupBy(
+            F.date_format("cohort_ts", "yyyy-MM-dd").alias("cohort_week"),
+            off.alias("week_offset"),
+            F.col("cohort_size"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .select("cohort_week", "week_offset", "n_active", "cohort_size")
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "events_retention_cohorts": events_retention_cohorts,
     "window_rank": window_rank,
     "ts_interpolate_linear": ts_interpolate_linear,
     "window_distribution": window_distribution,

@@ -548,3 +548,27 @@ def test_map_side_scoring_no_exchange(spark, sf_dir):
     for name in ("text_sentiment_lexicon", "ml_linear_score"):
         plan = _plan(spark, sf_dir, name)
         assert n_exchanges(plan) == 0, name
+
+
+def test_bm25_topk_is_distributed_take_ordered(spark, sf_dir):
+    """The BM25 top-k must plan as TakeOrderedAndProject (per-partition
+    top-k + driver merge of k-row heads), never a global row_number window
+    that funnels every scored doc through one partition."""
+    plan = _plan(spark, sf_dir, "text_bm25_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
+def test_retention_cohort_sizes_broadcast(spark, sf_dir):
+    """The cohort-size side is cohort-count rows: it must ride into the
+    cell aggregation as a broadcast, not a shuffle."""
+    plan = _plan(spark, sf_dir, "events_retention_cohorts")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_hll_union_no_row_reexpansion(spark, sf_dir):
+    """The sketch union aggregates sketch VALUES, not rows: between the
+    shard-sketch build and the union there is exactly one exchange carrying
+    binary sketch state, never a re-scan of the event rows."""
+    plan = _plan(spark, sf_dir, "agg_hll_sketch_union")
+    assert plan.count("Scan parquet") <= 2  # one per agg branch (est + exact)
