@@ -51,6 +51,8 @@ _PRIORITY = [
     "events_retention_cohorts",  # cohort retention matrix over events
     "agg_hll_sketch_union",  # mergeable per-shard Datasketches HLL union
     "text_bm25_topk",  # Okapi BM25 ranked retrieval over documents
+    "events_transitions",  # first-order Markov next-event matrix
+    "lake_zorder_layout",  # Morton-curve layout key + per-bucket dim bounds
     # --- 2. builder/oracle changed since their last green -------------------
     "text_sentiment_lexicon",  # polarity surfaced unrounded (ADVICE r6)
     "anomaly_zscore",  # degenerate groups excluded on both engines (ADVICE r6)

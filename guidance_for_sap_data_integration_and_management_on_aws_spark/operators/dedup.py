@@ -327,6 +327,20 @@ def _prefix_candidates(documents: DataFrame, t: float) -> DataFrame:
     prefix = ranked.filter(
         F.col("rnk") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1
     ).select("doc_id", "n", "rnk", "w")
+    # PIN the expansion parallelism: the prefix frame is tiny (one row per
+    # prefix token) but the self-join fans it out to millions of candidate
+    # pairs.  Both join inputs are the SAME subplan, so Spark reuses one
+    # exchange for the broadcast build and the probe — and the AQE read it
+    # plans over that reused exchange sometimes collapses the probe (and
+    # the whole pair expansion + dedup behind it) to ONE task: measured
+    # bimodal 2-5s vs 30-38s at sf0.1, with per-node SQL metrics showing a
+    # single-task 29s HashAggregate in the slow mode.  Materializing the
+    # repartitioned prefix with localCheckpoint fixes the probe at the full
+    # width (block partitions, no AQE read) and computes the tokenize ->
+    # df-rank -> filter pipeline ONCE for both sides — 49k narrow rows at
+    # sf0.1, the graph.py edge-memoization precedent.
+    width = int(documents.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    prefix = prefix.repartition(width, "doc_id").localCheckpoint(eager=True)
     a = prefix.alias("a")
     b = prefix.alias("b")
     na, nb = F.col("a.n"), F.col("b.n")
@@ -749,6 +763,10 @@ def dedup_incremental_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix = ranked.filter(
         F.col("rnk") <= F.col("n") - F.ceil(F.lit(JACCARD_T) * F.col("n")) + 1
     ).select("doc_id", "n", "rnk", "w")
+    # pin the fan-out parallelism and share one materialization across the
+    # batch/corpus sides (see _prefix_candidates for the AQE failure mode)
+    width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    prefix = prefix.repartition(width, "doc_id").localCheckpoint(eager=True)
     bp = prefix.filter(F.col("doc_id") % 5 == 0).select(
         F.col("doc_id").alias("batch_id"),
         F.col("n").alias("bn"),

@@ -948,6 +948,89 @@ def lake_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Morton/Z-order bit-spread masks (16 -> 32 bit interleave), shared between
+# the Spark builder and the DuckDB oracle so both engines compute identical
+# integers.
+_Z_MASKS = ((8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555))
+_Z_EPOCH = "1995-01-01"  # fixture o_orderdate minimum
+# fixture dims use ~11-14 bits (custkey) x ~12 bits (days), so z tops out
+# near 2^24-2^29; >> 20 yields 16-500 coarse buckets across the SFs (a
+# 28-bit shift would collapse every fixture row into bucket 0)
+_Z_BUCKET_SHIFT = 20
+
+
+def _sql_spread16(expr: str) -> str:
+    for shift, mask in _Z_MASKS:
+        expr = f"(({expr} | ({expr} << {shift})) & {mask})"
+    return expr
+
+
+def _spread16(c: Column) -> Column:
+    for shift, mask in _Z_MASKS:
+        c = c.bitwiseOR(F.shiftleft(c, shift)).bitwiseAND(F.lit(mask))
+    return c
+
+
+@spec(
+    f"""
+    WITH dims AS (
+      SELECT CAST(o_custkey AS BIGINT) AS x,
+             CAST(date_diff('day', DATE '{_Z_EPOCH}',
+                            CAST(o_orderdate AS DATE)) AS BIGINT) AS y,
+             o_custkey, CAST(o_orderdate AS DATE) AS od
+      FROM orders
+    ),
+    z AS (
+      SELECT o_custkey, od,
+             ({_sql_spread16('x')} | ({_sql_spread16('y')} << 1)) AS zval
+      FROM dims
+    )
+    SELECT CAST(zval >> {_Z_BUCKET_SHIFT} AS BIGINT) AS z_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(o_custkey) AS BIGINT) AS custkey_lo,
+           CAST(MAX(o_custkey) AS BIGINT) AS custkey_hi,
+           strftime(MIN(od), '%Y-%m-%d') AS date_lo,
+           strftime(MAX(od), '%Y-%m-%d') AS date_hi
+    FROM z GROUP BY z_bucket
+    """,
+    doc="Z-ORDER (Morton-curve) LAYOUT KEY + per-bucket dimension bounds — "
+    "the multi-dimensional clustering a lakehouse uses so per-file min/max "
+    "stats can skip on BOTH o_custkey and o_orderdate at once (the OPTIMIZE "
+    "ZORDER BY shape; a range partition on the z key is the write path).  "
+    "The interleave is four shift-or-mask rounds per dimension — pure "
+    "codegen'd integer expressions, no UDF — and the surfaced per-bucket "
+    "(custkey, date) ranges ARE the data-skipping evidence: each coarse "
+    "z-bucket bounds both dimensions, which a single-column sort cannot do "
+    "for the second column.  At 100 TB the same expression feeds "
+    "repartitionByRange(zval) + a sorted write; the bucket aggregation "
+    "here keeps the layout audit one narrow hash agg.",
+)
+def lake_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    x = F.col("o_custkey").cast("bigint")
+    y = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit(_Z_EPOCH).cast("date")
+    ).cast("bigint")
+    z = _spread16(x).bitwiseOR(F.shiftleft(_spread16(y), 1))
+    return (
+        o.select(
+            "o_custkey",
+            F.col("o_orderdate").cast("date").alias("od"),
+            z.alias("zval"),
+        )
+        .groupBy(
+            F.shiftright("zval", _Z_BUCKET_SHIFT).cast("bigint").alias("z_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("o_custkey").alias("custkey_lo"),
+            F.max("o_custkey").alias("custkey_hi"),
+            F.date_format(F.min("od"), "yyyy-MM-dd").alias("date_lo"),
+            F.date_format(F.max("od"), "yyyy-MM-dd").alias("date_hi"),
+        )
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "ingest_merge_upsert": ingest_merge_upsert,
     "ingest_cdc_apply": ingest_cdc_apply,
@@ -968,4 +1051,5 @@ QUERIES: dict[str, QuerySpec] = {
     "sink_roundtrip": sink_roundtrip,
     "lake_compact_roundtrip": lake_compact_roundtrip,
     "lake_bucketed_write": lake_bucketed_write,
+    "lake_zorder_layout": lake_zorder_layout,
 }

@@ -459,8 +459,67 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec(
+    """
+    WITH t AS (
+      SELECT event_type AS src_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst_type
+      FROM events
+    ),
+    c AS (
+      SELECT src_type, dst_type, CAST(COUNT(*) AS BIGINT) AS n_transitions
+      FROM t WHERE dst_type IS NOT NULL GROUP BY src_type, dst_type
+    ),
+    s AS (
+      SELECT src_type, CAST(SUM(n_transitions) AS BIGINT) AS src_total
+      FROM c GROUP BY src_type
+    )
+    SELECT c.src_type, c.dst_type, n_transitions, src_total,
+           CAST(n_transitions AS DOUBLE) / src_total AS p_transition
+    FROM c JOIN s USING (src_type)
+    """,
+    doc="NEXT-EVENT TRANSITION MATRIX (first-order Markov path analysis) "
+    "over per-user event streams: one lead() window keyed on user_id, one "
+    "(src, dst) hash agg, and per-src totals DERIVED from the counted "
+    "frame (|types|^2 rows — never a second event scan) joined back as a "
+    "broadcast.  The product-analytics 'where do users go next' query and "
+    "the input to Markov attribution.  p_transition is surfaced UNROUNDED: "
+    "both engines divide the same exact integers, so the doubles are "
+    "bit-equal (the text_sentiment_lexicon precedent).",
+)
+def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = ev.select(
+        F.col("event_type").alias("src_type"),
+        F.lead("event_type").over(w).alias("dst_type"),
+    ).filter(F.col("dst_type").isNotNull())
+    # materialize the |types|^2-row counted frame ONCE: the totals branch
+    # would otherwise recompute the whole scan+window+agg subtree (broadcast
+    # exchanges cannot reuse a shuffle exchange), doubling the event scan
+    c = (
+        t.groupBy("src_type", "dst_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+        .localCheckpoint(eager=True)
+    )
+    s = c.groupBy("src_type").agg(
+        F.sum("n_transitions").cast("bigint").alias("src_total")
+    )
+    return c.join(F.broadcast(s), "src_type").select(
+        "src_type",
+        "dst_type",
+        "n_transitions",
+        "src_total",
+        (F.col("n_transitions").cast("double") / F.col("src_total")).alias(
+            "p_transition"
+        ),
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "events_retention_cohorts": events_retention_cohorts,
+    "events_transitions": events_transitions,
     "window_rank": window_rank,
     "ts_interpolate_linear": ts_interpolate_linear,
     "window_distribution": window_distribution,

@@ -572,3 +572,23 @@ def test_hll_union_no_row_reexpansion(spark, sf_dir):
     binary sketch state, never a re-scan of the event rows."""
     plan = _plan(spark, sf_dir, "agg_hll_sketch_union")
     assert plan.count("Scan parquet") <= 2  # one per agg branch (est + exact)
+
+
+def test_zorder_layout_no_udf_single_agg(spark, sf_dir):
+    """The Morton interleave must stay pure codegen'd integer expressions
+    (no Python evaluation) feeding ONE hash aggregation."""
+    plan = _plan(spark, sf_dir, "lake_zorder_layout")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Scan parquet") == 1
+    assert n_exchanges(plan) == 1  # partial->final agg only
+
+
+def test_transitions_totals_derived_not_rescanned(spark, sf_dir):
+    """Per-src totals derive from the MATERIALIZED counted frame
+    (|types|^2 rows): the served plan reads only that block RDD — zero
+    parquet re-scans — and the totals side rides in as a broadcast.  (The
+    single event scan runs once, inside the checkpoint materialization.)"""
+    plan = _plan(spark, sf_dir, "events_transitions")
+    assert plan.count("Scan parquet") == 0
+    assert "ExistingRDD" in plan
+    assert "BroadcastHashJoin" in plan
