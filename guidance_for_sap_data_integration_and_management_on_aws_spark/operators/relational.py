@@ -451,6 +451,133 @@ def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KLL_TOL = 0.05  # k=200 -> ~1.65% rank error; value tol 5% on a dense range
+
+
+@spec(
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5), 6)
+             AS exact_p50,
+           round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.9), 6)
+             AS exact_p90,
+           TRUE AS p50_within_tol,
+           TRUE AS p90_within_tol
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="MERGEABLE QUANTILE SKETCHES (Datasketches KLL, Spark 4 "
+    "kll_sketch_agg_double / kll_sketch_merge_double / get_quantile): "
+    "per-shard sketches built under (flag, shard), merged per flag, then "
+    "queried for p50/p90 — the mergeable-quantile pattern percentile_approx "
+    "cannot express (its digest is not a first-class value), and the shape "
+    "a 100 TB pipeline needs: day-partition sketches merge in milliseconds "
+    "instead of re-sorting the history.  Contract per the approx family: "
+    "exact quantiles surfaced, estimates checked within tolerance, oracle "
+    "states TRUE.",
+)
+def agg_kll_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("double")
+    shard = F.pmod(F.col("l_orderkey"), F.lit(8)).alias("__shard")
+    sketches = li.groupBy("l_returnflag", shard).agg(
+        F.expr("kll_sketch_agg_double(CAST(l_extendedprice AS DOUBLE))").alias("sk")
+    )
+    # kll_sketch_merge_double is a pairwise scalar: fold the (bounded, one
+    # per shard) sketch list per flag — 8 fixed-size buffers, never rows
+    merged = sketches.groupBy("l_returnflag").agg(
+        F.collect_list("sk").alias("sks")
+    ).select(
+        "l_returnflag",
+        F.expr(
+            "reduce(slice(sks, 2, size(sks)), sks[0],"
+            " (acc, x) -> kll_sketch_merge_double(acc, x))"
+        ).alias("sk"),
+    )
+    est = merged.select(
+        "l_returnflag",
+        F.expr("kll_sketch_get_quantile_double(sk, 0.5)").alias("__e50"),
+        F.expr("kll_sketch_get_quantile_double(sk, 0.9)").alias("__e90"),
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.round(F.percentile(price, F.lit(0.5)), 6).alias("exact_p50"),
+        F.round(F.percentile(price, F.lit(0.9)), 6).alias("exact_p90"),
+    )
+
+    def within(e: str, x: str) -> Column:
+        return F.abs(F.col(e) - F.col(x)) / F.col(x) <= KLL_TOL
+
+    return exact.join(est, "l_returnflag").select(
+        "l_returnflag",
+        "exact_p50",
+        "exact_p90",
+        within("__e50", "exact_p50").alias("p50_within_tol"),
+        within("__e90", "exact_p90").alias("p90_within_tol"),
+    )
+
+
+THETA_TOL = 0.05  # fixture sets are < k=4096, so the sketches run exact
+
+
+@spec(
+    """
+    WITH u AS (
+      SELECT user_id,
+             MAX(event_type = 'view') AS has_view,
+             MAX(event_type = 'purchase') AS has_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(SUM(CASE WHEN has_view OR has_purchase THEN 1 ELSE 0 END)
+                AS BIGINT) AS exact_union,
+           CAST(SUM(CASE WHEN has_view AND has_purchase THEN 1 ELSE 0 END)
+                AS BIGINT) AS exact_inter,
+           TRUE AS union_within_tol,
+           TRUE AS inter_within_tol
+    FROM u
+    """,
+    doc="DISTINCT-COUNT SET ALGEBRA ON SKETCHES (Datasketches Theta, Spark "
+    "4 theta_sketch_agg / theta_union / theta_intersection): viewers and "
+    "purchasers sketched independently, then |A∪B| AND |A∩B| estimated "
+    "from the two sketches alone — the audience-overlap question HLL "
+    "cannot answer (HLL unions but never intersects).  At 100 TB each "
+    "segment keeps one theta sketch and arbitrary segment intersections "
+    "cost sketch-sized work.  Same error-anchor contract as the HLL row; "
+    "below k=4096 entries the sketches are in exact mode, so the fixture "
+    "estimates equal the exact counts.",
+)
+def agg_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    sk = ev.agg(
+        F.expr(
+            "theta_sketch_agg(CASE WHEN event_type = 'view' THEN user_id END)"
+        ).alias("sv"),
+        F.expr(
+            "theta_sketch_agg(CASE WHEN event_type = 'purchase' THEN user_id END)"
+        ).alias("sp"),
+    )
+    est = sk.select(
+        F.expr("theta_sketch_estimate(theta_union(sv, sp))").alias("__eu"),
+        F.expr("theta_sketch_estimate(theta_intersection(sv, sp))").alias("__ei"),
+    )
+    flags = ev.groupBy("user_id").agg(
+        F.max(F.col("event_type") == "view").alias("hv"),
+        F.max(F.col("event_type") == "purchase").alias("hp"),
+    )
+    exact = flags.agg(
+        F.sum((F.col("hv") | F.col("hp")).cast("bigint")).alias("exact_union"),
+        F.sum((F.col("hv") & F.col("hp")).cast("bigint")).alias("exact_inter"),
+    )
+
+    def within(e: str, x: str) -> Column:
+        return F.abs(F.col(e) - F.col(x)) / F.col(x).cast("double") <= THETA_TOL
+
+    return exact.crossJoin(est).select(
+        "exact_union",
+        "exact_inter",
+        within("__eu", "exact_union").alias("union_within_tol"),
+        within("__ei", "exact_inter").alias("inter_within_tol"),
+    )
+
+
 APPROX_PCT_TOL = 0.05  # relative tolerance for approx_percentile at accuracy 10k
 
 
@@ -1494,6 +1621,8 @@ QUERIES: dict[str, QuerySpec] = {
     "agg_approx_distinct": agg_approx_distinct,
     "agg_approx_distinct_error": agg_approx_distinct_error,
     "agg_hll_sketch_union": agg_hll_sketch_union,
+    "agg_kll_quantile_merge": agg_kll_quantile_merge,
+    "agg_theta_set_ops": agg_theta_set_ops,
     "agg_rollup": agg_rollup,
     "agg_cube": agg_cube,
     "agg_grouping_sets": agg_grouping_sets,
