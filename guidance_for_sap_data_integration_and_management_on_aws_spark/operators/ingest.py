@@ -948,6 +948,106 @@ def lake_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Simulated "next-day" snapshot rules for the reconciliation query: pure
+# key-derived transforms both engines replay identically.
+_DIFF_MOD_UPDATE = 97  # o_totalprice restated
+_DIFF_MOD_DELETE = 101  # row gone from snapshot B
+_DIFF_INS_OFFSET = 1_000_000_000  # inserted keys = key + offset
+_DIFF_MOD_INSERT = 103
+
+
+@spec(
+    f"""
+    WITH b AS (
+      SELECT o_orderkey, o_totalprice * 1.1 AS o_totalprice
+      FROM orders WHERE o_orderkey % {_DIFF_MOD_UPDATE} = 0
+        AND o_orderkey % {_DIFF_MOD_DELETE} <> 0
+      UNION ALL
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_orderkey % {_DIFF_MOD_UPDATE} <> 0
+        AND o_orderkey % {_DIFF_MOD_DELETE} <> 0
+      UNION ALL
+      SELECT o_orderkey + {_DIFF_INS_OFFSET}, o_totalprice FROM orders
+      WHERE o_orderkey % {_DIFF_MOD_INSERT} = 0
+    ),
+    a AS (SELECT o_orderkey, o_totalprice FROM orders)
+    SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+           CASE WHEN b.o_orderkey IS NULL THEN 'deleted'
+                WHEN a.o_orderkey IS NULL THEN 'inserted'
+                ELSE 'modified' END AS change
+    FROM a FULL OUTER JOIN b USING (o_orderkey)
+    WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+       OR a.o_totalprice <> b.o_totalprice
+    """,
+    doc="SNAPSHOT RECONCILIATION (Merkle-style table diff): two snapshots "
+    "of a table are compared by first aggregating each into per-bucket "
+    "DIGESTS (xxhash64 row fingerprints xor-combined under a key-hash "
+    "bucketing — order-independent, so the digest is layout-invariant), "
+    "then joining ONLY the buckets whose digests disagree back against the "
+    "rows to emit (key, inserted|deleted|modified).  At 100 TB the digest "
+    "pass is one narrow agg per snapshot (256 rows out) and the row-level "
+    "join touches only dirty buckets — the anti-entropy pattern for "
+    "verifying replicated lakes without a full-table join.  Snapshot B is "
+    "derived from A by key-modulus rules both engines replay exactly; the "
+    "oracle is the naive full-outer diff, so the bucket-pruned rewrite is "
+    "checked value-for-value against the unpruned semantics.",
+)
+def lake_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    key = F.col("o_orderkey")
+    upd = (key % _DIFF_MOD_UPDATE == 0) & (key % _DIFF_MOD_DELETE != 0)
+    keep = (key % _DIFF_MOD_UPDATE != 0) & (key % _DIFF_MOD_DELETE != 0)
+    b = (
+        a.filter(upd).select(key.alias("o_orderkey"), (F.col("o_totalprice") * 1.1).alias("o_totalprice"))
+        .unionAll(a.filter(keep))
+        .unionAll(
+            a.filter(key % _DIFF_MOD_INSERT == 0).select(
+                (key + _DIFF_INS_OFFSET).alias("o_orderkey"), "o_totalprice"
+            )
+        )
+    )
+
+    def digests(df: DataFrame) -> DataFrame:
+        fp = F.xxhash64("o_orderkey", "o_totalprice")
+        bucket = F.pmod(F.xxhash64("o_orderkey"), F.lit(256))
+        return df.groupBy(bucket.alias("bucket")).agg(
+            F.count(F.lit(1)).alias("n"),
+            # xor-fold: commutative+associative, so the digest is identical
+            # for any row order / partitioning
+            F.bit_xor(fp).alias("digest"),
+        )
+
+    da = digests(a).withColumnRenamed("n", "na").withColumnRenamed("digest", "ha")
+    db_ = digests(b).withColumnRenamed("n", "nb").withColumnRenamed("digest", "hb")
+    dirty = (
+        da.join(db_, "bucket", "full")
+        .filter(
+            F.col("ha").isNull()
+            | F.col("hb").isNull()
+            | (F.col("ha") != F.col("hb"))
+            | (F.col("na") != F.col("nb"))
+        )
+        .select("bucket")
+    )
+    bucket_of = F.pmod(F.xxhash64("o_orderkey"), F.lit(256))
+    a_dirty = a.withColumn("bucket", bucket_of).join(F.broadcast(dirty), "bucket")
+    b_dirty = b.withColumn("bucket", bucket_of).join(F.broadcast(dirty), "bucket")
+    j = a_dirty.alias("a").join(
+        b_dirty.alias("b"), F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full"
+    )
+    return j.filter(
+        F.col("a.o_orderkey").isNull()
+        | F.col("b.o_orderkey").isNull()
+        | (F.col("a.o_totalprice") != F.col("b.o_totalprice"))
+    ).select(
+        F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey")).alias("o_orderkey"),
+        F.when(F.col("b.o_orderkey").isNull(), "deleted")
+        .when(F.col("a.o_orderkey").isNull(), "inserted")
+        .otherwise("modified")
+        .alias("change"),
+    )
+
+
 # Morton/Z-order bit-spread masks (16 -> 32 bit interleave), shared between
 # the Spark builder and the DuckDB oracle so both engines compute identical
 # integers.
@@ -1052,4 +1152,5 @@ QUERIES: dict[str, QuerySpec] = {
     "lake_compact_roundtrip": lake_compact_roundtrip,
     "lake_bucketed_write": lake_bucketed_write,
     "lake_zorder_layout": lake_zorder_layout,
+    "lake_snapshot_diff": lake_snapshot_diff,
 }

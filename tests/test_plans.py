@@ -592,3 +592,11 @@ def test_transitions_totals_derived_not_rescanned(spark, sf_dir):
     assert plan.count("Scan parquet") == 0
     assert "ExistingRDD" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_snapshot_diff_dirty_buckets_broadcast(spark, sf_dir):
+    """The row-level diff join must be gated by the BROADCAST dirty-bucket
+    set (256-row frame), never a full A x B join."""
+    plan = _plan(spark, sf_dir, "lake_snapshot_diff")
+    assert plan.count("BroadcastHashJoin") >= 2  # dirty-set gate on each side
+    assert "CartesianProduct" not in plan
