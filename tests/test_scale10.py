@@ -310,3 +310,80 @@ def test_incremental_topk_work_independent_of_corpus(spark, sf_dir):
     assert q_n > 0 and batch_n > 0
     assert n1 == q_n * (INC_K + batch_n)
     assert n10 == n1  # 10x old corpus: identical per-tick merge volume
+
+
+def test_snapshot_diff_join_input_scales_with_dirty_buckets(spark, sf_dir):
+    """lake_snapshot_diff's scale claim: the row-level diff join reads only
+    rows in DIRTY buckets.  The registered fixture rules change ~3% of keys
+    (dense enough to dirty most of 256 buckets), so measure the claim with
+    a SPARSE change set: restate one key in ~2000.  Dirty buckets must be a
+    small fraction of 256 and the gated row count a small fraction of the
+    table — fails if the gate ever degrades to a full-table join."""
+    a = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    sparse = 1999
+    b = a.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % sparse == 0, F.col("o_totalprice") * 1.1
+        ).otherwise(F.col("o_totalprice")),
+    )
+    bucket = F.pmod(F.xxhash64("o_orderkey"), F.lit(256))
+
+    def digests(df):
+        fp = F.xxhash64("o_orderkey", "o_totalprice")
+        return df.groupBy(bucket.alias("bucket")).agg(
+            F.count(F.lit(1)).alias("n"), F.bit_xor(fp).alias("digest")
+        )
+
+    da = digests(a).withColumnRenamed("digest", "ha").withColumnRenamed("n", "na")
+    db = digests(b).withColumnRenamed("digest", "hb").withColumnRenamed("n", "nb")
+    dirty = (
+        da.join(db, "bucket", "full")
+        .filter((F.col("ha") != F.col("hb")) | (F.col("na") != F.col("nb")))
+        .select("bucket")
+    )
+    total = a.count()
+    n_changed = a.filter(F.col("o_orderkey") % sparse == 0).count()
+    n_dirty = dirty.count()
+    gated = a.withColumn("bucket", bucket).join(dirty, "bucket").count()
+    # every change dirties at most one bucket; the gate reads only those
+    assert n_dirty <= n_changed
+    assert n_dirty < 256 / 4, (n_dirty, n_changed)
+    assert gated <= total * (n_dirty / 256) * 2 + 64, (gated, total, n_dirty)
+
+
+def test_zorder_interleave_matches_reference_bijection():
+    """The shared shift-or-mask constants must implement an exact 16+16 -> 32
+    bit Morton interleave: cross-check the SQL formula (DuckDB evaluation,
+    the oracle's engine) against a bit-by-bit Python reference, and invert
+    it by bit de-interleave to prove no information is lost."""
+    import random
+
+    import duckdb
+
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.operators.ingest import (
+        _sql_spread16,
+    )
+
+    def ref_interleave(x: int, y: int) -> int:
+        z = 0
+        for i in range(16):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    rng = random.Random(7)
+    pts = [(rng.randrange(1 << 16), rng.randrange(1 << 16)) for _ in range(200)]
+    pts += [(0, 0), (65535, 65535), (65535, 0), (0, 65535), (1, 2)]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE pts(x BIGINT, y BIGINT)")
+    con.executemany("INSERT INTO pts VALUES (?, ?)", pts)
+    got = con.execute(
+        f"SELECT x, y, ({_sql_spread16('x')} | ({_sql_spread16('y')} << 1)) FROM pts"
+    ).fetchall()
+    for x, y, z in got:
+        assert z == ref_interleave(x, y), (x, y, z)
+        # de-interleave inverts: even bits -> x, odd bits -> y
+        xx = sum(((z >> (2 * i)) & 1) << i for i in range(16))
+        yy = sum(((z >> (2 * i + 1)) & 1) << i for i in range(16))
+        assert (xx, yy) == (x, y)
