@@ -56,6 +56,7 @@ _PRIORITY = [
     "agg_kll_quantile_merge",  # per-shard KLL quantile sketches, merged
     "agg_theta_set_ops",  # theta-sketch union/intersection vs exact
     "lake_snapshot_diff",  # Merkle-style bucket-digest table reconciliation
+    "basket_association_rules",  # pairwise Apriori support/confidence/lift
     # --- 2. builder/oracle changed since their last green -------------------
     "text_sentiment_lexicon",  # polarity surfaced unrounded (ADVICE r6)
     "anomaly_zscore",  # degenerate groups excluded on both engines (ADVICE r6)

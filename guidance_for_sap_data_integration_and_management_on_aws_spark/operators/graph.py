@@ -531,7 +531,75 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec(
+    f"""
+    WITH {_EDGES_CTE},
+    s AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS supp
+          FROM li GROUP BY l_partkey),
+    n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+          FROM li),
+    r AS (SELECT src AS antecedent, dst AS consequent, w FROM edges
+          UNION ALL
+          SELECT dst AS antecedent, src AS consequent, w FROM edges)
+    SELECT antecedent, consequent, w AS support,
+           w / sa.supp AS confidence,
+           CAST(w * n_orders AS DOUBLE) / (sa.supp * sb.supp) AS lift
+    FROM r
+    JOIN s sa ON antecedent = sa.l_partkey
+    JOIN s sb ON consequent = sb.l_partkey, n
+    """,
+    doc="MARKET-BASKET ASSOCIATION RULES (pairwise Apriori) over order "
+    "baskets: for every supported co-purchase pair, both directed rules "
+    "with support / confidence = supp(a,b)/supp(a) / lift = "
+    "supp(a,b)*N/(supp(a)*supp(b)).  Reuses the memoized co-purchase edge "
+    "frame (pair expansion stays per-order local); item supports derive "
+    "from the SAME distinct (order, part) frame and broadcast into the "
+    "rule join, and N rides in as a 1-row broadcast.  Ratios are surfaced "
+    "UNROUNDED: every operand is an exact bigint below 2^53, so both "
+    "engines' IEEE divisions are bit-equal (the sentiment precedent).  At "
+    "100 TB the edge aggregation is the only corpus shuffle; everything "
+    "downstream is edge-sized.",
+)
+def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    supp = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("supp")
+    )
+    n = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    e = copurchase_edges(spark, sf_dir)
+    r = e.select(
+        F.col("src").alias("antecedent"), F.col("dst").alias("consequent"), "w"
+    ).unionAll(
+        e.select(
+            F.col("dst").alias("antecedent"), F.col("src").alias("consequent"), "w"
+        )
+    )
+    sa = supp.select(F.col("l_partkey").alias("antecedent"), F.col("supp").alias("sa"))
+    sb = supp.select(F.col("l_partkey").alias("consequent"), F.col("supp").alias("sb"))
+    out = (
+        r.join(F.broadcast(sa), "antecedent")
+        .join(F.broadcast(sb), "consequent")
+        .crossJoin(F.broadcast(n))
+    )
+    conf = F.col("w") / F.col("sa")
+    lift = (F.col("w") * F.col("n_orders")).cast("double") / (
+        F.col("sa") * F.col("sb")
+    )
+    return out.select(
+        "antecedent",
+        "consequent",
+        F.col("w").alias("support"),
+        conf.alias("confidence"),
+        lift.alias("lift"),
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "basket_association_rules": basket_association_rules,
     "graph_copurchase_edges": graph_copurchase_edges,
     "graph_components": graph_components,
     "graph_kcore": graph_kcore,
