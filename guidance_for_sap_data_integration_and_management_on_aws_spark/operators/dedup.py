@@ -288,34 +288,33 @@ def _hashed_token_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 JACCARD_T = 0.6
 
 
-def _prefix_candidates(documents: DataFrame, t: float) -> DataFrame:
-    """Candidate (da, db) pairs for token-set Jaccard >= t via prefix
-    filtering (SSJoin) plus the length and positional prunes (PPJoin, Xiao
-    et al. 2008).  All three are exact (never miss a qualifying pair):
+def _pruned_prefix_frame(toks: DataFrame, t: float) -> tuple[DataFrame, int, int]:
+    """Shared PPJoin prefix kernel (SSJoin prefix filter + the exact-integer
+    threshold as p/q): from a (doc_id, toks) frame, build the MATERIALIZED
+    (doc_id, n, rnk, w) prefix-token frame both candidate joins consume.
 
-    * prefix: if |A∩B| >= ceil(t*|A|) the common tokens cannot all fit in
-      A's ceil(t*|A|) - 1 element suffix, so both docs expose a shared
-      token in their prefixes under the common (df, w) total order;
-    * length: J >= t implies min(|A|,|B|) >= |A∩B| >= t*|A∪B| >=
-      t*max(|A|,|B|);
-    * positional: a qualifying pair needs overlap i >= t/(1+t)*(|A|+|B|),
-      and its FIRST shared token (which the prefix guarantee places inside
-      both prefixes) bounds i by 1 + min(|A|-rnk_A, |B|-rnk_B) — every
-      token before it on either side is unshared by minimality.  A pair
-      survives dropDuplicates iff SOME matching prefix row passes, and the
-      first-shared-token row always does.
+    * prefix guarantee: if |A∩B| >= ceil(t*|A|) the common tokens cannot
+      all fit in A's ceil(t*|A|) - 1 element suffix, so any qualifying
+      pair exposes a shared token inside both prefixes under the common
+      (df, w) total order;
+    * |x| is computed scan-side and carried with each token row — avoids a
+      second window pass over the exploded frame;
+    * the frame is repartitioned to the full shuffle width and
+      localCheckpoint'ed: the prefix is tiny (one row per prefix token)
+      but the downstream joins fan it out to millions of candidate pairs,
+      and when both join inputs are the SAME lazy subplan the AQE read
+      over the reused exchange sometimes collapses the whole expansion to
+      ONE task (measured bimodal 2-5s vs 30-38s at sf0.1, per-node SQL
+      metrics showing a single-task 29s HashAggregate).  Materializing
+      fixes the probe width AND computes the tokenize -> df-rank -> filter
+      pipeline once for every consumer — the graph.py edge-memoization
+      precedent.
 
-    Both prunes are evaluated in exact integer arithmetic (t as p/q via
-    Fraction) so no float-rounding edge can drop a boundary pair.  They
-    only shrink the candidate set that reaches the array-intersect verify
-    stage — the expensive part — at the cost of two ints per prefix row."""
+    Returns (prefix_frame, p, q) with t = p/q EXACTLY (Fraction of the
+    decimal literal), so callers state the length/positional prunes in
+    integer arithmetic — no float-rounding edge can drop a boundary pair."""
     frac = Fraction(str(t))
     p, q = frac.numerator, frac.denominator
-    toks = _parallelize_scan(documents).select(
-        "doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("toks")
-    )
-    # |x| computed scan-side and carried with each token row — avoids a
-    # second window pass over the exploded frame
     tok = toks.select(
         "doc_id", F.size("toks").alias("n"), F.explode("toks").alias("w")
     )
@@ -327,37 +326,60 @@ def _prefix_candidates(documents: DataFrame, t: float) -> DataFrame:
     prefix = ranked.filter(
         F.col("rnk") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1
     ).select("doc_id", "n", "rnk", "w")
-    # PIN the expansion parallelism: the prefix frame is tiny (one row per
-    # prefix token) but the self-join fans it out to millions of candidate
-    # pairs.  Both join inputs are the SAME subplan, so Spark reuses one
-    # exchange for the broadcast build and the probe — and the AQE read it
-    # plans over that reused exchange sometimes collapses the probe (and
-    # the whole pair expansion + dedup behind it) to ONE task: measured
-    # bimodal 2-5s vs 30-38s at sf0.1, with per-node SQL metrics showing a
-    # single-task 29s HashAggregate in the slow mode.  Materializing the
-    # repartitioned prefix with localCheckpoint fixes the probe at the full
-    # width (block partitions, no AQE read) and computes the tokenize ->
-    # df-rank -> filter pipeline ONCE for both sides — 49k narrow rows at
-    # sf0.1, the graph.py edge-memoization precedent.
-    width = int(documents.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    prefix = prefix.repartition(width, "doc_id").localCheckpoint(eager=True)
+    spark = toks.sparkSession
+    width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    return prefix.repartition(width, "doc_id").localCheckpoint(eager=True), p, q
+
+
+def _ppjoin_prunes(
+    na: F.Column, ra: F.Column, nb: F.Column, rb: F.Column, p: int, q: int
+) -> F.Column:
+    """The two lossless PPJoin prunes for token-match rows (Xiao et al.
+    2008), in exact integer arithmetic with t = p/q:
+
+    * length: J >= t implies min(|A|,|B|) >= |A∩B| >= t*|A∪B| >=
+      t*max(|A|,|B|), i.e. q*min >= p*max;
+    * positional: a qualifying pair needs overlap i >= t/(1+t)*(|A|+|B|),
+      and its FIRST shared token (inside both prefixes by the prefix
+      guarantee) bounds i by 1 + min(|A|-rnk_A, |B|-rnk_B) — every token
+      before it on either side is unshared by minimality.  A pair survives
+      the downstream dropDuplicates iff SOME matching prefix row passes,
+      and the first-shared-token row always does, so filtering per row is
+      lossless."""
+    ubound = F.lit(1) + F.least(na - ra, nb - rb)
+    return (q * F.least(na, nb) >= p * F.greatest(na, nb)) & (
+        (q + p) * ubound >= p * (na + nb)
+    )
+
+
+def _prefix_candidates(documents: DataFrame, t: float) -> DataFrame:
+    """Candidate (da, db) pairs for token-set Jaccard >= t: the shared
+    prefix kernel self-joined on the blocking token, pruned row-wise by
+    the PPJoin length/positional bounds before the expensive verify."""
+    toks = _parallelize_scan(documents).select(
+        "doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("toks")
+    )
+    prefix, p, q = _pruned_prefix_frame(toks, t)
     a = prefix.alias("a")
     b = prefix.alias("b")
-    na, nb = F.col("a.n"), F.col("b.n")
-    # overlap upper bound through this shared token (1-indexed ranks)
-    ubound = F.lit(1) + F.least(na - F.col("a.rnk"), nb - F.col("b.rnk"))
     return (
         a.join(
             b,
             (F.col("a.w") == F.col("b.w"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (q * F.least(na, nb) >= p * F.greatest(na, nb))
-            & ((q + p) * ubound >= p * (na + nb)),
+            & _ppjoin_prunes(
+                F.col("a.n"), F.col("a.rnk"), F.col("b.n"), F.col("b.rnk"), p, q
+            ),
         )
         .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
         .dropDuplicates(["da", "db"])
     )
 
+
+# LSH output threshold: near-dup pairs at jaccard_dist < LSH_DIST_T, i.e.
+# J > 1 - LSH_DIST_T.  The verify-stage length prune derives its exact
+# integer bound from this same constant (see dedup_minhash_lsh).
+LSH_DIST_T = 0.45
 
 N_MINHASHES = 24  # b=12 bands of r=2: P(candidate | jac=0.6) = 1-(1-0.36)^12 ~ 0.995
 LSH_ROWS_PER_BAND = 2
@@ -460,11 +482,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast the token sets into the verify (see _jaccard_pairs_cached)
     pairs = cand.join(F.broadcast(ta), "da").join(F.broadcast(tb), "db")
     # lossless length prune before the intersect: the verify keeps only
-    # J > 0.55 = 11/20, which forces 20*min(|A|,|B|) >= 11*max(|A|,|B|) —
-    # an integer compare that skips the array_intersect for ~15% of the
-    # band-collision candidates at sf0.1 (more on length-skewed corpora)
+    # J > 1 - LSH_DIST_T, which forces q*min(|A|,|B|) >= p*max(|A|,|B|)
+    # for that similarity as the exact fraction p/q — an integer compare
+    # that skips the array_intersect for ~15% of the band-collision
+    # candidates at sf0.1 (more on length-skewed corpora).  p/q derive
+    # from the SAME constant as the output filter so retuning the distance
+    # threshold can never silently turn the prune lossy.
+    sim = Fraction(1) - Fraction(str(LSH_DIST_T))
     pairs = pairs.filter(
-        20 * F.least("na", "nb") >= 11 * F.greatest("na", "nb")
+        sim.denominator * F.least("na", "nb")
+        >= sim.numerator * F.greatest("na", "nb")
     )
     scored = pairs.select(
         "da", "db", "na", "nb",
@@ -474,7 +501,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1.0) - F.col("__i") / (F.col("na") + F.col("nb") - F.col("__i")), 6
     )
     return scored.select("da", "db", jd.alias("jaccard_dist")).filter(
-        F.col("jaccard_dist") < 0.45
+        F.col("jaccard_dist") < LSH_DIST_T
     )
 
 
@@ -750,23 +777,13 @@ def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_incremental_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = _hashed_token_sets(spark, sf_dir)
-    tok = toks.select(
-        "doc_id", F.size("toks").alias("n"), F.explode("toks").alias("w")
-    )
-    # one shared df order over the union: any common total order preserves
-    # the prefix-filter guarantee for cross-side pairs
-    dfreq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
-    ranked = tok.join(dfreq, "w").withColumn(
-        "rnk",
-        F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "w")),
-    )
-    prefix = ranked.filter(
-        F.col("rnk") <= F.col("n") - F.ceil(F.lit(JACCARD_T) * F.col("n")) + 1
-    ).select("doc_id", "n", "rnk", "w")
-    # pin the fan-out parallelism and share one materialization across the
-    # batch/corpus sides (see _prefix_candidates for the AQE failure mode)
-    width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    prefix = prefix.repartition(width, "doc_id").localCheckpoint(eager=True)
+    # one shared df order over the union (computed inside the shared prefix
+    # kernel): any common total order preserves the prefix-filter guarantee
+    # for cross-side pairs
+    prefix, p, q = _pruned_prefix_frame(toks, JACCARD_T)
+    # token columns are RENAMED per side: bp/cp share lineage, so an
+    # a["w"] == b["w"] predicate would resolve trivially true and silently
+    # degrade the equi-join to a cross product
     bp = prefix.filter(F.col("doc_id") % 5 == 0).select(
         F.col("doc_id").alias("batch_id"),
         F.col("n").alias("bn"),
@@ -779,21 +796,13 @@ def dedup_incremental_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rnk").alias("crnk"),
         F.col("w").alias("cw"),
     )
-    # exact-integer length + positional prunes (see _prefix_candidates) —
-    # lossless, and they shrink the candidate set before the token-array
-    # verify join, the expensive stage.  Token columns are RENAMED per side:
-    # bp/cp share lineage, so an a["w"] == b["w"] predicate would resolve
-    # trivially true and silently degrade the equi-join to a cross product.
-    tp, tq = Fraction(str(JACCARD_T)).numerator, Fraction(str(JACCARD_T)).denominator
-    ubound = F.lit(1) + F.least(
-        F.col("bn") - F.col("brnk"), F.col("cn") - F.col("crnk")
-    )
     cand = (
         bp.join(
             cp,
             (F.col("bw") == F.col("cw"))
-            & (tq * F.least("bn", "cn") >= tp * F.greatest("bn", "cn"))
-            & ((tq + tp) * ubound >= tp * (F.col("bn") + F.col("cn"))),
+            & _ppjoin_prunes(
+                F.col("bn"), F.col("brnk"), F.col("cn"), F.col("crnk"), p, q
+            ),
         )
         .select("batch_id", "corpus_id")
         .dropDuplicates(["batch_id", "corpus_id"])

@@ -1060,12 +1060,19 @@ _Z_BUCKET_SHIFT = 20
 
 
 def _sql_spread16(expr: str) -> str:
+    # mask to the 16-bit domain FIRST: without it, bit 16+ garbage ORs into
+    # kept lanes on the first round and distinct inputs collide silently
+    # (both engines identically, so only this clamp keeps the bijection
+    # honest beyond fixture ranges — dims wider than 16 bits must be
+    # pre-scaled by the caller)
+    expr = f"({expr} & 65535)"
     for shift, mask in _Z_MASKS:
         expr = f"(({expr} | ({expr} << {shift})) & {mask})"
     return expr
 
 
 def _spread16(c: Column) -> Column:
+    c = c.bitwiseAND(F.lit(0xFFFF))  # see _sql_spread16: clamp to the domain
     for shift, mask in _Z_MASKS:
         c = c.bitwiseOR(F.shiftleft(c, shift)).bitwiseAND(F.lit(mask))
     return c

@@ -568,7 +568,11 @@ def agg_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def within(e: str, x: str) -> Column:
-        return F.abs(F.col(e) - F.col(x)) / F.col(x).cast("double") <= THETA_TOL
+        # empty-set guard: a zero exact count would make the relative error
+        # NaN and flip the boolean against the oracle's TRUE even when the
+        # estimate is itself exactly zero
+        rel = F.abs(F.col(e) - F.col(x)) / F.col(x).cast("double")
+        return F.when(F.col(x) == 0, F.col(e) == 0).otherwise(rel <= THETA_TOL)
 
     return exact.crossJoin(est).select(
         "exact_union",
