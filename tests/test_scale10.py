@@ -375,6 +375,10 @@ def test_zorder_interleave_matches_reference_bijection():
     rng = random.Random(7)
     pts = [(rng.randrange(1 << 16), rng.randrange(1 << 16)) for _ in range(200)]
     pts += [(0, 0), (65535, 65535), (65535, 0), (0, 65535), (1, 2)]
+    # beyond the 16-bit domain the kernel must CLAMP (mask) first — before
+    # the round-7 fix, bit 16+ garbage OR'd into kept lanes identically on
+    # both engines, invisible to the parity gate
+    pts += [(1 << 16, 0), (65536 + 5, 7), ((1 << 20) + 3, (1 << 17) + 9)]
     con = duckdb.connect()
     con.execute("CREATE TABLE pts(x BIGINT, y BIGINT)")
     con.executemany("INSERT INTO pts VALUES (?, ?)", pts)
@@ -383,7 +387,9 @@ def test_zorder_interleave_matches_reference_bijection():
     ).fetchall()
     for x, y, z in got:
         assert z == ref_interleave(x, y), (x, y, z)
-        # de-interleave inverts: even bits -> x, odd bits -> y
+        # de-interleave inverts onto the clamped domain: even bits -> x,
+        # odd bits -> y (ref_interleave reads only bits 0-15, so it IS the
+        # masked reference)
         xx = sum(((z >> (2 * i)) & 1) << i for i in range(16))
         yy = sum(((z >> (2 * i + 1)) & 1) << i for i in range(16))
-        assert (xx, yy) == (x, y)
+        assert (xx, yy) == (x & 0xFFFF, y & 0xFFFF)
