@@ -75,6 +75,7 @@ REDUCED_SF = {
     # duty, ~7M pairs at sf0.1), charged to it because it is that frame's
     # first consumer in the run; its own marginal work (contraction CC +
     # one window pass) is ~7s at sf0.1 once the frame exists.
+    # dedup_connected_components IS reduced: it computes connected
     # components OVER the quadratic pair set — its input is the oracle
     # twin's output, so it inherits the same volume (the contraction
     # kernel itself is benched at full SF via dedup_cluster_canonical)

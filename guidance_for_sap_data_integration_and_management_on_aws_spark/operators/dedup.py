@@ -193,15 +193,47 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_pairs_cached(spark, sf_dir)
 
 
+_CACHE_MAX = 4  # one live SF dir + headroom; oldest unpersisted on evict
+
+
+def _cached_persisted(
+    cache: dict[tuple[str, str], DataFrame],
+    spark: SparkSession,
+    sf_dir: str,
+    build,
+) -> DataFrame:
+    """Shared bounded per-(session, sf_dir) memoizer for PERSISTED derived
+    frames (the token-set and verified-pair tables; graph.py's _EDGE_CACHE
+    is the checkpointed sibling).  FIFO eviction — insertion order = oldest
+    first; popitem() would evict the NEWEST and pin stale entries forever —
+    and eviction unpersists so repeated sessions don't pin executor
+    storage.  One implementation so the keying/bound/eviction invariants
+    can't drift between the caches."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = cache.get(key)
+    if hit is not None:
+        return hit
+    out = build().persist()
+    while len(cache) >= _CACHE_MAX:
+        old = cache.pop(next(iter(cache)))
+        try:
+            old.unpersist()
+        except Exception:
+            pass  # frame may belong to an already-stopped SparkSession
+    cache[key] = out
+    return out
+
+
 _PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
-_PAIRS_CACHE_MAX = 4  # one live SF dir + headroom; oldest unpersisted on evict
 
 
 def _jaccard_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
-    hit = _PAIRS_CACHE.get(key)
-    if hit is not None:
-        return hit
+    return _cached_persisted(
+        _PAIRS_CACHE, spark, sf_dir, lambda: _jaccard_pairs_plan(spark, sf_dir)
+    )
+
+
+def _jaccard_pairs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     cand = _prefix_candidates(d, JACCARD_T)
     toks = _hashed_token_sets(spark, sf_dir)
@@ -219,20 +251,9 @@ def _jaccard_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = F.size(F.array_intersect("ta", "tb")).cast("double")
     union = F.size(F.array_union("ta", "tb")).cast("double")
     jac = F.round(inter / union, 6)
-    out = (
-        pairs.select("da", "db", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= JACCARD_T)
-        .persist()
+    return pairs.select("da", "db", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= JACCARD_T
     )
-    while len(_PAIRS_CACHE) >= _PAIRS_CACHE_MAX:
-        # FIFO: insertion order = oldest first (see _TOKEN_CACHE)
-        old = _PAIRS_CACHE.pop(next(iter(_PAIRS_CACHE)))
-        try:
-            old.unpersist()
-        except Exception:
-            pass  # frame may belong to an already-stopped SparkSession
-    _PAIRS_CACHE[key] = out
-    return out
 
 
 def _parallelize_scan(df: DataFrame) -> DataFrame:
@@ -241,7 +262,6 @@ def _parallelize_scan(df: DataFrame) -> DataFrame:
 
 
 _TOKEN_CACHE: dict[tuple[str, str], DataFrame] = {}
-_TOKEN_CACHE_MAX = 4  # one live SF dir + headroom; oldest unpersisted on evict
 
 
 def _hashed_token_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -252,37 +272,24 @@ def _hashed_token_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     both near-dup paths verify on the same hashed universe).  Tokenize+hash
     runs on the parallelized scan, not the raw one-file fixture partition.
 
-    PERSISTED, keyed by (app, sf_dir): the frame feeds the LSH signature
-    build AND both sides of the candidate-verify re-attach (and the recall
-    anchor runs the exact twin on top), so without a cache the corpus is
-    tokenized 3+ times per query.  The cache is bounded (LRU-ish eviction
-    unpersists the oldest entry) so repeated sessions don't pin executor
-    storage; a production job would persist per-run and unpersist in its
+    PERSISTED through the shared bounded memoizer, keyed by (app, sf_dir):
+    the frame feeds the LSH signature build AND both sides of the
+    candidate-verify re-attach (and the recall anchor runs the exact twin
+    on top), so without a cache the corpus is tokenized 3+ times per
+    query; a production job would persist per-run and unpersist in its
     teardown."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    hit = _TOKEN_CACHE.get(key)
-    if hit is not None:
-        return hit
-    toks = (
-        parallelize_small_scan(load(spark, sf_dir, "documents"), "doc_id")
-        .select(
+
+    def build() -> DataFrame:
+        return parallelize_small_scan(
+            load(spark, sf_dir, "documents"), "doc_id"
+        ).select(
             "doc_id",
             F.transform(
                 F.array_distinct(F.split(F.col("text"), " ")), lambda w: F.xxhash64(w)
             ).alias("toks"),
         )
-        .persist()
-    )
-    while len(_TOKEN_CACHE) >= _TOKEN_CACHE_MAX:
-        # FIFO: insertion order = oldest first (popitem() would evict the
-        # NEWEST and pin the stale entries forever)
-        old = _TOKEN_CACHE.pop(next(iter(_TOKEN_CACHE)))
-        try:
-            old.unpersist()
-        except Exception:
-            pass  # frame may belong to an already-stopped SparkSession
-    _TOKEN_CACHE[key] = toks
-    return toks
+
+    return _cached_persisted(_TOKEN_CACHE, spark, sf_dir, build)
 
 
 JACCARD_T = 0.6

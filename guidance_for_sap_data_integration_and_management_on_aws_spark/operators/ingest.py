@@ -923,12 +923,17 @@ def lake_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..streaming.replay import _SCRATCH
 
-    # deterministic per-sf path, REUSED across invocations AND processes
-    # (mode=overwrite rewrites both batches in place; md5 not str hash —
-    # the latter is salted per-process) — a fresh uuid dir per call would
-    # accumulate unbounded scratch parquet
+    # deterministic per-(sf, process) path, REUSED across invocations in a
+    # process (mode=overwrite rewrites both batches in place; md5 not str
+    # hash — the latter is salted per-process) so scratch stays bounded
+    # without a fresh uuid dir per call.  The pid suffix keeps CONCURRENT
+    # processes (bench + pytest, xdist workers) out of each other's
+    # directories: a shared path would let one process's overwrite delete
+    # part files mid-scan under the other's mergeSchema read.
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    base = os.path.abspath(os.path.join(_SCRATCH, "evolve", f"sf-{key}"))
+    base = os.path.abspath(
+        os.path.join(_SCRATCH, "evolve", f"sf-{key}-p{os.getpid()}")
+    )
     os.makedirs(base, exist_ok=True)
     o = load(spark, sf_dir, "orders")
     o.filter(F.col("o_orderkey") % 2 == 0).select(

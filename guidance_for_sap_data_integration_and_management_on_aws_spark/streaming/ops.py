@@ -908,6 +908,13 @@ QUERIES: dict[str, QuerySpec] = {
 # registered only where the protobuf runtime can be provisioned — the
 # driver sees the modern-API query whenever the environment supports it,
 # and environments without it keep the identical applyInPandasWithState
-# surface (same oracle) with no dead registry entry
-if has_transform_with_state_runtime():
+# surface (same oracle) with no dead registry entry.  The gate must never
+# raise: it runs at import time, and a provisioning failure (unwritable
+# scratch, racing cleanup) would otherwise take the whole streaming module
+# — and the registry behind it — down with it.
+try:
+    _HAS_TWS_RUNTIME = has_transform_with_state_runtime()
+except Exception:
+    _HAS_TWS_RUNTIME = False
+if _HAS_TWS_RUNTIME:
     QUERIES["stream_stateful_v2"] = stream_stateful_v2

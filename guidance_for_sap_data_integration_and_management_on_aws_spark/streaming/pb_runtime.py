@@ -62,19 +62,30 @@ def _scratch_zip_path() -> str:
 
 def _build_zip(root: str, zip_path: str) -> None:
     src = os.path.join(root, "google", "protobuf")
-    tmp = zip_path + ".tmp"
-    with zipfile.ZipFile(tmp, "w") as z:
-        z.writestr(
-            "google/__init__.py",
-            "__path__ = __import__('pkgutil').extend_path(__path__, __name__)\n",
-        )
-        for walk_root, dirs, files in os.walk(src):
-            dirs[:] = [d for d in dirs if d not in _SKIP_DIRS]
-            for f in sorted(files):
-                if f.endswith(".py"):
-                    full = os.path.join(walk_root, f)
-                    z.write(full, os.path.relpath(full, root))
-    os.replace(tmp, zip_path)  # atomic: concurrent builders converge
+    # PER-PROCESS tmp name: a shared tmp would let two first-time builders
+    # (e.g. a bench run and a test run) truncate each other's partial
+    # writes and install a corrupt zip — os.replace makes only the rename
+    # atomic, not the writes
+    tmp = f"{zip_path}.{os.getpid()}.tmp"
+    try:
+        with zipfile.ZipFile(tmp, "w") as z:
+            z.writestr(
+                "google/__init__.py",
+                "__path__ = __import__('pkgutil').extend_path(__path__, __name__)\n",
+            )
+            for walk_root, dirs, files in os.walk(src):
+                dirs[:] = [d for d in dirs if d not in _SKIP_DIRS]
+                for f in sorted(files):
+                    if f.endswith(".py"):
+                        full = os.path.join(walk_root, f)
+                        z.write(full, os.path.relpath(full, root))
+        os.replace(tmp, zip_path)  # atomic install: concurrent builders converge
+    finally:
+        if os.path.exists(tmp):
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
 
 
 def _importable() -> bool:
@@ -95,19 +106,31 @@ def ensure_protobuf(spark=None) -> bool:
     global _probe_failed, _zip_in_use
     if _probe_failed:
         return False
-    os.environ.setdefault(_VERSION_CHECK_FLAG, "true")
 
     if _zip_in_use is None and not _importable():
-        for root in PROTOBUF_FALLBACK_ROOTS:
-            if os.path.isdir(os.path.join(root, "google", "protobuf")):
-                zip_path = _scratch_zip_path()
-                if not os.path.exists(zip_path):
-                    _build_zip(root, zip_path)
-                if zip_path not in sys.path:
-                    sys.path.insert(0, zip_path)
-                if _importable():
-                    _zip_in_use = zip_path
-                break
+        try:
+            for root in PROTOBUF_FALLBACK_ROOTS:
+                if os.path.isdir(os.path.join(root, "google", "protobuf")):
+                    # disable the strict runtime>=gencode check ONLY on the
+                    # vendored path, where the 6.32-vs-6.33 one-minor skew is
+                    # known wire-compatible — an INSTALLED protobuf keeps its
+                    # own version validation (suppressing it process-wide
+                    # would turn a clear too-old-runtime error into obscure
+                    # downstream failures)
+                    os.environ.setdefault(_VERSION_CHECK_FLAG, "true")
+                    zip_path = _scratch_zip_path()
+                    if not os.path.exists(zip_path):
+                        _build_zip(root, zip_path)
+                    if zip_path not in sys.path:
+                        sys.path.insert(0, zip_path)
+                    if _importable():
+                        _zip_in_use = zip_path
+                    break
+        except OSError:
+            # unwritable scratch dir, disk full, racing cleanup: degrade to
+            # the gated state instead of raising through module import
+            _probe_failed = True
+            return False
         if _zip_in_use is None:
             _probe_failed = True
             return False

@@ -188,7 +188,7 @@ def test_token_cache_evicts_oldest_and_survives_dead_frames(spark, sf_dir):
     saved = dict(dedup._TOKEN_CACHE)
     dedup._TOKEN_CACHE.clear()
     try:
-        fakes = [_Fake(raises=(i == 0)) for i in range(dedup._TOKEN_CACHE_MAX)]
+        fakes = [_Fake(raises=(i == 0)) for i in range(dedup._CACHE_MAX)]
         for i, f in enumerate(fakes):
             dedup._TOKEN_CACHE[("app", f"dir{i}")] = f
         got = dedup._hashed_token_sets(spark, sf_dir)

@@ -17,8 +17,11 @@ def test_registry_shape():
     reg = entrymod._registry()
     names = list(reg)
     assert len(names) == len(set(names))
-    # priority names lead, in order
-    assert names[: len(entrymod._PRIORITY)] == entrymod._PRIORITY
+    # priority names lead, in order — compared against the FILTERED list so
+    # the test also passes where the conditionally-registered
+    # stream_stateful_v2 is gated off (no provisionable protobuf runtime)
+    expected = [n for n in entrymod._PRIORITY if n in reg]
+    assert names[: len(expected)] == expected
     # round-7 window layout (criticality order): NEVER-CHECKED round-7
     # additions lead (no correctness signal without a driver row), then
     # queries whose builder/oracle changed since their last green (float-

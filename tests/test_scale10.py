@@ -274,7 +274,10 @@ def test_incremental_topk_work_independent_of_corpus(spark, sf_dir):
         (F.col("vec_id") < N_QUERIES) & (F.col("vec_id") % INC_MOD != 0)
     ).select(F.col("vec_id").alias("qid"), F.col("e").alias("qe"))
     mx = v.agg(F.max("vec_id")).first()[0] + 1
-    # grown ids keep % INC_MOD != 0 (old partition) by skipping multiples
+    # NB: grown ids do NOT preserve % INC_MOD residues (grow_off ≡ 1 mod
+    # INC_MOD shifts copy i's residues by i) — harmless here because the
+    # old partition is filtered BEFORE growing, so nothing re-derives
+    # batch/old membership from the grown frame's residues
     grow_off = mx * INC_MOD + 1
 
     def score(side):
