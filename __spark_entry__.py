@@ -57,6 +57,8 @@ _PRIORITY = [
     "agg_theta_set_ops",  # theta-sketch union/intersection vs exact
     "lake_snapshot_diff",  # Merkle-style bucket-digest table reconciliation
     "basket_association_rules",  # pairwise Apriori support/confidence/lift
+    "text_bigram_pmi",  # PMI collocations for phrase detection
+    "events_attribution",  # last-touch revenue attribution
     # --- 2. builder/oracle changed since their last green -------------------
     "text_sentiment_lexicon",  # polarity surfaced unrounded (ADVICE r6)
     "anomaly_zscore",  # degenerate groups excluded on both engines (ADVICE r6)

@@ -1049,7 +1049,93 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 50
+
+
+@spec(
+    f"""
+    WITH w AS (SELECT string_split(text, ' ') AS toks FROM documents),
+    uni AS (
+      SELECT u.w, CAST(COUNT(*) AS BIGINT) AS cw
+      FROM (SELECT unnest(toks) AS w FROM w) u GROUP BY u.w
+    ),
+    tot AS (SELECT CAST(SUM(cw) AS BIGINT) AS t FROM uni),
+    idx AS (SELECT toks, unnest(generate_series(0, len(toks) - 2)) AS i FROM w),
+    bi AS (
+      SELECT toks[CAST(i + 1 AS INT)] || ' ' || toks[CAST(i + 2 AS INT)] AS bigram
+      FROM idx
+    ),
+    bc0 AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cab FROM bi GROUP BY bigram),
+    btot AS (SELECT CAST(SUM(cab) AS BIGINT) AS b FROM bc0),
+    s AS (
+      SELECT bigram, cab,
+             round(ln((CAST(cab AS DOUBLE) / b)
+                      / ((CAST(u1.cw AS DOUBLE) / t)
+                         * (CAST(u2.cw AS DOUBLE) / t))), 6) AS pmi
+      FROM bc0
+      JOIN uni u1 ON string_split(bigram, ' ')[1] = u1.w
+      JOIN uni u2 ON string_split(bigram, ' ')[2] = u2.w, tot, btot
+      WHERE cab >= {PMI_MIN_COUNT}
+    )
+    SELECT bigram, cab, pmi FROM s ORDER BY pmi DESC, bigram LIMIT {PMI_TOP_K}
+    """,
+    doc="L4 PMI COLLOCATIONS (pointwise mutual information over adjacent "
+    "token pairs): the phrase-detection statistic (word2vec-style phrase "
+    "merging, tokenizer vocab curation) — PMI = ln(P(ab) / (P(a)P(b))) "
+    "with bigram and unigram probabilities over the corpus.  Bigram totals "
+    "DERIVE from the counted frame (never a second corpus scan), unigram "
+    "counts broadcast into the rule join (|vocab| rows), and the top-k is "
+    "orderBy+limit -> TakeOrdered.  Arithmetic mirrors the oracle "
+    "division-for-division (no algebraic rearrangement — it would change "
+    "float rounding); round(6) absorbs ln ulps, the unigram_logprob "
+    "precedent.",
+)
+def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    src = parallelize_small_scan(d, "doc_id")
+    uni = (
+        src.select(F.explode(_words()).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cw"))
+    )
+    tot = uni.agg(F.sum("cw").cast("bigint").alias("t"))
+    bc0 = (
+        src.select(F.explode(_word_shingles(_words(), 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cab"))
+    )
+    btot = bc0.agg(F.sum("cab").cast("bigint").alias("b"))
+    u1 = uni.select(F.col("w").alias("__w1"), F.col("cw").alias("cw1"))
+    u2 = uni.select(F.col("w").alias("__w2"), F.col("cw").alias("cw2"))
+    s = (
+        bc0.filter(F.col("cab") >= PMI_MIN_COUNT)
+        .withColumn("__w1", F.split("bigram", " ")[0])
+        .withColumn("__w2", F.split("bigram", " ")[1])
+        .join(F.broadcast(u1), "__w1")
+        .join(F.broadcast(u2), "__w2")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(btot))
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("cab").cast("double") / F.col("b"))
+            / (
+                (F.col("cw1").cast("double") / F.col("t"))
+                * (F.col("cw2").cast("double") / F.col("t"))
+            )
+        ),
+        6,
+    )
+    return (
+        s.select("bigram", "cab", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), F.asc("bigram"))
+        .limit(PMI_TOP_K)
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "text_bigram_pmi": text_bigram_pmi,
     "text_bm25_topk": text_bm25_topk,
     "pipeline_decontaminate": pipeline_decontaminate,
     "text_pii_redact": text_pii_redact,

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..functions.exprs import dec_money, sql_sum_money, sum_money
 from ..registry import QuerySpec, spec
 
 
@@ -517,9 +518,59 @@ def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec(
+    f"""
+    WITH attributed AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS channel
+      FROM events
+    )
+    SELECT COALESCE(channel, '<direct>') AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           {sql_sum_money('CAST(value AS DECIMAL(12,2))', 'attributed_value')}
+    FROM attributed
+    WHERE event_type = 'purchase'
+    GROUP BY COALESCE(channel, '<direct>')
+    """,
+    doc="LAST-TOUCH REVENUE ATTRIBUTION: each purchase credits the user's "
+    "most recent PRECEDING non-purchase event type (purchases with no "
+    "prior touch attribute to '<direct>').  One user-keyed IGNORE-NULLS "
+    "frame — the window_gap_fill forward-fill shape — then a per-channel "
+    "aggregate; exact decimal value sums surfaced as deterministic "
+    "doubles (the sum_money contract).  The marketing-analytics query a "
+    "lake engine must express without an attribution service; first-touch "
+    "and position-weighted variants swap the frame's aggregate only.",
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.withColumn("channel", touch)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("channel", F.lit("<direct>")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            sum_money(dec_money("value"), "attributed_value"),
+        )
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "events_retention_cohorts": events_retention_cohorts,
     "events_transitions": events_transitions,
+    "events_attribution": events_attribution,
     "window_rank": window_rank,
     "ts_interpolate_linear": ts_interpolate_linear,
     "window_distribution": window_distribution,
