@@ -600,3 +600,28 @@ def test_snapshot_diff_dirty_buckets_broadcast(spark, sf_dir):
     plan = _plan(spark, sf_dir, "lake_snapshot_diff")
     assert plan.count("BroadcastHashJoin") >= 2  # dirty-set gate on each side
     assert "CartesianProduct" not in plan
+
+
+def test_basket_rules_supports_broadcast_edges_memoized(spark, sf_dir):
+    """Item supports and the order count ride into the rule join as
+    broadcasts; the co-purchase edge side is the memoized checkpoint (no
+    second lineitem expansion in the served plan)."""
+    plan = _plan(spark, sf_dir, "basket_association_rules")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "ExistingRDD" in plan  # the memoized edge frame
+
+
+def test_pmi_totals_derived_and_vocab_broadcast(spark, sf_dir):
+    """Unigram/bigram totals derive from the counted frames and the vocab
+    joins broadcast — the corpus is tokenized, not re-scanned, per branch."""
+    plan = _plan(spark, sf_dir, "text_bigram_pmi")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_attribution_single_window_exchange(spark, sf_dir):
+    """The IGNORE-NULLS frame and the channel aggregate share one event
+    scan; exactly two exchanges (user window, channel agg)."""
+    plan = _plan(spark, sf_dir, "events_attribution")
+    assert plan.count("Scan parquet") == 1
+    assert n_exchanges(plan) == 2
