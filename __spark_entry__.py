@@ -59,6 +59,8 @@ _PRIORITY = [
     "basket_association_rules",  # pairwise Apriori support/confidence/lift
     "text_bigram_pmi",  # PMI collocations for phrase detection
     "events_attribution",  # last-touch revenue attribution
+    "graph_jaccard_neighbors",  # neighbor-Jaccard link prediction
+    "ann_centroid_outliers",  # embedding-space outlier gate per cluster
     # --- 2. builder/oracle changed since their last green -------------------
     "text_sentiment_lexicon",  # polarity surfaced unrounded (ADVICE r6)
     "anomaly_zscore",  # degenerate groups excluded on both engines (ADVICE r6)

@@ -598,8 +598,64 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIN_SHARED_NEIGHBORS = 1  # wedge support floor (the sf0.1 graph is
+# sparse enough that >= 2 empties it; >= 1 stays wedge-bounded everywhere)
+
+
+@spec(
+    f"""
+    WITH {_EDGES_CTE},
+    bi AS (SELECT src AS a, dst AS b FROM edges
+           UNION ALL SELECT dst, src FROM edges),
+    deg AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS d FROM bi GROUP BY a),
+    shared AS (
+      SELECT x.a AS u, y.a AS v, CAST(COUNT(*) AS BIGINT) AS s
+      FROM bi x JOIN bi y ON x.b = y.b AND x.a < y.a
+      GROUP BY x.a, y.a HAVING COUNT(*) >= {MIN_SHARED_NEIGHBORS}
+    )
+    SELECT u, v, s AS shared_neighbors,
+           s / (du.d + dv.d - s) AS jaccard_sim
+    FROM shared JOIN deg du ON u = du.a JOIN deg dv ON v = dv.a
+    """,
+    doc="NODE SIMILARITY via NEIGHBOR JACCARD (the link-prediction / "
+    "related-items primitive): for every node pair sharing >= "
+    f"{MIN_SHARED_NEIGHBORS} neighbors, |N(u)∩N(v)| / |N(u)∪N(v)| with "
+    "the union from degrees (du + dv - shared — no second set "
+    "materialization).  Candidates come from a wedge equi-join THROUGH "
+    "the common neighbor (work ~ sum of deg^2 over the support-thresholded "
+    "graph, never all pairs), degrees broadcast back, and the similarity "
+    "is an unrounded exact-integer division (bit-equal on both engines).  "
+    "Reuses the memoized co-purchase edge frame.",
+)
+def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = copurchase_edges(spark, sf_dir)
+    bi = e.select(F.col("src").alias("a"), F.col("dst").alias("b")).unionAll(
+        e.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+    )
+    deg = bi.groupBy("a").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    x = bi.select(F.col("a").alias("u"), "b")
+    y = bi.select(F.col("a").alias("v"), F.col("b").alias("b2"))
+    shared = (
+        x.join(y, (F.col("b") == F.col("b2")) & (F.col("u") < F.col("v")))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("s"))
+        .filter(F.col("s") >= MIN_SHARED_NEIGHBORS)
+    )
+    du = deg.select(F.col("a").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("a").alias("v"), F.col("d").alias("dv"))
+    sim = F.col("s") / (F.col("du") + F.col("dv") - F.col("s"))
+    return (
+        shared.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .select(
+            "u", "v", F.col("s").alias("shared_neighbors"), sim.alias("jaccard_sim")
+        )
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "basket_association_rules": basket_association_rules,
+    "graph_jaccard_neighbors": graph_jaccard_neighbors,
     "graph_copurchase_edges": graph_copurchase_edges,
     "graph_components": graph_components,
     "graph_kcore": graph_kcore,

@@ -1111,7 +1111,65 @@ def ann_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk(served.unionAll(score(batch)))  # batch-only rescore + merge
 
 
+OUTLIER_TOP_M = 3  # farthest-from-centroid vectors surfaced per bucket
+
+
+@spec(
+    f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    c AS ({_seed_cte('cid', 'ce', IVF_K)}),
+    a AS (SELECT vec_id, e, cid, ce,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY list_distance(e, ce), cid) AS rn
+          FROM v, c),
+    d AS (SELECT vec_id, cid AS bucket, round(list_distance(e, ce), 6) AS dist
+          FROM a WHERE rn = 1)
+    SELECT bucket, vec_id, dist
+    FROM (SELECT *, row_number() OVER (PARTITION BY bucket
+                                       ORDER BY dist DESC, vec_id) AS rn2
+          FROM d)
+    WHERE rn2 <= {OUTLIER_TOP_M}
+    """,
+    doc="L3 EMBEDDING OUTLIER GATE: per cluster, the vectors FARTHEST from "
+    "their assigned centroid — the embedding-space quality filter a "
+    "training pipeline runs to surface mislabeled / off-distribution "
+    "samples before they reach the mix.  Assignment reuses the map-side "
+    "matmul-argmin kernel (index only — the ann_kmeans_assign parity "
+    "argument); the SURFACED distance is then recomputed as the Catalyst "
+    "zip_with/aggregate fold against the k-row broadcast centroid table, "
+    "mirroring the oracle's list_distance element order, with round(6) "
+    "absorbing fold-order ulps and (dist, vec_id) making the per-bucket "
+    "top-m deterministic.  Zero shuffles before the k-bucket window.",
+)
+def ann_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = load(spark, sf_dir, "embeddings")
+    v = parallelize_small_scan(raw, "vec_id").select(
+        "vec_id", as_double("embedding").alias("e")
+    )
+    cents = seed_rows(
+        spark, raw.select("vec_id", as_double("embedding").alias("e")), IVF_K, sf_dir
+    )
+    assign = centroid_assigner(cents)
+    assigned = v.select("vec_id", "e", assign(F.col("e")).alias("__a")).select(
+        "vec_id", "e", F.col("__a.bucket").alias("bucket")
+    )
+    cdf = spark.createDataFrame(
+        [(int(r["cid"]), list(r["ce"])) for r in cents],
+        "bucket BIGINT, ce ARRAY<DOUBLE>",
+    )
+    dist = F.round(F.sqrt(_sq_dist(F.col("e"), F.col("ce"))), 6)
+    w = Window.partitionBy("bucket").orderBy(F.desc("dist"), F.asc("vec_id"))
+    return (
+        assigned.join(F.broadcast(cdf), "bucket")
+        .select("bucket", "vec_id", dist.alias("dist"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= OUTLIER_TOP_M)
+        .select("bucket", "vec_id", "dist")
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "ann_centroid_outliers": ann_centroid_outliers,
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ml_linear_score": ml_linear_score,
     "ann_incremental_topk": ann_incremental_topk,
