@@ -1603,8 +1603,87 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mg_candidate_kernel(batches):
+    """Per-partition Misra-Gries summary over the ``key`` column.
+
+    Textbook MG maintained with the MERGEABLE-SUMMARIES merge rule
+    (Agarwal et al., PODS 2012): each Arrow batch contributes its exact
+    value counts; whenever the counter table exceeds the budget ``m`` it
+    shrinks by subtracting the (m+1)-th largest count and dropping
+    non-positives.  The classic bound survives merging: any key whose
+    true in-partition frequency exceeds n_p/(m+1) is still present at the
+    end.  Memory is O(m + batch-distinct) regardless of partition size —
+    the whole point vs an exact per-partition value_counts.  ``m`` rides
+    in on the constant ``d`` column (ceil(20*d/27), see the spec proof).
+    """
+    import pandas as pd
+
+    counters = pd.Series(dtype="int64")
+    m = None
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        if m is None:
+            m = max(1, (20 * int(pdf["d"].iloc[0]) + 26) // 27)
+        counters = counters.add(pdf["key"].value_counts(), fill_value=0)
+        if len(counters) > m:
+            cut = counters.nlargest(m + 1).iloc[-1]
+            counters = counters[counters > cut] - cut
+    if m is not None and len(counters):
+        yield pd.DataFrame({"key": counters.index.to_numpy("int64")})
+
+
+@spec(
+    """
+    WITH t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                      CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS d
+               FROM lineitem)
+    SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM lineitem, t
+    GROUP BY l_partkey, t.n, t.d
+    HAVING 20 * COUNT(*) * d > 27 * n
+    """,
+    doc="A5+ DISTRIBUTED HEAVY HITTERS by candidate-generate + exact-verify: "
+    "a map-side Misra-Gries summary per partition (Arrow mapInPandas, NO "
+    "shuffle — memory bounded by the counter budget m, not the partition's "
+    "distinct count), candidates unioned and exact-recounted via a "
+    "broadcast semi join, then thresholded at freq > 1.35 * n/d (mean "
+    "frequency * 1.35), expressed as the pure-integer cross-multiplication "
+    "20*freq*d > 27*n on BOTH engines.  LOSSLESS: a key absent from every "
+    "partition's MG summary has total frequency <= sum n_p/(m+1) < n/m, and "
+    "m = ceil(20*d/27) makes n/m <= 27n/(20d) = the final threshold, so "
+    "the candidate union provably covers every qualifying key and the "
+    "exact recount makes the output partition-layout-independent.  At "
+    "100 TB this shuffles only ~m keys per partition instead of every "
+    "distinct key — the sketch-then-verify shape for top-k dashboards "
+    "over skewed key spaces.",
+)
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("key"))
+    tot = li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.countDistinct("key").cast("bigint").alias("d"),
+    )
+    cand = (
+        li.crossJoin(F.broadcast(tot))
+        .mapInPandas(_mg_candidate_kernel, "key bigint")
+        .distinct()
+    )
+    freq = (
+        li.join(F.broadcast(cand), "key")
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    return (
+        freq.crossJoin(F.broadcast(tot))
+        .filter(F.lit(20) * F.col("freq") * F.col("d") > F.lit(27) * F.col("n"))
+        .select(F.col("key").alias("l_partkey"), "freq")
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q1_pricing_summary": q1_pricing_summary,
+    "agg_heavy_hitters": agg_heavy_hitters,
     "agg_histogram": agg_histogram,
     "anomaly_zscore": anomaly_zscore,
     "data_profile": data_profile,

@@ -494,3 +494,68 @@ def test_bloom_prefilter_drops_most_nonmatching_rows(spark, sf_dir):
         .count()
     )
     assert missed == 0
+
+
+def test_mg_kernel_never_drops_a_qualifying_key():
+    """The Misra-Gries candidate kernel's covering guarantee, adversarially:
+    a Zipf-ish stream split across several 'partitions' must surface every
+    key whose global frequency exceeds n/m in at least one partition's
+    survivor set, while each survivor set stays within the counter budget."""
+    import numpy as np
+    import pandas as pd
+
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.operators.relational import (
+        _mg_candidate_kernel,
+    )
+
+    rng = np.random.default_rng(7)
+    # heavy keys 0..9 (freq ~ 2000 each), long uniform tail 1000..40000
+    heavy = rng.integers(0, 10, size=20_000)
+    tail = rng.integers(1_000, 40_000, size=20_000)
+    stream = rng.permutation(np.concatenate([heavy, tail])).astype("int64")
+    n = len(stream)
+    d = len(np.unique(stream))
+    m = max(1, (20 * d + 26) // 27)
+
+    survivors: set[int] = set()
+    for part in np.array_split(stream, 8):
+        batches = (
+            pd.DataFrame({"key": chunk, "d": np.full(len(chunk), d, dtype="int64")})
+            for chunk in np.array_split(part, 5)
+        )
+        out = list(_mg_candidate_kernel(batches))
+        assert sum(len(o) for o in out) <= m  # memory/emit budget held
+        survivors.update(int(k) for o in out for k in o["key"])
+
+    freqs = pd.Series(stream).value_counts()
+    qualifying = set(freqs[freqs * m > n].index.astype(int))
+    assert qualifying  # the fixture actually exercises the bound
+    assert qualifying <= survivors
+
+
+def test_heavy_hitters_matches_plain_having(spark, sf_dir):
+    """End-to-end: sketch-candidates + exact recount == the one-shuffle
+    groupBy/HAVING answer (partition-layout independence of the output)."""
+    from pyspark.sql import functions as F
+
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.catalog import load
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.operators.relational import (
+        agg_heavy_hitters,
+    )
+
+    got = {
+        (r["l_partkey"], r["freq"])
+        for r in agg_heavy_hitters.builder(spark, sf_dir).collect()
+    }
+    li = load(spark, sf_dir, "lineitem")
+    tot = li.agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("l_partkey").alias("d")
+    ).first()
+    plain = {
+        (r["l_partkey"], r["freq"])
+        for r in li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .filter(F.lit(20) * F.col("freq") * F.lit(tot["d"]) > F.lit(27) * F.lit(tot["n"]))
+        .collect()
+    }
+    assert got == plain and got

@@ -625,3 +625,15 @@ def test_attribution_single_window_exchange(spark, sf_dir):
     plan = _plan(spark, sf_dir, "events_attribution")
     assert plan.count("Scan parquet") == 1
     assert n_exchanges(plan) == 2
+
+
+def test_heavy_hitters_candidates_map_side_and_recount_broadcast(spark, sf_dir):
+    """The MG candidate stage runs inside the scan stage (MapInPandas, no
+    exchange feeding it beyond the 1-row totals broadcast) and the exact
+    recount attaches candidates by broadcast — the only hash shuffles are
+    the totals agg and the candidate distinct/recount, never a full-key
+    sort-merge."""
+    plan = _plan(spark, sf_dir, "agg_heavy_hitters")
+    assert "MapInPandas" in plan
+    assert plan.count("BroadcastHashJoin") >= 1  # candidate semi-attach
+    assert "SortMergeJoin" not in plan
