@@ -567,7 +567,42 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec(
+    """
+    WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+    days AS (SELECT DISTINCT d FROM ud)
+    SELECT days.d AS day, CAST(COUNT(DISTINCT ud.user_id) AS BIGINT) AS active_7d
+    FROM days JOIN ud ON ud.d BETWEEN days.d - 6 AND days.d
+    GROUP BY days.d
+    """,
+    doc="ROLLING 7-DAY DISTINCT ACTIVES per day (the WAU/MAU dashboard "
+    "curve).  COUNT(DISTINCT) over a sliding RANGE frame is not a Spark "
+    "window function, and the naive day x user-day range join is a near "
+    "cartesian at scale — instead each distinct (user, day) row EXPLODES "
+    "into the <= 7 observed days it contributes to (sequence + explode, "
+    "map-side, constant fan-out), the observed-day grid broadcasts to "
+    "prune padding days past the corpus horizon, and one count-distinct "
+    "per day finishes.  Work is |user-days| * 7 narrow rows regardless of "
+    "corpus size; the oracle states the same window as the declarative "
+    "range join DuckDB can afford at oracle scale.",
+)
+def events_sliding_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    ud = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    days = ud.select(F.col("d").alias("day")).distinct()
+    contrib = ud.select(
+        F.explode(F.expr("sequence(d, date_add(d, 6), interval 1 day)")).alias("day"),
+        "user_id",
+    )
+    return (
+        contrib.join(F.broadcast(days), "day")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("active_7d"))
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "events_sliding_active_users": events_sliding_active_users,
     "events_retention_cohorts": events_retention_cohorts,
     "events_transitions": events_transitions,
     "events_attribution": events_attribution,

@@ -637,3 +637,14 @@ def test_heavy_hitters_candidates_map_side_and_recount_broadcast(spark, sf_dir):
     assert "MapInPandas" in plan
     assert plan.count("BroadcastHashJoin") >= 1  # candidate semi-attach
     assert "SortMergeJoin" not in plan
+
+
+def test_sliding_actives_constant_fanout_no_range_join(spark, sf_dir):
+    """The rolling-7d distinct-actives rewrite: a Generate (explode) does the
+    window fan-out map-side, the observed-day grid rides in as a broadcast,
+    and no nested-loop/cartesian range join appears anywhere."""
+    plan = _plan(spark, sf_dir, "events_sliding_active_users")
+    assert "Generate explode" in plan
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert "SortMergeJoin" not in plan
