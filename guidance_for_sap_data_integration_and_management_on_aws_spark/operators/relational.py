@@ -1681,9 +1681,64 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec(
+    f"""
+    WITH r AS (
+      SELECT l_returnflag, CAST(l_extendedprice AS DECIMAL(12,2)) AS p,
+             ROW_NUMBER() OVER (
+               PARTITION BY l_returnflag
+               ORDER BY CAST(l_extendedprice AS DECIMAL(12,2)),
+                        l_orderkey, l_linenumber) AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    )
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           {sql_avg_money('p', 'trimmed_avg')},
+           CAST(MIN(p) AS DOUBLE) AS trim_low,
+           CAST(MAX(p) AS DOUBLE) AS trim_high
+    FROM r WHERE rn > n // 20 AND rn <= n - n // 20
+    GROUP BY l_returnflag
+    """,
+    doc="A9++ ROBUST (5%-TRIMMED) STATISTICS per group — the outlier-proof "
+    "twin of agg_stats/anomaly_zscore: drop the k = n div 20 lowest and "
+    "highest rows BY RANK (row_number with a total deterministic order: "
+    "value, then orderkey/linenumber tie-breaks) and aggregate the "
+    "remainder.  Rank-based trimming sidesteps percentile interpolation "
+    "entirely, so every surviving value is an exact DECIMAL(12,2) and the "
+    "trimmed mean is one decimal sum + one IEEE division — bit-equal on "
+    "both engines with no round() crutch.  trim_low/trim_high are the "
+    "post-trim bounds (the discrete p05/p95 winsorization clamps).  One "
+    "hash exchange on the group key serves both the window and the final "
+    "aggregate; per-group sort width is the partition, exactly the "
+    "agg_percentiles scale story.",
+)
+def agg_trimmed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_orderkey",
+        "l_linenumber",
+        dec_money("l_extendedprice").alias("p"),
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("p", "l_orderkey", "l_linenumber")
+    wc = Window.partitionBy("l_returnflag")
+    k = F.expr("n div 20")
+    kept = (
+        li.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wc))
+        .filter((F.col("rn") > k) & (F.col("rn") <= F.col("n") - k))
+    )
+    return kept.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        avg_money(F.col("p"), "trimmed_avg"),
+        F.min("p").cast("double").alias("trim_low"),
+        F.max("p").cast("double").alias("trim_high"),
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q1_pricing_summary": q1_pricing_summary,
     "agg_heavy_hitters": agg_heavy_hitters,
+    "agg_trimmed_stats": agg_trimmed_stats,
     "agg_histogram": agg_histogram,
     "anomaly_zscore": anomaly_zscore,
     "data_profile": data_profile,

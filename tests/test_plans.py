@@ -648,3 +648,11 @@ def test_sliding_actives_constant_fanout_no_range_join(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 1
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_trimmed_stats_single_group_exchange(spark, sf_dir):
+    """The rank window and the final aggregate share one hash partitioning
+    on the group key — trimming adds no extra shuffle over plain agg_stats."""
+    plan = _plan(spark, sf_dir, "agg_trimmed_stats")
+    assert plan.count("Exchange hashpartitioning(l_returnflag") == 1
+    assert "CartesianProduct" not in plan
