@@ -653,8 +653,72 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BFS_MAX_HOPS = 6  # fixed hop budget: bounds both engines' exploration
+
+
+@spec(
+    f"""
+    WITH RECURSIVE {_EDGES_CTE},
+    bi AS (SELECT src AS a, dst AS b FROM edges
+           UNION ALL SELECT dst, src FROM edges),
+    seed AS (SELECT a AS s FROM (
+      SELECT a, COUNT(*) AS c FROM bi GROUP BY a
+      ORDER BY c DESC, a LIMIT 1)),
+    walk(node, hops) AS (
+      SELECT s, 0 FROM seed
+      UNION
+      SELECT bi.b, w.hops + 1
+      FROM walk w JOIN bi ON bi.a = w.node
+      WHERE w.hops < {BFS_MAX_HOPS}
+    )
+    SELECT node, CAST(MIN(hops) AS BIGINT) AS hops FROM walk GROUP BY node
+    """,
+    doc="SINGLE-SOURCE BFS hop distance (bounded to "
+    f"{BFS_MAX_HOPS} hops) from the top-degree hub of the co-purchase "
+    "graph (deterministic tie-break on node id) — the reachability/radius "
+    "primitive the CC fixpoint does not "
+    "answer.  Level-synchronous frontier expansion: each round joins the "
+    "CURRENT FRONTIER ONLY (not the visited set) against the memoized "
+    "edge frame, anti-joins out already-visited nodes, and "
+    "localCheckpoints the per-round result so the plan stays flat; work "
+    "per round is |frontier-adjacent edges|, the textbook Pregel BFS.  "
+    "Early-exits when the frontier drains, so diameters below the budget "
+    "cost only their true number of rounds.  The oracle is the same walk "
+    "as a depth-capped recursive CTE with MIN-hop aggregation.",
+)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = copurchase_edges(spark, sf_dir)
+    bi = e.select(F.col("src").alias("a"), F.col("dst").alias("b")).unionAll(
+        e.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+    )
+    dist = (
+        bi.groupBy("a")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("a"))
+        .limit(1)
+        .select(F.col("a").alias("node"), F.lit(0).cast("bigint").alias("hops"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    for h in range(1, BFS_MAX_HOPS + 1):
+        nxt = (
+            frontier.join(bi, frontier["node"] == bi["a"])
+            .select(F.col("b").alias("node"))
+            .distinct()
+            .join(dist, "node", "left_anti")
+            .withColumn("hops", F.lit(h).cast("bigint"))
+            .localCheckpoint(eager=True)
+        )
+        if not nxt.take(1):
+            break
+        dist = dist.unionAll(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return dist
+
+
 QUERIES: dict[str, QuerySpec] = {
     "basket_association_rules": basket_association_rules,
+    "graph_bfs_hops": graph_bfs_hops,
     "graph_jaccard_neighbors": graph_jaccard_neighbors,
     "graph_copurchase_edges": graph_copurchase_edges,
     "graph_components": graph_components,

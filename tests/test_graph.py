@@ -64,3 +64,35 @@ def test_derived_frames_memoized_per_session(spark, sf_dir):
         spark, sf_dir
     )
     assert cc_labels(spark, sf_dir) is cc_labels(spark, sf_dir)
+
+
+def test_bfs_levels_differ_by_at_most_one_across_edges(spark, sf_dir):
+    """BFS level invariant: adjacent reached nodes sit on adjacent levels
+    (|hops(u) - hops(v)| <= 1), the seed is the unique level-0 node, and no
+    level exceeds the hop budget."""
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.operators.graph import (
+        BFS_MAX_HOPS,
+        copurchase_edges,
+        graph_bfs_hops,
+    )
+
+    dist = {r["node"]: r["hops"] for r in graph_bfs_hops.builder(spark, sf_dir).collect()}
+    assert list(dist.values()).count(0) == 1
+    assert max(dist.values()) <= BFS_MAX_HOPS
+    from collections import Counter
+
+    degs = Counter()
+    for r in copurchase_edges(spark, sf_dir).collect():
+        degs[r["src"]] += 1
+        degs[r["dst"]] += 1
+    seed = max(degs, key=lambda n: (degs[n], -n))
+    assert dist[seed] == 0
+    for r in copurchase_edges(spark, sf_dir).collect():
+        u, v = dist.get(r["src"]), dist.get(r["dst"])
+        if u is not None and v is not None and max(u, v) < BFS_MAX_HOPS:
+            assert abs(u - v) <= 1
+        elif u is None:
+            # unreached neighbor of a reached node only legal at the horizon
+            assert v is None or v == BFS_MAX_HOPS
+        elif v is None:
+            assert u == BFS_MAX_HOPS
