@@ -898,7 +898,103 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONTAIN_T = 0.7  # containment threshold |A n B| / |A| (= 7/10 exactly)
+CONTAIN_NGRAM = 3  # shingle width: word 3-grams (token SETS saturate on the
+# fixture's small vocabulary — 144k of 500^2 directed pairs pass at tau=0.8 —
+# while 3-gram shingles isolate the planted near-dup mass exactly)
+
+_SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _hashed_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, toks) with toks = distinct xxhash64'd word 3-gram shingles —
+    the containment analog of _hashed_token_sets, shared by the prefix
+    build, both verify attaches and the size frame of one query plan."""
+
+    def build() -> DataFrame:
+        from .text import _word_shingles
+
+        words = F.split(F.col("text"), " ")
+        return parallelize_small_scan(
+            load(spark, sf_dir, "documents"), "doc_id"
+        ).select(
+            "doc_id",
+            F.transform(
+                F.array_distinct(_word_shingles(words, CONTAIN_NGRAM)),
+                lambda g: F.xxhash64(g),
+            ).alias("toks"),
+        )
+
+    return _cached_persisted(_SHINGLE_CACHE, spark, sf_dir, build)
+
+
+@spec(
+    f"""
+    WITH s AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sh AS (SELECT DISTINCT doc_id, g FROM (
+        SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                               for i in range(1, len(ws) - 1)]) AS g FROM s)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+              FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id <> b.doc_id
+              GROUP BY 1, 2)
+    SELECT da, db, CAST(i AS DOUBLE) / sa.n AS containment
+    FROM inter JOIN sizes sa ON da = sa.doc_id
+    WHERE 10 * i >= 7 * sa.n
+    """,
+    doc="L2+ ASYMMETRIC CONTAINMENT near-dup pairs (|A∩B| / |A| >= "
+    f"{CONTAIN_T} over word-{CONTAIN_NGRAM}-gram shingle sets): the "
+    "quote/excerpt detector Jaccard misses — a short doc embedded in a "
+    "long one scores high containment but low Jaccard.  Blocking is the "
+    "SSJoin prefix on the PROBE side only (overlap >= ceil(t*|A|) cannot "
+    "hide in A's suffix) equi-joined against the index side's FULL "
+    "shingle postings (containment puts no floor on B's share, so B "
+    "cannot be prefixed), with the exact-integer length prune "
+    "q*min(|A|,|B|) >= p*|A| and the probe-side positional prune "
+    "q*(1 + |A| - rnk_A) >= p*|A| applied per token row (lossless: the "
+    "minimal-rank shared row always survives).  Exact-intersection "
+    "verify on the memoized hashed shingle sets; containment is an "
+    "unrounded exact-integer IEEE division.  Work scales with shingle "
+    "postings x probe prefixes, never |docs|^2.",
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gsets = _hashed_shingle_sets(spark, sf_dir)
+    nonempty = gsets.filter(F.size("toks") > 0)
+    prefix, p, q = _pruned_prefix_frame(nonempty, CONTAIN_T)
+    postings = nonempty.select(
+        "doc_id", F.size("toks").alias("n"), F.explode("toks").alias("w")
+    )
+    a, b = prefix.alias("a"), postings.alias("b")
+    na, ra, nb = F.col("a.n"), F.col("a.rnk"), F.col("b.n")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.doc_id") != F.col("b.doc_id"))
+            & (q * F.least(na, nb) >= p * na)
+            & (q * (F.lit(1) + na - ra) >= p * na),
+        )
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .dropDuplicates(["da", "db"])
+    )
+    ga = gsets.select(F.col("doc_id").alias("da"), F.col("toks").alias("ga"))
+    gb = gsets.select(F.col("doc_id").alias("db"), F.col("toks").alias("gb"))
+    inter = F.size(F.array_intersect("ga", "gb"))
+    return (
+        cand.join(ga, "da")
+        .join(gb, "db")
+        .withColumn("i", inter)
+        .filter(q * F.col("i") >= p * F.size("ga"))
+        .select(
+            "da",
+            "db",
+            (F.col("i").cast("double") / F.size("ga")).alias("containment"),
+        )
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "dedup_containment_pairs": dedup_containment_pairs,
     "dedup_exact": dedup_exact,
     "dedup_exact_bucketed": dedup_exact_bucketed,
     "dedup_incremental": dedup_incremental,

@@ -656,3 +656,13 @@ def test_trimmed_stats_single_group_exchange(spark, sf_dir):
     plan = _plan(spark, sf_dir, "agg_trimmed_stats")
     assert plan.count("Exchange hashpartitioning(l_returnflag") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_containment_blocking_is_prefix_postings_equijoin(spark, sf_dir):
+    """Containment candidates come from an equi-join of probe prefixes
+    against full shingle postings — no cartesian/nested-loop pair
+    enumeration anywhere, and the memoized shingle frame (ExistingRDD)
+    feeds the verify attaches instead of a re-tokenize."""
+    plan = _plan(spark, sf_dir, "dedup_containment_pairs")
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert "ExistingRDD" in plan
