@@ -1143,7 +1143,109 @@ def lake_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Time-travel fixture rules: run 2 restates every 7th key (+5%) and inserts
+# shifted copies of every 11th; run 3 restates every 5th key (+10%) and must
+# be INVISIBLE to the as-of-run-2 read below.
+_TT_MOD_UPDATE = 7
+_TT_MOD_INSERT = 11
+_TT_INS_OFFSET = 2_000_000_000
+_TT_ASOF_RUN = 2
+
+
+@spec(
+    f"""
+    WITH r1 AS (SELECT o_orderkey AS k,
+                       CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(14,4)) AS p,
+                       1 AS run
+                FROM orders),
+    r2 AS (
+      SELECT o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(1.05 AS DECIMAL(3,2))
+                  AS DECIMAL(14,4)),
+             2
+      FROM orders WHERE o_orderkey % {_TT_MOD_UPDATE} = 0
+      UNION ALL
+      SELECT o_orderkey + {_TT_INS_OFFSET},
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(14,4)), 2
+      FROM orders WHERE o_orderkey % {_TT_MOD_INSERT} = 0
+    ),
+    hist AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2),
+    ranked AS (SELECT k, p, run,
+                      ROW_NUMBER() OVER (PARTITION BY k ORDER BY run DESC) AS rn
+               FROM hist)
+    SELECT k AS o_orderkey, CAST(p AS DOUBLE) AS price, CAST(run AS INT) AS run
+    FROM ranked WHERE rn = 1
+    """,
+    doc="TIME-TRAVEL READ over the run-partitioned lake layout (S7 made "
+    "queryable): three upsert runs land as real parquet under run=k "
+    "partition directories; 'as of run 2' is then a PARTITION-PRUNED scan "
+    "(run <= 2 never opens run 3's files — plan-locked) plus one "
+    "latest-run-wins window per key.  This is snapshot isolation by "
+    "layout, the poor-man's Delta/Iceberg time travel the reference's "
+    "timestamped-folder convention already implies but never reads back.  "
+    "At 100 TB pruning does the heavy lifting: cost scales with the runs "
+    "you read, not the table's full history.  Prices stay DECIMAL through "
+    "write/read/restatement (run 2 restates +5% exactly) and surface as "
+    "one final double cast; run assignments are key-modulus rules both "
+    "engines replay identically.",
+)
+def lake_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+
+    from pyspark.sql import Window
+
+    from ..streaming.replay import _SCRATCH
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.abspath(
+        os.path.join(_SCRATCH, "ttravel", f"sf-{key}-p{os.getpid()}")
+    )
+    os.makedirs(base, exist_ok=True)
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("p"),
+    )
+    p14 = F.col("p").cast("decimal(14,4)")
+    runs = {
+        1: o.select("k", p14.alias("p")),
+        2: o.filter(F.col("k") % _TT_MOD_UPDATE == 0)
+        .select(
+            "k",
+            (F.col("p") * F.lit("1.05").cast("decimal(3,2)"))
+            .cast("decimal(14,4)")
+            .alias("p"),
+        )
+        .unionAll(
+            o.filter(F.col("k") % _TT_MOD_INSERT == 0).select(
+                (F.col("k") + _TT_INS_OFFSET).alias("k"), p14.alias("p")
+            )
+        ),
+        3: o.filter(F.col("k") % 5 == 0).select(
+            "k",
+            (F.col("p") * F.lit("1.10").cast("decimal(3,2)"))
+            .cast("decimal(14,4)")
+            .alias("p"),
+        ),
+    }
+    for r, df in runs.items():
+        df.write.mode("overwrite").parquet(f"{base}/run={r}")
+    hist = spark.read.option("basePath", base).parquet(base)
+    asof = hist.filter(F.col("run") <= _TT_ASOF_RUN)
+    w = Window.partitionBy("k").orderBy(F.desc("run"))
+    return (
+        asof.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("k").alias("o_orderkey"),
+            F.col("p").cast("double").alias("price"),
+            F.col("run").cast("int").alias("run"),
+        )
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "lake_time_travel_read": lake_time_travel_read,
     "ingest_merge_upsert": ingest_merge_upsert,
     "ingest_cdc_apply": ingest_cdc_apply,
     "lake_schema_evolution": lake_schema_evolution,

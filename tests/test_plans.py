@@ -666,3 +666,12 @@ def test_containment_blocking_is_prefix_postings_equijoin(spark, sf_dir):
     plan = _plan(spark, sf_dir, "dedup_containment_pairs")
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
     assert "ExistingRDD" in plan
+
+
+def test_time_travel_prunes_future_runs_at_planning(spark, sf_dir):
+    """The as-of-run-2 read is partition-pruned: the history scan carries a
+    run <= 2 PartitionFilter, so run 3's files are never opened."""
+    plan = _plan(spark, sf_dir, "lake_time_travel_read")
+    pfs = [pf for pf in partition_filters(plan) if "run" in pf]
+    assert pfs and any("2" in pf for pf in pfs)
+    assert "CartesianProduct" not in plan
