@@ -80,6 +80,11 @@ REDUCED_SF = {
     # twin's output, so it inherits the same volume (the contraction
     # kernel itself is benched at full SF via dedup_cluster_canonical)
     "dedup_connected_components": "sf0.01",
+    # perceptual-hash near-dup pairs: the OUTPUT is cluster-quadratic on
+    # this fixture (only ~91*256 distinct synthetic images exist, so equal
+    # aHashes form large clusters -> ~1.1M qualifying pairs at sf0.1);
+    # the banding operator itself shuffles 4 narrow rows per image
+    "mm_ahash_neardup": "sf0.01",
 }
 
 

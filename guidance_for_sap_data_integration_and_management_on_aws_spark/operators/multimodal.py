@@ -715,9 +715,10 @@ def mm_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@spec(
-    f"""
-    WITH d AS ({_SQL_BMP_DIMS}),
+# aHash recomputation from the BMP generator's closed form, shared by the
+# mm_bmp_ahash oracle and the hamming near-dup oracle below.
+_SQL_AHASH_CTES = f"""
+    d AS ({_SQL_BMP_DIMS}),
     grid AS (
       SELECT gy.range AS yp, gx.range AS xp FROM range(0, 8) gy, range(0, 8) gx
     ),
@@ -727,13 +728,22 @@ def mm_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
              (d.a + (((yp * d.h) // 8) * d.w + ((xp * d.w) // 8)) * 3 + 1) % 256 AS v
       FROM d, grid
     ),
-    m AS (SELECT doc_id, CAST(SUM(v) AS DOUBLE) / 64 AS mean_v FROM px GROUP BY doc_id)
-    SELECT px.doc_id,
-           CAST(SUM(CASE WHEN px.yp < 4 AND px.v > m.mean_v
-                         THEN power(2, px.yp * 8 + px.xp) ELSE 0 END) AS BIGINT) AS ahash_hi,
-           CAST(SUM(CASE WHEN px.yp >= 4 AND px.v > m.mean_v
-                         THEN power(2, (px.yp - 4) * 8 + px.xp) ELSE 0 END) AS BIGINT) AS ahash_lo
-    FROM px JOIN m USING (doc_id) GROUP BY px.doc_id
+    m AS (SELECT doc_id, CAST(SUM(v) AS DOUBLE) / 64 AS mean_v FROM px GROUP BY doc_id),
+    ah AS (
+      SELECT px.doc_id,
+             CAST(SUM(CASE WHEN px.yp < 4 AND px.v > m.mean_v
+                           THEN power(2, px.yp * 8 + px.xp) ELSE 0 END) AS BIGINT) AS ahash_hi,
+             CAST(SUM(CASE WHEN px.yp >= 4 AND px.v > m.mean_v
+                           THEN power(2, (px.yp - 4) * 8 + px.xp) ELSE 0 END) AS BIGINT) AS ahash_lo
+      FROM px JOIN m USING (doc_id) GROUP BY px.doc_id
+    )
+"""
+
+
+@spec(
+    f"""
+    WITH {_SQL_AHASH_CTES}
+    SELECT doc_id, ahash_hi, ahash_lo FROM ah
     """,
     doc="L5 image AVERAGE-HASH (aHash) over real BMP bytes: decode, 8x8 "
     "nearest-neighbor downsample of the green channel, threshold each cell "
@@ -767,7 +777,87 @@ def mm_bmp_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HAM_T = 3  # near-dup threshold; 4 disjoint 16-bit bands make blocking lossless
+_N_HAM_BANDS = 4
+
+
+@spec(
+    f"""
+    WITH {_SQL_AHASH_CTES}
+    SELECT a.doc_id AS da, b.doc_id AS db,
+           CAST(bit_count(xor(a.ahash_hi, b.ahash_hi))
+                + bit_count(xor(a.ahash_lo, b.ahash_lo)) AS BIGINT) AS hamming
+    FROM ah a JOIN ah b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.ahash_hi, b.ahash_hi))
+          + bit_count(xor(a.ahash_lo, b.ahash_lo)) <= {HAM_T}
+    """,
+    doc="L5+ IMAGE NEAR-DUP PAIRS by perceptual-hash hamming distance "
+    f"(aHash, distance <= {HAM_T}): the image twin of dedup_simhash_buckets "
+    "completing hash -> PAIRS.  Blocking is the PIGEONHOLE band join: the "
+    f"64-bit aHash splits into {_N_HAM_BANDS} disjoint 16-bit bands, and "
+    f"any pair within hamming {HAM_T} < {_N_HAM_BANDS} must agree EXACTLY "
+    "on at least one band — so candidates come from an equi-join on "
+    "(band_index, band_value), provably lossless, never an all-pairs "
+    "product.  Hamming verify is two XOR+popcounts on the carried halves; "
+    "multi-band matches collapse via dropDuplicates before the verify.  "
+    "At 100 TB the band join shuffles 4 narrow rows per image; degenerate "
+    "buckets (e.g. flat images hashing to 0) are the skew to watch — cap "
+    "or salt hot band values, the dedup_minhash_lsh stop-token story.  "
+    "Oracle recomputes hashes from the BMP generator's closed form and "
+    "states the naive quadratic join.",
+)
+def mm_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = mm_bmp_ahash.builder(spark, sf_dir)
+    mask = F.lit(0xFFFF).cast("long")
+    bands = h.select(
+        "doc_id",
+        "ahash_hi",
+        "ahash_lo",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("bi"), F.col("ahash_hi").bitwiseAND(mask).alias("bv")
+                ),
+                F.struct(
+                    F.lit(1).alias("bi"), F.shiftright("ahash_hi", 16).alias("bv")
+                ),
+                F.struct(
+                    F.lit(2).alias("bi"), F.col("ahash_lo").bitwiseAND(mask).alias("bv")
+                ),
+                F.struct(
+                    F.lit(3).alias("bi"), F.shiftright("ahash_lo", 16).alias("bv")
+                ),
+            )
+        ).alias("band"),
+    ).select("doc_id", "ahash_hi", "ahash_lo", "band.bi", "band.bv")
+    x, y = bands.alias("x"), bands.alias("y")
+    ham = F.bit_count(
+        F.col("hi_a").bitwiseXOR(F.col("hi_b"))
+    ) + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+    return (
+        x.join(
+            y,
+            (F.col("x.bi") == F.col("y.bi"))
+            & (F.col("x.bv") == F.col("y.bv"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("da"),
+            F.col("y.doc_id").alias("db"),
+            F.col("x.ahash_hi").alias("hi_a"),
+            F.col("x.ahash_lo").alias("lo_a"),
+            F.col("y.ahash_hi").alias("hi_b"),
+            F.col("y.ahash_lo").alias("lo_b"),
+        )
+        .dropDuplicates(["da", "db"])
+        .withColumn("hamming", ham.cast("bigint"))
+        .filter(F.col("hamming") <= HAM_T)
+        .select("da", "db", "hamming")
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "mm_ahash_neardup": mm_ahash_neardup,
     "mm_video_frames": mm_video_frames,
     "mm_wav_features": mm_wav_features,
     "mm_bmp_ahash": mm_bmp_ahash,

@@ -675,3 +675,10 @@ def test_time_travel_prunes_future_runs_at_planning(spark, sf_dir):
     pfs = [pf for pf in partition_filters(plan) if "run" in pf]
     assert pfs and any("2" in pf for pf in pfs)
     assert "CartesianProduct" not in plan
+
+
+def test_ahash_neardup_band_equijoin_no_cartesian(spark, sf_dir):
+    """Hamming near-dup candidates come from the pigeonhole (band, value)
+    equi-join — no cartesian/nested-loop pair enumeration."""
+    plan = _plan(spark, sf_dir, "mm_ahash_neardup")
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
