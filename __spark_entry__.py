@@ -61,6 +61,14 @@ _PRIORITY = [
     "events_attribution",  # last-touch revenue attribution
     "graph_jaccard_neighbors",  # neighbor-Jaccard link prediction
     "ann_centroid_outliers",  # embedding-space outlier gate per cluster
+    # --- 1b. round-7 back-half additions (never driver-checked) -------------
+    "agg_heavy_hitters",  # map-side Misra-Gries candidates + exact verify
+    "agg_trimmed_stats",  # rank-based 5%-trimmed robust statistics
+    "events_sliding_active_users",  # rolling 7-day distinct actives
+    "graph_bfs_hops",  # bounded frontier BFS vs recursive-CTE oracle
+    "dedup_containment_pairs",  # asymmetric shingle containment near-dups
+    "lake_time_travel_read",  # partition-pruned as-of-run read
+    "mm_ahash_neardup",  # pigeonhole-banded perceptual-hash pairs
     # --- 2. builder/oracle changed since their last green -------------------
     "text_sentiment_lexicon",  # polarity surfaced unrounded (ADVICE r6)
     "anomaly_zscore",  # degenerate groups excluded on both engines (ADVICE r6)
@@ -92,6 +100,8 @@ _PRIORITY = [
     "q1_pricing_summary",
     "q2_min_cost_supplier",
     "q3_shipping_priority",
+    # --- ~50-entry line (the 7 back-half additions displaced q4+ to
+    # --- ballast; never-checked queries trump stale re-greens) --------------
     "q4_priority_check",
     "q5_local_supplier",
     "q6_forecast_revenue",
@@ -112,7 +122,6 @@ _PRIORITY = [
     "q22_idle_customers",
     "join_inner",
     "join_broadcast",
-    # --- ~50-entry line -----------------------------------------------------
     # --- 4. rotation ballast: remaining r3 greens queue for round 8 ---------
     "join_shuffle_hash",
     "join_left_outer",

@@ -32,7 +32,12 @@ def test_registry_shape():
     # changed-since-green and stale-rotation entries sit inside the window
     for probe in ("lake_bucketed_write", "anomaly_zscore",
                   "dedup_cluster_canonical", "stream_dedup_within_watermark",
-                  "mm_decode", "udtf_bigrams", "q1_pricing_summary"):
+                  "mm_decode", "udtf_bigrams", "q1_pricing_summary",
+                  # round-7 back-half additions (never checked -> in-window)
+                  "agg_heavy_hitters", "agg_trimmed_stats",
+                  "events_sliding_active_users", "graph_bfs_hops",
+                  "dedup_containment_pairs", "lake_time_travel_read",
+                  "mm_ahash_neardup"):
         assert names.index(probe) < 50, probe
     # this round's window is fully oracle-checked — the three rows-only
     # entries (all r6-checked, each with a green exact anchor) rotate out
