@@ -1134,6 +1134,66 @@ def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DUP_NGRAM = 8  # span width for cross-document repeated-substring detection
+
+
+@spec(
+    f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    idx AS (SELECT doc_id, toks,
+                   unnest(generate_series(0, len(toks) - {DUP_NGRAM})) AS i
+            FROM w),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(toks[CAST(i + 1 AS INT) : CAST(i + {DUP_NGRAM} AS INT)], ' ') AS sh
+      FROM idx
+    ),
+    df AS (SELECT sh, COUNT(*) AS nd FROM sh GROUP BY sh)
+    SELECT sh.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(COUNT(*) FILTER (df.nd >= 2) AS BIGINT) AS n_dup,
+           CAST(COUNT(*) FILTER (df.nd >= 2) AS DOUBLE) / COUNT(*) AS dup_fraction
+    FROM sh JOIN df USING (sh)
+    GROUP BY sh.doc_id
+    """,
+    doc="REPEATED-SPAN STATISTICS per document (the cross-document "
+    f"duplicated-{DUP_NGRAM}-gram signal behind substring-level corpus "
+    "dedup, Lee et al. 2022 'Deduplicating Training Data Makes Language "
+    "Models Better'): for every doc, how many of its distinct "
+    f"{DUP_NGRAM}-gram spans also occur in at least one OTHER doc (or "
+    "twice — document frequency >= 2 over distinct doc-shingle pairs), "
+    "and the duplicated fraction — the gate score for trimming "
+    "boilerplate-heavy documents.  Spark: shingles explode map-side "
+    "(constant fan-out), ONE window count over the shingle hash replaces "
+    "the count+join-back (a single hash exchange on the shingle key), and "
+    "the per-doc rollup is the second, doc-keyed exchange.  Shingles are "
+    "xxhash64'd so the wide span strings never shuffle; dup_fraction is "
+    "an unrounded exact-integer IEEE division.",
+)
+def text_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = parallelize_small_scan(load(spark, sf_dir, "documents"), "doc_id")
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    _word_shingles(_words(), DUP_NGRAM), lambda g: F.xxhash64(g)
+                )
+            )
+        ).alias("sh"),
+    )
+    nd = F.count(F.lit(1)).over(Window.partitionBy("sh"))
+    per_doc = sh.withColumn("nd", nd).groupBy("doc_id")
+    dup = F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).cast("bigint")
+    return per_doc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+        dup.alias("n_dup"),
+        (dup.cast("double") / F.count(F.lit(1))).alias("dup_fraction"),
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "text_bigram_pmi": text_bigram_pmi,
     "text_bm25_topk": text_bm25_topk,
@@ -1151,6 +1211,7 @@ QUERIES: dict[str, QuerySpec] = {
     "sample_weighted_priority": sample_weighted_priority,
     "text_sentiment_lexicon": text_sentiment_lexicon,
     "text_numericalize": text_numericalize,
+    "text_dup_ngram_spans": text_dup_ngram_spans,
     "pipeline_pack_sequences": pipeline_pack_sequences,
     "text_token_count": text_token_count,
     "text_quality": text_quality,

@@ -682,3 +682,12 @@ def test_ahash_neardup_band_equijoin_no_cartesian(spark, sf_dir):
     equi-join — no cartesian/nested-loop pair enumeration."""
     plan = _plan(spark, sf_dir, "mm_ahash_neardup")
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_dup_spans_single_shingle_exchange_hashed_shuffle(spark, sf_dir):
+    """Document-frequency counting rides ONE window exchange keyed by the
+    shingle hash (no count+join-back double shuffle), and the shuffled key
+    is the 8-byte hash — the wide span strings never leave the map side."""
+    plan = _plan(spark, sf_dir, "text_dup_ngram_spans")
+    assert plan.count("Exchange hashpartitioning(sh") == 1
+    assert "CartesianProduct" not in plan
