@@ -70,6 +70,7 @@ _PRIORITY = [
     "lake_time_travel_read",  # partition-pruned as-of-run read
     "mm_ahash_neardup",  # pigeonhole-banded perceptual-hash pairs
     "text_dup_ngram_spans",  # cross-document repeated-8-gram span stats
+    "events_peak_concurrency",  # sweep-line peak concurrent sessions
     # --- 2. builder/oracle changed since their last green -------------------
     "text_sentiment_lexicon",  # polarity surfaced unrounded (ADVICE r6)
     "anomaly_zscore",  # degenerate groups excluded on both engines (ADVICE r6)

@@ -601,8 +601,92 @@ def events_sliding_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec(
+    f"""
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL '{SESSION_GAP_MIN} minutes'
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+      FROM g
+    ),
+    sess AS (SELECT user_id, sid, MIN(ts) AS a, MAX(ts) AS b
+             FROM s GROUP BY user_id, sid),
+    d AS (SELECT a AS t, 1 AS delta FROM sess
+          UNION ALL SELECT b, -1 FROM sess),
+    dd AS (SELECT CAST(t AS DATE) AS day, t, delta FROM d),
+    tot AS (SELECT day, SUM(delta) AS dtot FROM dd GROUP BY day),
+    carry AS (SELECT day, COALESCE(SUM(dtot) OVER (
+                ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              0) AS c FROM tot),
+    run AS (SELECT dd.day,
+                   carry.c + SUM(delta) OVER (PARTITION BY dd.day
+                     ORDER BY t, delta DESC ROWS UNBOUNDED PRECEDING) AS r
+            FROM dd JOIN carry USING (day))
+    SELECT day, CAST(MAX(r) AS BIGINT) AS peak_concurrency
+    FROM run GROUP BY day
+    """,
+    doc="PEAK CONCURRENT SESSIONS per day by SWEEP LINE (difference "
+    "array): each gaps-and-islands session contributes +1 at its start "
+    "and -1 at its end (closed intervals: +1 sorts before -1 at equal "
+    "timestamps), and the running sum of deltas IS the concurrency "
+    "curve — the capacity-planning metric an interval x timeline join "
+    "would need a near-cartesian to answer.  The scale trick: the "
+    "running sum is NOT one global-order window (a single task at "
+    "100 TB); deltas partition BY DAY for the intra-day sweep and the "
+    "cross-day carry-in comes from a prefix sum over per-day TOTALS — a "
+    "days-sized frame, broadcast back — the same two-phase prefix-sum "
+    "shape as streaming/replay's partition offsets.  Per-day peaks are "
+    "tie-order invariant (prefix maxima over a +1 run or a -1 run do "
+    "not depend on the permutation), so the output is deterministic.",
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    g = ev.withColumn("us", us).withColumn(
+        "new_s",
+        F.when(gap.isNull() | (gap > SESSION_GAP_MIN * 60 * 1_000_000), 1).otherwise(0),
+    )
+    sid = F.sum("new_s").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = (
+        g.withColumn("sid", sid)
+        .groupBy("user_id", "sid")
+        .agg(F.min("us").alias("a"), F.max("us").alias("b"))
+    )
+    deltas = sess.select(
+        F.col("a").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(sess.select(F.col("b").alias("t"), F.lit(-1).alias("delta")))
+    dd = deltas.withColumn("day", F.to_date(F.timestamp_micros(F.col("t"))))
+    tot = dd.groupBy("day").agg(F.sum("delta").alias("dtot"))
+    wd = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    carry = tot.select(
+        "day", F.coalesce(F.sum("dtot").over(wd), F.lit(0)).alias("c")
+    )
+    wrun = Window.partitionBy("day").orderBy(
+        F.col("t"), F.col("delta").desc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    run = dd.join(F.broadcast(carry), "day").withColumn(
+        "r", F.col("c") + F.sum("delta").over(wrun)
+    )
+    return run.groupBy("day").agg(
+        F.max("r").cast("bigint").alias("peak_concurrency")
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "events_sliding_active_users": events_sliding_active_users,
+    "events_peak_concurrency": events_peak_concurrency,
     "events_retention_cohorts": events_retention_cohorts,
     "events_transitions": events_transitions,
     "events_attribution": events_attribution,

@@ -691,3 +691,13 @@ def test_dup_spans_single_shingle_exchange_hashed_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "text_dup_ngram_spans")
     assert plan.count("Exchange hashpartitioning(sh") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_peak_concurrency_no_global_order_window(spark, sf_dir):
+    """The sweep's running sum partitions by day with a broadcast carry-in —
+    no data-sized single-partition window: the only Exchange
+    SinglePartition feeds the days-sized carry prefix, and the delta frame
+    shuffles by day."""
+    plan = _plan(spark, sf_dir, "events_peak_concurrency")
+    assert plan.count("Exchange hashpartitioning(day") >= 1
+    assert "BroadcastHashJoin" in plan  # carry-in attaches by broadcast
