@@ -71,6 +71,7 @@ _PRIORITY = [
     "mm_ahash_neardup",  # pigeonhole-banded perceptual-hash pairs
     "text_dup_ngram_spans",  # cross-document repeated-8-gram span stats
     "events_peak_concurrency",  # sweep-line peak concurrent sessions
+    "sql_lateral_topk",  # correlated LATERAL subquery, decorrelated plan
     # --- 2. builder/oracle changed since their last green -------------------
     "text_sentiment_lexicon",  # polarity surfaced unrounded (ADVICE r6)
     "anomaly_zscore",  # degenerate groups excluded on both engines (ADVICE r6)

@@ -1735,10 +1735,41 @@ def agg_trimmed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Identical SQL text on both engines (the sql_recursive_chain convention):
+# LATERAL is ANSI and both dialects accept this form verbatim.
+_LATERAL_TOPK_SQL = """
+    SELECT n.n_name, t.c_name, t.bal
+    FROM nation n,
+    LATERAL (SELECT c_name,
+                    CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS bal
+             FROM customer c
+             WHERE c.c_nationkey = n.n_nationkey
+             ORDER BY c_acctbal DESC, c_custkey LIMIT 3) t
+"""
+
+
+@spec(
+    _LATERAL_TOPK_SQL,
+    doc="§3.4+ correlated LATERAL subquery (SQL:1999, Spark >= 3.2): top-3 "
+    "customers by balance FOR EACH nation, stated as a per-row dependent "
+    "subquery — the SQL-surface twin of window_topk_per_group.  Catalyst "
+    "DECORRELATES the lateral into a rank-filtered join (no per-row "
+    "re-execution — the plan is the same shuffle-once window top-k, "
+    "verified by the plan lock), which is exactly why the construct is "
+    "usable at 100 TB while a naive nested-loop interpretation is not.  "
+    "Identical SQL text runs on both engines.",
+)
+def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_LATERAL_TOPK_SQL)
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q1_pricing_summary": q1_pricing_summary,
     "agg_heavy_hitters": agg_heavy_hitters,
     "agg_trimmed_stats": agg_trimmed_stats,
+    "sql_lateral_topk": sql_lateral_topk,
     "agg_histogram": agg_histogram,
     "anomaly_zscore": anomaly_zscore,
     "data_profile": data_profile,

@@ -701,3 +701,11 @@ def test_peak_concurrency_no_global_order_window(spark, sf_dir):
     plan = _plan(spark, sf_dir, "events_peak_concurrency")
     assert plan.count("Exchange hashpartitioning(day") >= 1
     assert "BroadcastHashJoin" in plan  # carry-in attaches by broadcast
+
+
+def test_lateral_topk_decorrelates_to_window_join(spark, sf_dir):
+    """Catalyst decorrelates the LATERAL subquery into a rank-filtered
+    window + join — never a per-outer-row nested loop."""
+    plan = _plan(spark, sf_dir, "sql_lateral_topk")
+    assert "row_number" in plan and "Window" in plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
