@@ -100,11 +100,12 @@ _PRIORITY = [
     "mm_resize",
     "mm_frame_sample",
     # --- 3b. oldest r3 greens up to the ~50-entry line ----------------------
+    # --- ~50-entry line (the 10 back-half additions displaced the r3-stale
+    # --- TPC-H block to ballast; never-checked queries trump stale
+    # --- re-greens, the suite re-queues for round 8) ------------------------
     "q1_pricing_summary",
     "q2_min_cost_supplier",
     "q3_shipping_priority",
-    # --- ~50-entry line (the 7 back-half additions displaced q4+ to
-    # --- ballast; never-checked queries trump stale re-greens) --------------
     "q4_priority_check",
     "q5_local_supplier",
     "q6_forecast_revenue",
