@@ -72,6 +72,9 @@ _PRIORITY = [
     "text_dup_ngram_spans",  # cross-document repeated-8-gram span stats
     "events_peak_concurrency",  # sweep-line peak concurrent sessions
     "sql_lateral_topk",  # correlated LATERAL subquery, decorrelated plan
+    "join_asof_tolerance",  # as-of join with a staleness horizon
+    "dq_constraint_report",  # Deequ-style constraint check suite
+    "data_skew_report",  # distributed-Gini key-skew diagnostics
     # --- 2. builder/oracle changed since their last green -------------------
     "text_sentiment_lexicon",  # polarity surfaced unrounded (ADVICE r6)
     "anomaly_zscore",  # degenerate groups excluded on both engines (ADVICE r6)

@@ -541,7 +541,68 @@ def join_fuzzy_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cands.filter(F.levenshtein(F.col("name_a"), F.col("name_b")) <= 1)
 
 
+ASOF_TOL_DAYS = 7  # staleness horizon for the tolerance variant
+
+
+@spec(
+    f"""
+    WITH od AS (
+      SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY o_custkey, o_orderdate
+    ),
+    j AS (
+      SELECT e.event_id, e.user_id, e.ts,
+             od.o_orderkey, od.o_orderdate
+      FROM events e
+      ASOF LEFT JOIN od ON e.user_id = od.o_custkey AND e.ts >= od.o_orderdate
+    )
+    SELECT event_id, user_id,
+           CASE WHEN date_diff('day', o_orderdate, CAST(ts AS DATE))
+                     <= {ASOF_TOL_DAYS}
+                THEN o_orderkey END AS last_orderkey,
+           CASE WHEN date_diff('day', o_orderdate, CAST(ts AS DATE))
+                     <= {ASOF_TOL_DAYS}
+                THEN CAST(date_diff('day', o_orderdate, CAST(ts AS DATE))
+                          AS BIGINT) END AS days_stale
+    FROM j
+    """,
+    doc="J9+ AS-OF JOIN WITH TOLERANCE (the pandas merge_asof(tolerance=...) "
+    f"/ kdb wj contract): the latest order per user at event time counts "
+    f"only when it is at most {ASOF_TOL_DAYS} days old — older matches "
+    "null out, the staleness-horizon rule every feature-store lookup "
+    "applies so a years-old record can never leak into a training row.  "
+    "Same single-shuffle union+window kernel as join_asof (the tolerance "
+    "is a post-fill expression, zero extra exchanges); oracle = DuckDB's "
+    "native ASOF JOIN with the same CASE applied on top.",
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    j = asof_join(
+        e,
+        o,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        payload_cols=["o_orderkey", "o_orderdate"],
+    )
+    stale = F.datediff(F.to_date("ts"), F.col("o_orderdate").cast("date"))
+    fresh = stale <= ASOF_TOL_DAYS
+    return j.select(
+        "event_id",
+        "user_id",
+        F.when(fresh, F.col("o_orderkey")).alias("last_orderkey"),
+        F.when(fresh, stale.cast("bigint")).alias("days_stale"),
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "join_asof_tolerance": join_asof_tolerance,
     "join_salted_skew": join_salted_skew,
     "join_fuzzy_neighbors": join_fuzzy_neighbors,
     "join_inner": join_inner,

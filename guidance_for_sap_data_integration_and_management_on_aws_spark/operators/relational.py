@@ -1765,11 +1765,197 @@ def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_LATERAL_TOPK_SQL)
 
 
+@spec(
+    """
+    WITH m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS nk,
+             CAST(COUNT(*) FILTER (o_custkey IS NULL) AS BIGINT) AS nnull,
+             CAST(COUNT(*) FILTER (NOT (o_totalprice > 0)) AS BIGINT) AS nbadp,
+             CAST(COUNT(*) FILTER (o_orderstatus NOT IN ('O', 'F', 'P'))
+                  AS BIGINT) AS nbads
+      FROM orders
+    ),
+    orph AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS c FROM lineitem l
+      WHERE NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_orderkey = l.l_orderkey)
+    )
+    SELECT 'row_count_nonzero' AS check_name, n AS observed, n > 0 AS passed FROM m
+    UNION ALL SELECT 'orderkey_unique', n - nk, n - nk = 0 FROM m
+    UNION ALL SELECT 'custkey_complete', nnull, nnull = 0 FROM m
+    UNION ALL SELECT 'totalprice_positive', nbadp, nbadp = 0 FROM m
+    UNION ALL SELECT 'orderstatus_in_set', nbads, nbads = 0 FROM m
+    UNION ALL SELECT 'lineitem_ref_integrity', c, c = 0 FROM orph
+    """,
+    doc="DATA-QUALITY CONSTRAINT SUITE (the Deequ/Great-Expectations "
+    "check-report shape): completeness, key uniqueness, value range, "
+    "accepted-values and referential integrity, reported as one long-form "
+    "(check_name, observed violation count, passed) frame — the gate a "
+    "pipeline evaluates before publishing a batch (the write-audit-publish "
+    "audit step).  All five single-table checks fold into ONE aggregation "
+    "pass over the orders scan (observed counts are exact integers; the "
+    "1-row metrics frame explodes map-side into the report rows), and "
+    "referential integrity is a LEFT ANTI count — at 100 TB that is the "
+    "only extra shuffle, keyed by the join key it audits.",
+)
+def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+
+    def viol(cond: Column) -> Column:
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+
+    m = o.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.countDistinct("o_orderkey").cast("bigint").alias("nk"),
+        viol(F.col("o_custkey").isNull()).alias("nnull"),
+        viol(~(F.col("o_totalprice") > 0)).alias("nbadp"),
+        viol(~F.col("o_orderstatus").isin("O", "F", "P")).alias("nbads"),
+    )
+
+    dups = F.col("n") - F.col("nk")
+    checks = m.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("row_count_nonzero").alias("check_name"),
+                    F.col("n").alias("observed"),
+                    (F.col("n") > 0).alias("passed"),
+                ),
+                F.struct(
+                    F.lit("orderkey_unique").alias("check_name"),
+                    dups.alias("observed"),
+                    (dups == 0).alias("passed"),
+                ),
+                F.struct(
+                    F.lit("custkey_complete").alias("check_name"),
+                    F.col("nnull").alias("observed"),
+                    (F.col("nnull") == 0).alias("passed"),
+                ),
+                F.struct(
+                    F.lit("totalprice_positive").alias("check_name"),
+                    F.col("nbadp").alias("observed"),
+                    (F.col("nbadp") == 0).alias("passed"),
+                ),
+                F.struct(
+                    F.lit("orderstatus_in_set").alias("check_name"),
+                    F.col("nbads").alias("observed"),
+                    (F.col("nbads") == 0).alias("passed"),
+                ),
+            )
+        ).alias("c")
+    ).select("c.*")
+    orph = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey")
+        .join(
+            o.select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .select(
+            F.lit("lineitem_ref_integrity").alias("check_name"),
+            F.col("c").alias("observed"),
+            (F.col("c") == 0).alias("passed"),
+        )
+    )
+    return checks.unionByName(orph)
+
+
+SKEW_RANK_PARTS = 8  # range partitions for the distributed rank phase
+
+
+@spec(
+    """
+    WITH c AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c
+               FROM lineitem GROUP BY 1),
+    r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c, l_partkey) AS i FROM c),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS d, CAST(SUM(c) AS BIGINT) AS t,
+                 CAST(SUM(CAST(i AS DECIMAL(19,0)) * c) AS DECIMAL(38,0)) AS s
+          FROM r),
+    t10 AS (SELECT CAST(SUM(c) AS BIGINT) AS s10 FROM
+            (SELECT c FROM c ORDER BY c DESC, l_partkey LIMIT 10)),
+    t1 AS (SELECT MAX(c) AS m FROM c)
+    SELECT d AS n_keys, t AS total_rows,
+           CAST(2 * s - (d + 1) * t AS DOUBLE) / CAST(d * t AS DOUBLE) AS gini,
+           CAST(m AS DOUBLE) / t AS top1_share,
+           CAST(s10 AS DOUBLE) / t AS top10_share
+    FROM t, t10, t1
+    """,
+    doc="KEY-SKEW DIAGNOSTICS for join planning (decide salting / skew-join "
+    "hints from data, not anecdotes): the Gini coefficient of the "
+    "l_partkey frequency distribution plus top-1/top-10 frequency shares, "
+    "in one row.  Gini needs a GLOBAL rank of per-key counts — computed "
+    "distributed, not with a single-task window: counts repartitionByRange "
+    "on (count, key) (materialized once so the partition ids are stable), "
+    "per-partition row_numbers, and the constant partition-size prefix "
+    "offsets (<= 8 rows driver-side, the replay.py offset precedent) "
+    "broadcast back to form exact global ranks.  The rank-weighted sum "
+    "accumulates in DECIMAL(38,0) so the formula G = (2*sum(i*c) - "
+    "(D+1)*T) / (D*T) stays exact far past bigint scale; the three final "
+    "divisions are single IEEE ops on both engines.",
+)
+def data_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_partkey")
+    cnts = li.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    rp = (
+        cnts.repartitionByRange(SKEW_RANK_PARTS, F.asc("c"), F.asc("l_partkey"))
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    sizes = sorted(
+        (r["pid"], r["np"])
+        for r in rp.groupBy("pid").agg(F.count(F.lit(1)).alias("np")).collect()
+    )
+    offs, acc = [], 0
+    for pid, np_ in sizes:
+        offs.append((pid, acc))
+        acc += np_
+    off_df = spark.createDataFrame(offs, "pid int, off bigint")
+    wloc = Window.partitionBy("pid").orderBy("c", "l_partkey")
+    ranked = (
+        rp.withColumn("lr", F.row_number().over(wloc))
+        .join(F.broadcast(off_df), "pid")
+        .withColumn("i", F.col("off") + F.col("lr"))
+    )
+    tot = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("d"),
+        F.sum("c").cast("bigint").alias("t"),
+        F.sum(F.col("i").cast("decimal(19,0)") * F.col("c"))
+        .cast("decimal(38,0)")
+        .alias("s"),
+    )
+    t10 = (
+        cnts.orderBy(F.desc("c"), F.asc("l_partkey"))
+        .limit(10)
+        .agg(F.sum("c").cast("bigint").alias("s10"))
+    )
+    t1 = cnts.agg(F.max("c").alias("m"))
+    gini = (
+        F.lit(2).cast("decimal(38,0)") * F.col("s")
+        - (F.col("d") + 1) * F.col("t")
+    ).cast("double") / (F.col("d") * F.col("t")).cast("double")
+    return (
+        tot.crossJoin(F.broadcast(t10))
+        .crossJoin(F.broadcast(t1))
+        .select(
+            F.col("d").alias("n_keys"),
+            F.col("t").alias("total_rows"),
+            gini.alias("gini"),
+            (F.col("m").cast("double") / F.col("t")).alias("top1_share"),
+            (F.col("s10").cast("double") / F.col("t")).alias("top10_share"),
+        )
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q1_pricing_summary": q1_pricing_summary,
     "agg_heavy_hitters": agg_heavy_hitters,
     "agg_trimmed_stats": agg_trimmed_stats,
     "sql_lateral_topk": sql_lateral_topk,
+    "dq_constraint_report": dq_constraint_report,
+    "data_skew_report": data_skew_report,
     "agg_histogram": agg_histogram,
     "anomaly_zscore": anomaly_zscore,
     "data_profile": data_profile,

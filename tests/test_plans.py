@@ -709,3 +709,32 @@ def test_lateral_topk_decorrelates_to_window_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "sql_lateral_topk")
     assert "row_number" in plan and "Window" in plan
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_asof_tolerance_single_key_shuffle(spark, sf_dir):
+    """The tolerance is a post-fill expression over the same union+window
+    as-of kernel — still exactly one key exchange, no join node."""
+    plan = _plan(spark, sf_dir, "join_asof_tolerance")
+    assert plan.count("Exchange hashpartitioning(__k") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_dq_report_single_orders_agg_pass(spark, sf_dir):
+    """The five single-table checks share ONE aggregation over orders;
+    referential integrity adds the one anti-join leg."""
+    plan = _plan(spark, sf_dir, "dq_constraint_report")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_skew_report_distributed_rank_no_global_window(spark, sf_dir):
+    """Global ranks come from range partitions + broadcast prefix offsets —
+    the counts frame is never pulled through a single-partition window
+    (the only SinglePartition exchanges feed 1-row aggregates)."""
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.plans import (
+        exchange_schemas,
+    )
+
+    plan = _plan(spark, sf_dir, "data_skew_report")
+    assert "ExistingRDD" in plan  # materialized range-partitioned counts
+    assert plan.count("BroadcastHashJoin") >= 1  # offset attach

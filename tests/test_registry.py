@@ -41,7 +41,9 @@ def test_registry_shape():
                   "events_sliding_active_users", "graph_bfs_hops",
                   "dedup_containment_pairs", "lake_time_travel_read",
                   "mm_ahash_neardup", "text_dup_ngram_spans",
-                  "events_peak_concurrency", "sql_lateral_topk"):
+                  "events_peak_concurrency", "sql_lateral_topk",
+                  "join_asof_tolerance", "dq_constraint_report",
+                  "data_skew_report"):
         assert names.index(probe) < 50, probe
     # this round's window is fully oracle-checked — the three rows-only
     # entries (all r6-checked, each with a green exact anchor) rotate out
