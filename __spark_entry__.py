@@ -75,6 +75,9 @@ _PRIORITY = [
     "join_asof_tolerance",  # as-of join with a staleness horizon
     "dq_constraint_report",  # Deequ-style constraint check suite
     "data_skew_report",  # distributed-Gini key-skew diagnostics
+    "ann_radius_search",  # zero-shuffle cosine range search
+    "ts_resample_ohlc",  # first/last OHLC candlestick rollup
+    "agg_mode_per_group",  # deterministic statistical mode
     # --- 2. builder/oracle changed since their last green -------------------
     "text_sentiment_lexicon",  # polarity surfaced unrounded (ADVICE r6)
     "anomaly_zscore",  # degenerate groups excluded on both engines (ADVICE r6)

@@ -1949,6 +1949,41 @@ def data_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec(
+    """
+    WITH c AS (
+      SELECT l_returnflag, l_quantity, CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY l_returnflag, l_quantity
+    )
+    SELECT l_returnflag, l_quantity AS mode_qty, n AS mode_count
+    FROM c
+    QUALIFY row_number() OVER (PARTITION BY l_returnflag
+                               ORDER BY n DESC, l_quantity) = 1
+    """,
+    doc="A9+ STATISTICAL MODE per group with a DETERMINISTIC tie-break "
+    "(smallest value wins): neither engine's native mode() defines tie "
+    "order, so both sides state it explicitly — count per (group, value), "
+    "rank by (count DESC, value), keep rank 1.  Two stages that share one "
+    "group-key partitioning lineage; the value-count frame is "
+    "|group x distinct-value| sized, already reduced map-side.",
+)
+def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    c = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(F.desc("n"), F.asc("l_quantity"))
+    return (
+        c.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_quantity").alias("mode_qty"),
+            F.col("n").alias("mode_count"),
+        )
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q1_pricing_summary": q1_pricing_summary,
     "agg_heavy_hitters": agg_heavy_hitters,
@@ -1956,6 +1991,7 @@ QUERIES: dict[str, QuerySpec] = {
     "sql_lateral_topk": sql_lateral_topk,
     "dq_constraint_report": dq_constraint_report,
     "data_skew_report": data_skew_report,
+    "agg_mode_per_group": agg_mode_per_group,
     "agg_histogram": agg_histogram,
     "anomaly_zscore": anomaly_zscore,
     "data_profile": data_profile,

@@ -80,6 +80,47 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RADIUS_T = 0.3  # cosine radius; ~p99 of the fixture's near-random pairs
+
+
+@spec(
+    f"""
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+    q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < {N_QUERIES})
+    SELECT q.qid, v.vec_id AS neighbor_id, v.label,
+           round({sql_cosine('q.qe', 'v.e')}, 6) AS cos_sim
+    FROM q JOIN v ON q.qid <> v.vec_id
+    WHERE round({sql_cosine('q.qe', 'v.e')}, 6) >= {RADIUS_T}
+    """,
+    doc="L3+ RADIUS (range) SEARCH: every corpus vector within cosine >= "
+    f"{RADIUS_T} of each query — the recall-complete retrieval mode "
+    "threshold-based RAG filters and dedup gates use where top-k would "
+    "truncate arbitrarily.  Unlike the top-k twin there is NO ranking "
+    "state: queries broadcast, the scan scores and filters map-side, and "
+    "the plan has ZERO shuffles (plan-locked) — at 100 TB it is one "
+    "embarrassingly parallel pass whose output is the answer set itself; "
+    "the IVF-bucketed variants bound the scan when the radius is tight.",
+)
+def ann_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double("embedding").alias("e")
+    )
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+    )
+    return (
+        F.broadcast(q)
+        .join(v, F.col("qid") != F.col("vec_id"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("neighbor_id"),
+            "label",
+            F.round(cosine(F.col("qe"), F.col("e")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= RADIUS_T)
+    )
+
+
 @spec(
     f"""
     WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
@@ -1171,6 +1212,7 @@ def ann_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, QuerySpec] = {
     "ann_centroid_outliers": ann_centroid_outliers,
     "ann_bruteforce_topk": ann_bruteforce_topk,
+    "ann_radius_search": ann_radius_search,
     "ml_linear_score": ml_linear_score,
     "ann_incremental_topk": ann_incremental_topk,
     "ann_lsh_topk": ann_lsh_topk,

@@ -684,9 +684,51 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec(
+    """
+    SELECT event_type,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS bucket,
+           first(value ORDER BY ts, event_id) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           last(value ORDER BY ts, event_id) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_ticks
+    FROM events
+    GROUP BY event_type, bucket
+    """,
+    doc="OHLC DOWNSAMPLING (the candlestick / hypertable first-last rollup): "
+    "per (series, hour) open/high/low/close/count, where open and close "
+    "are the first and last tick under the total (ts, event_id) order — "
+    "min_by/max_by over a lexicographic struct key, so the whole resample "
+    "is ONE map-side-combinable aggregation (no window, no sort): partial "
+    "min/max/min_by/max_by merge associatively, making the shape exactly "
+    "right at 100 TB.  Every output is a SELECTED input value, never "
+    "arithmetic — zero float-parity surface.",
+)
+def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00").alias(
+                "bucket"
+            ),
+        )
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count(F.lit(1)).cast("bigint").alias("n_ticks"),
+        )
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "events_sliding_active_users": events_sliding_active_users,
     "events_peak_concurrency": events_peak_concurrency,
+    "ts_resample_ohlc": ts_resample_ohlc,
     "events_retention_cohorts": events_retention_cohorts,
     "events_transitions": events_transitions,
     "events_attribution": events_attribution,

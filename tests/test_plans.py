@@ -738,3 +738,20 @@ def test_skew_report_distributed_rank_no_global_window(spark, sf_dir):
     plan = _plan(spark, sf_dir, "data_skew_report")
     assert "ExistingRDD" in plan  # materialized range-partitioned counts
     assert plan.count("BroadcastHashJoin") >= 1  # offset attach
+
+
+def test_radius_search_zero_shuffle(spark, sf_dir):
+    """Radius search is one broadcast-join map pass: no Exchange
+    hashpartitioning anywhere — the scan's output IS the answer."""
+    plan = _plan(spark, sf_dir, "ann_radius_search")
+    assert "Exchange hashpartitioning" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_ohlc_single_mapside_aggregation(spark, sf_dir):
+    """The OHLC resample is one partial+final aggregation — no window, no
+    sort; min_by/max_by merge associatively so exactly one exchange."""
+    plan = _plan(spark, sf_dir, "ts_resample_ohlc")
+    assert n_exchanges(plan) == 1
+    assert "Window" not in plan
+    assert "partial_min_by" in plan  # map-side combine before the exchange

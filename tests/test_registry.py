@@ -30,12 +30,15 @@ def test_registry_shape():
     # invariant; remaining ballast queues past the ~50 line.
     assert names[0] in ("stream_stateful_v2", "lake_bucketed_write")
     # changed-since-green and stale-rotation entries sit inside the window
-    # q1_pricing_summary dropped just past the line when the ten back-half
-    # additions landed: never-checked queries trump an r3-stale re-green;
-    # the TPC-H block re-queues for round 8.
+    # The 16 back-half additions cost the stale-rotation tail its slots:
+    # 31 never-checked + 12 changed-since-green entries leave ~7 places for
+    # r2-era re-greens (the oldest streaming/UDF entries keep them; the
+    # udtf/mm r2 block and the TPC-H r3 block re-queue for round 8).
+    # Never-checked queries trump stale re-greens — a new operator without
+    # a driver row has NO correctness signal at all.
     for probe in ("lake_bucketed_write", "anomaly_zscore",
                   "dedup_cluster_canonical", "stream_dedup_within_watermark",
-                  "mm_decode", "udtf_bigrams",
+                  "stream_session_window", "udf_grouped_stats",
                   # round-7 back-half additions (never checked -> in-window)
                   "agg_heavy_hitters", "agg_trimmed_stats",
                   "events_sliding_active_users", "graph_bfs_hops",
@@ -43,7 +46,8 @@ def test_registry_shape():
                   "mm_ahash_neardup", "text_dup_ngram_spans",
                   "events_peak_concurrency", "sql_lateral_topk",
                   "join_asof_tolerance", "dq_constraint_report",
-                  "data_skew_report"):
+                  "data_skew_report", "ann_radius_search",
+                  "ts_resample_ohlc", "agg_mode_per_group"):
         assert names.index(probe) < 50, probe
     # this round's window is fully oracle-checked — the three rows-only
     # entries (all r6-checked, each with a green exact anchor) rotate out
