@@ -1866,6 +1866,38 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 SKEW_RANK_PARTS = 8  # range partitions for the distributed rank phase
 
 
+def distributed_rank(df: DataFrame, order_cols: list, out: str = "i") -> DataFrame:
+    """Exact global 1-based row_number under the TOTAL order ``order_cols``,
+    computed distributed: range-partition on the order columns (materialized
+    once so partition ids are stable across the two consumers), local
+    row_numbers per partition, and the constant per-partition prefix
+    offsets (<= SKEW_RANK_PARTS rows driver-side — the replay.py offset
+    precedent) broadcast back.  Never a single-task global window; the
+    caller must pass a tie-free column list or ranks are nondeterministic.
+    """
+    rp = (
+        df.repartitionByRange(SKEW_RANK_PARTS, *[F.asc(c) for c in order_cols])
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    sizes = sorted(
+        (r["__pid"], r["n"])
+        for r in rp.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    offs, acc = [], 0
+    for pid, n in sizes:
+        offs.append((pid, acc))
+        acc += n
+    off_df = df.sparkSession.createDataFrame(offs, "__pid int, __off bigint")
+    w = Window.partitionBy("__pid").orderBy(*order_cols)
+    return (
+        rp.withColumn("__lr", F.row_number().over(w))
+        .join(F.broadcast(off_df), "__pid")
+        .withColumn(out, F.col("__off") + F.col("__lr"))
+        .drop("__pid", "__lr", "__off")
+    )
+
+
 @spec(
     """
     WITH c AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c
@@ -1899,26 +1931,7 @@ SKEW_RANK_PARTS = 8  # range partitions for the distributed rank phase
 def data_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select("l_partkey")
     cnts = li.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    rp = (
-        cnts.repartitionByRange(SKEW_RANK_PARTS, F.asc("c"), F.asc("l_partkey"))
-        .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
-    )
-    sizes = sorted(
-        (r["pid"], r["np"])
-        for r in rp.groupBy("pid").agg(F.count(F.lit(1)).alias("np")).collect()
-    )
-    offs, acc = [], 0
-    for pid, np_ in sizes:
-        offs.append((pid, acc))
-        acc += np_
-    off_df = spark.createDataFrame(offs, "pid int, off bigint")
-    wloc = Window.partitionBy("pid").orderBy("c", "l_partkey")
-    ranked = (
-        rp.withColumn("lr", F.row_number().over(wloc))
-        .join(F.broadcast(off_df), "pid")
-        .withColumn("i", F.col("off") + F.col("lr"))
-    )
+    ranked = distributed_rank(cnts, ["c", "l_partkey"], out="i")
     tot = ranked.agg(
         F.count(F.lit(1)).cast("bigint").alias("d"),
         F.sum("c").cast("bigint").alias("t"),
@@ -1984,6 +1997,78 @@ def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Segment rule shared verbatim by both engines (scores 1..4, 4 = best).
+_RFM_SEGMENT_SQL = """CASE
+      WHEN r_score = 4 AND f_score = 4 THEN 'champion'
+      WHEN r_score >= 3 AND f_score >= 3 THEN 'loyal'
+      WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+      WHEN r_score <= 2 THEN 'hibernating'
+      ELSE 'regular' END"""
+
+
+@spec(
+    f"""
+    WITH rfm AS (
+      SELECT o_custkey, MAX(o_orderdate) AS r, CAST(COUNT(*) AS BIGINT) AS f,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS m
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT o_custkey,
+             CAST(NTILE(4) OVER (ORDER BY r, o_custkey) AS BIGINT) AS r_score,
+             CAST(NTILE(4) OVER (ORDER BY f, o_custkey) AS BIGINT) AS f_score,
+             CAST(NTILE(4) OVER (ORDER BY m, o_custkey) AS BIGINT) AS m_score
+      FROM rfm
+    )
+    SELECT o_custkey, r_score, f_score, m_score,
+           {_RFM_SEGMENT_SQL} AS segment
+    FROM scored
+    """,
+    doc="RFM CUSTOMER SEGMENTATION (recency / frequency / monetary "
+    "quartiles + rule-based segments — the classic CRM rollup): one "
+    "aggregate to customer grain, then NTILE(4) per dimension under a "
+    "TIE-FREE total order (metric, custkey).  The quartiles are NOT a "
+    "single-task global window: each dimension's exact global rank comes "
+    "from the shared distributed_rank kernel (range partitions + "
+    "broadcast prefix offsets) and the NTILE tile is recovered from "
+    "(rank, N) by the SQL-standard closed form — first N mod 4 tiles get "
+    "one extra row — in pure integer arithmetic, bit-equal to the "
+    "oracle's native NTILE.  Monetary stays DECIMAL through the ordering "
+    "so ties break identically on both engines.",
+)
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("r"),
+        F.count(F.lit(1)).cast("bigint").alias("f"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .cast("decimal(18,2)")
+        .alias("m"),
+    )
+    ranked = distributed_rank(rfm, ["r", "o_custkey"], out="ri")
+    ranked = distributed_rank(ranked, ["f", "o_custkey"], out="fi")
+    ranked = distributed_rank(ranked, ["m", "o_custkey"], out="mi")
+    n = rfm.agg(F.count(F.lit(1)).cast("bigint").alias("nn"))
+
+    def ntile4(col: str) -> str:
+        # SQL-standard NTILE(4) from (rank, N) in pure integer arithmetic:
+        # q = N div 4 rows per tile, the first N mod 4 tiles take one
+        # extra; ceil(a/b) = (a + b - 1) div b.  q = 0 (N < 4) keeps every
+        # rank on the fat branch, so the thin divisor guard never fires.
+        q, r = "(nn div 4)", "(nn % 4)"
+        cut = f"({r} * ({q} + 1))"
+        fat = f"(({col} + {q}) div ({q} + 1))"
+        thin = f"({r} + (({col} - {cut} + {q} - 1) div greatest({q}, 1)))"
+        return f"CAST(CASE WHEN {col} <= {cut} THEN {fat} ELSE {thin} END AS BIGINT)"
+
+    return ranked.crossJoin(F.broadcast(n)).selectExpr(
+        "o_custkey",
+        f"{ntile4('ri')} AS r_score",
+        f"{ntile4('fi')} AS f_score",
+        f"{ntile4('mi')} AS m_score",
+    ).withColumn("segment", F.expr(_RFM_SEGMENT_SQL))
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q1_pricing_summary": q1_pricing_summary,
     "agg_heavy_hitters": agg_heavy_hitters,
@@ -1992,6 +2077,7 @@ QUERIES: dict[str, QuerySpec] = {
     "dq_constraint_report": dq_constraint_report,
     "data_skew_report": data_skew_report,
     "agg_mode_per_group": agg_mode_per_group,
+    "events_rfm_segments": events_rfm_segments,
     "agg_histogram": agg_histogram,
     "anomaly_zscore": anomaly_zscore,
     "data_profile": data_profile,

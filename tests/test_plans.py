@@ -755,3 +755,15 @@ def test_ohlc_single_mapside_aggregation(spark, sf_dir):
     assert n_exchanges(plan) == 1
     assert "Window" not in plan
     assert "partial_min_by" in plan  # map-side combine before the exchange
+
+
+def test_rfm_quartiles_distributed_no_global_ntile(spark, sf_dir):
+    """All three quartile dimensions rank through the distributed_rank
+    kernel (materialized range partitions + broadcast offsets) — no
+    single-partition NTILE window over the customer frame."""
+    plan = _plan(spark, sf_dir, "events_rfm_segments")
+    assert "ntile" not in plan.lower()
+    assert "ExistingRDD" in plan  # materialized range partitions
+    # only the LAST rank's offset attach is visible — the two earlier ones
+    # live inside the checkpointed lineage
+    assert plan.count("BroadcastHashJoin") >= 1

@@ -47,7 +47,8 @@ def test_registry_shape():
                   "events_peak_concurrency", "sql_lateral_topk",
                   "join_asof_tolerance", "dq_constraint_report",
                   "data_skew_report", "ann_radius_search",
-                  "ts_resample_ohlc", "agg_mode_per_group"):
+                  "ts_resample_ohlc", "agg_mode_per_group",
+                  "events_rfm_segments"):
         assert names.index(probe) < 50, probe
     # this round's window is fully oracle-checked — the three rows-only
     # entries (all r6-checked, each with a green exact anchor) rotate out
