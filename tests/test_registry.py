@@ -38,7 +38,7 @@ def test_registry_shape():
     # a driver row has NO correctness signal at all.
     for probe in ("lake_bucketed_write", "anomaly_zscore",
                   "dedup_cluster_canonical", "stream_dedup_within_watermark",
-                  "stream_session_window", "udf_grouped_stats",
+                  "stream_session_window", "udf_pandas_l2norm",
                   # round-7 back-half additions (never checked -> in-window)
                   "agg_heavy_hitters", "agg_trimmed_stats",
                   "events_sliding_active_users", "graph_bfs_hops",
