@@ -79,6 +79,7 @@ _PRIORITY = [
     "ts_resample_ohlc",  # first/last OHLC candlestick rollup
     "agg_mode_per_group",  # deterministic statistical mode
     "events_rfm_segments",  # RFM quartile segmentation, distributed NTILE
+    "ivm_incremental_agg",  # materialized-view delta merge, O(delta) refresh
     # --- 2. builder/oracle changed since their last green -------------------
     "text_sentiment_lexicon",  # polarity surfaced unrounded (ADVICE r6)
     "anomaly_zscore",  # degenerate groups excluded on both engines (ADVICE r6)

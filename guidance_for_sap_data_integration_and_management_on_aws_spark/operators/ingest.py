@@ -1244,7 +1244,102 @@ def lake_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# IVM delta rules: every 13th order re-books at half price (late-arriving
+# fact) and every 17th order arrives for a brand-new customer id.
+_IVM_MOD_FACT = 13
+_IVM_MOD_NEWCUST = 17
+_IVM_CUST_OFFSET = 3_000_000_000
+
+
+@spec(
+    f"""
+    WITH base AS (SELECT o_custkey, CAST(o_totalprice AS DECIMAL(12,2)) AS p
+                  FROM orders),
+    delta AS (
+      SELECT o_custkey,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2))
+                  * CAST(0.50 AS DECIMAL(3,2)) AS DECIMAL(16,4)) AS p
+      FROM orders WHERE o_orderkey % {_IVM_MOD_FACT} = 0
+      UNION ALL
+      SELECT o_custkey + {_IVM_CUST_OFFSET},
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(16,4))
+      FROM orders WHERE o_orderkey % {_IVM_MOD_NEWCUST} = 0
+    ),
+    allr AS (SELECT o_custkey, CAST(p AS DECIMAL(20,4)) AS p FROM base
+             UNION ALL
+             SELECT o_custkey, CAST(p AS DECIMAL(20,4)) FROM delta)
+    SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(p) AS DOUBLE) AS total
+    FROM allr GROUP BY o_custkey
+    """,
+    doc="INCREMENTAL VIEW MAINTENANCE for a distributive aggregate (the "
+    "materialized-view delta-merge every warehouse refresh pipeline "
+    "runs): the per-customer (count, sum) view is MATERIALIZED as real "
+    "parquet, and applying a delta batch reads the VIEW plus the delta "
+    "only — one full-outer merge of two agg frames, coalescing partial "
+    "states — never rescanning the base fact table (plan-locked: exactly "
+    "two scans, one of them the materialized view).  Works because count "
+    "and sum are commutative monoids; the oracle recomputes from scratch "
+    "over base + delta, so the merge is checked value-for-value against "
+    "full recomputation.  Money stays decimal end-to-end (the view "
+    "stores DECIMAL(18,2), the merge widens to (20,4)) and surfaces as "
+    "one double cast.  At 100 TB this is the difference between a "
+    "refresh costing O(delta) and O(history).",
+)
+def ivm_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+
+    from ..streaming.replay import _SCRATCH
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base_dir = os.path.abspath(
+        os.path.join(_SCRATCH, "ivm", f"sf-{key}-p{os.getpid()}")
+    )
+    os.makedirs(base_dir, exist_ok=True)
+    view_path = f"{base_dir}/cust_view"
+    o = load(spark, sf_dir, "orders")
+    p = F.col("o_totalprice").cast("decimal(12,2)")
+    o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(p).cast("decimal(18,2)").alias("total"),
+    ).write.mode("overwrite").parquet(view_path)
+
+    view = spark.read.parquet(view_path)
+    half = (p * F.lit("0.50").cast("decimal(3,2)")).cast("decimal(16,4)")
+    delta = (
+        o.filter(F.col("o_orderkey") % _IVM_MOD_FACT == 0)
+        .select("o_custkey", half.alias("p"))
+        .unionAll(
+            o.filter(F.col("o_orderkey") % _IVM_MOD_NEWCUST == 0).select(
+                (F.col("o_custkey") + _IVM_CUST_OFFSET).alias("o_custkey"),
+                p.cast("decimal(16,4)").alias("p"),
+            )
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("dn"),
+            F.sum(F.col("p").cast("decimal(20,4)")).alias("dtotal"),
+        )
+    )
+    merged = view.join(delta, "o_custkey", "full_outer")
+    zero = F.lit("0").cast("decimal(20,4)")
+    return merged.select(
+        "o_custkey",
+        (F.coalesce("n_orders", F.lit(0)) + F.coalesce("dn", F.lit(0)))
+        .cast("bigint")
+        .alias("n_orders"),
+        (
+            F.coalesce(F.col("total").cast("decimal(20,4)"), zero)
+            + F.coalesce(F.col("dtotal").cast("decimal(20,4)"), zero)
+        )
+        .cast("double")
+        .alias("total"),
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "ivm_incremental_agg": ivm_incremental_agg,
     "lake_time_travel_read": lake_time_travel_read,
     "ingest_merge_upsert": ingest_merge_upsert,
     "ingest_cdc_apply": ingest_cdc_apply,

@@ -767,3 +767,14 @@ def test_rfm_quartiles_distributed_no_global_ntile(spark, sf_dir):
     # only the LAST rank's offset attach is visible — the two earlier ones
     # live inside the checkpointed lineage
     assert plan.count("BroadcastHashJoin") >= 1
+
+
+def test_ivm_reads_view_plus_delta_never_rescans_base(spark, sf_dir):
+    """The served IVM plan touches exactly two parquet sources: the
+    materialized view and the delta derivation's orders scan — applying a
+    delta is O(delta + view), not O(history)."""
+    plan = _plan(spark, sf_dir, "ivm_incremental_agg")
+    scans = file_scans(plan)
+    assert len(scans) == 3  # view + the delta's two filtered orders legs
+    assert sum(s.reads_table("cust_view") for s in scans) == 1
+    assert sum(s.reads_table("orders") for s in scans) == 2

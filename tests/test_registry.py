@@ -38,7 +38,7 @@ def test_registry_shape():
     # a driver row has NO correctness signal at all.
     for probe in ("lake_bucketed_write", "anomaly_zscore",
                   "dedup_cluster_canonical", "stream_dedup_within_watermark",
-                  "stream_session_window", "udf_pandas_l2norm",
+                  "stream_session_window", "udf_scalar_reverse",
                   # round-7 back-half additions (never checked -> in-window)
                   "agg_heavy_hitters", "agg_trimmed_stats",
                   "events_sliding_active_users", "graph_bfs_hops",
@@ -48,7 +48,7 @@ def test_registry_shape():
                   "join_asof_tolerance", "dq_constraint_report",
                   "data_skew_report", "ann_radius_search",
                   "ts_resample_ohlc", "agg_mode_per_group",
-                  "events_rfm_segments"):
+                  "events_rfm_segments", "ivm_incremental_agg"):
         assert names.index(probe) < 50, probe
     # this round's window is fully oracle-checked — the three rows-only
     # entries (all r6-checked, each with a green exact anchor) rotate out
