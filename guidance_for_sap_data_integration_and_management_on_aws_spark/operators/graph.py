@@ -1,7 +1,8 @@
 """Distributed graph analytics over relational edge sets (SURVEY §2 [EXT]):
 co-occurrence edge building, degree distribution, triangle counting,
-fixed-iteration PageRank, pointer-doubling connected components, and k-core
-decomposition.
+fixed-iteration PageRank, pointer-doubling connected components, k-core
+decomposition, bounded single-source BFS, neighbor-Jaccard node similarity,
+and market-basket association rules.
 
 The reference ships no graph operators (it is a single-table extractor —
 `/root/reference/pyrfc_read_table/pyrfc_read_table.py`); these are the
@@ -30,7 +31,9 @@ Scale design (100 TB):
   bit-exact with no rounding anywhere.
 * **Iterative fixpoints** (components, k-core) localCheckpoint every round
   (flat planning cost) and RAISE past their round budget instead of
-  returning an unconverged answer.
+  returning an unconverged answer.  BFS expands the FRONTIER only (never
+  re-joins the visited set), checkpoints per level, and early-exits when
+  the frontier drains.
 """
 
 from __future__ import annotations
