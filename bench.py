@@ -12,6 +12,15 @@ of every row/column the plan produces — unlike ``count()``, which lets Spark
 prune the world).  A warmup run of the flagship query absorbs JVM/codegen
 startup so the numbers reflect steady-state execution.
 
+MEASURED NOISE BAND (round 7, three identical-code 226-query runs on the
+same box): full-run totals flap +-10% and INDIVIDUAL heavy queries one-off
+4-9x in-run vs their standalone cost (e.g. graph_pagerank 9.7s mid-bench vs
+1.7s standalone, identical plans; different queries flap in different runs;
+16g vs 28g driver heap makes no difference).  Per-query cross-run ratios
+below ~2x on the heavier queries are therefore position/GC noise, not
+regressions — corroborate any single-query flag with a standalone re-run
+before treating it as real.
+
 REDUCED_SF queries run against sf0.01 instead (flagged in the JSON under
 "reduced_sf"): the exact all-pairs Jaccard twin emits ~7M pairs at sf0.1
 (the fixture corpus is a dense near-dup graph — 57% of ALL doc pairs

@@ -557,13 +557,14 @@ ASOF_TOL_DAYS = 7  # staleness horizon for the tolerance variant
       ASOF LEFT JOIN od ON e.user_id = od.o_custkey AND e.ts >= od.o_orderdate
     )
     SELECT event_id, user_id,
-           CASE WHEN date_diff('day', o_orderdate, CAST(ts AS DATE))
+           CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(ts AS DATE))
                      <= {ASOF_TOL_DAYS}
                 THEN o_orderkey END AS last_orderkey,
-           CASE WHEN date_diff('day', o_orderdate, CAST(ts AS DATE))
+           CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(ts AS DATE))
                      <= {ASOF_TOL_DAYS}
-                THEN CAST(date_diff('day', o_orderdate, CAST(ts AS DATE))
-                          AS BIGINT) END AS days_stale
+                THEN CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                                    CAST(ts AS DATE)) AS BIGINT)
+           END AS days_stale
     FROM j
     """,
     doc="J9+ AS-OF JOIN WITH TOLERANCE (the pandas merge_asof(tolerance=...) "

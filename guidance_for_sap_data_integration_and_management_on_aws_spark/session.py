@@ -46,7 +46,13 @@ _LOCAL_DEFAULTS: dict[str, str] = {
     # bounded token/pair caches and localCheckpoint blocks pushed the old
     # heap into GC thrash that inflated late-run streaming queries 3-4x
     # (r7 measurement: stream-stream full join 15.8s at 8g vs 3.0s at 16g,
-    # identical plans).  A cluster deployment sets executor memory instead.
+    # identical plans).  28g was TRIED when the registry crossed 220 queries
+    # and did not help: mid-bench one-offs of 4-9x on heavy iterative
+    # queries (graph_pagerank 9.7s in-run vs 1.7s standalone, identical
+    # plans) appear at 16g AND 28g with full-run totals flapping +-10%
+    # between identical-code runs — box-level noise, not heap sizing, so
+    # the measured 16g stands.  A cluster deployment sets executor memory
+    # instead.
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
 }
 

@@ -731,10 +731,6 @@ def test_skew_report_distributed_rank_no_global_window(spark, sf_dir):
     """Global ranks come from range partitions + broadcast prefix offsets —
     the counts frame is never pulled through a single-partition window
     (the only SinglePartition exchanges feed 1-row aggregates)."""
-    from guidance_for_sap_data_integration_and_management_on_aws_spark.plans import (
-        exchange_schemas,
-    )
-
     plan = _plan(spark, sf_dir, "data_skew_report")
     assert "ExistingRDD" in plan  # materialized range-partitioned counts
     assert plan.count("BroadcastHashJoin") >= 1  # offset attach
