@@ -80,6 +80,10 @@ _PRIORITY = [
     "agg_mode_per_group",  # deterministic statistical mode
     "events_rfm_segments",  # RFM quartile segmentation, distributed NTILE
     "ivm_incremental_agg",  # materialized-view delta merge, O(delta) refresh
+    "ts_cusum_changepoint",  # CUSUM via the prefix-min identity, 2 windows
+    "pipeline_train_test_split",  # hash-bucket split + leakage audit census
+    "ann_negative_sampling",  # portable-seed contrastive negative draws
+    "ml_regression_trend",  # per-group OLS from five exact moments
     # --- 2. builder/oracle changed since their last green -------------------
     "text_sentiment_lexicon",  # polarity surfaced unrounded (ADVICE r6)
     "anomaly_zscore",  # degenerate groups excluded on both engines (ADVICE r6)

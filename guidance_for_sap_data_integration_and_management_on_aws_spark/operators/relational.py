@@ -2069,7 +2069,80 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("segment", F.expr(_RFM_SEGMENT_SQL))
 
 
+OLS_EPOCH = "1992-01-01"  # x = days since fixture epoch (small exact ints)
+
+
+@spec(
+    f"""
+    WITH m AS (
+      SELECT o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             SUM(y) AS sy,
+             SUM(CAST(x AS DECIMAL(12,2)) * y) AS sxy
+      FROM (
+        SELECT o_orderpriority,
+               date_diff('day', DATE '{OLS_EPOCH}', CAST(o_orderdate AS DATE))
+                 AS x,
+               CAST(o_totalprice AS DECIMAL(12,2)) AS y
+        FROM orders
+      )
+      GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, n,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+           round((CAST(sy AS DOUBLE)
+                  - (CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE))
+                    * CAST(sx AS DOUBLE)) / n, 6) AS intercept
+    FROM m
+    """,
+    doc="PER-GROUP OLS TREND (distributed linear-regression fit, the "
+    "regr_slope/regr_intercept surface): price-over-time fit per order "
+    "priority from the FIVE EXACT MOMENTS (n, sum x, sum x^2, sum y, "
+    "sum xy) — x is integer days since the fixture epoch, y exact "
+    "DECIMAL(12,2), so every moment is map-side-combinable integer/"
+    "decimal arithmetic with no float accumulation; the closed-form "
+    "slope (n*sxy - sx*sy)/(n*sxx - sx^2) and intercept then evaluate "
+    "as ONE identical IEEE expression tree over those exact inputs on "
+    "both engines (the native regr_* aggregates stream doubles, whose "
+    "sum order — and therefore bits — differs per partitioning; the "
+    "moments form is the scale-correct AND parity-correct one).  This is "
+    "the training step of D9 ml_linear_score: fit here, score there.  "
+    "Scale: one partial-aggregated pass, k rows out; at 100 TB the same "
+    "five moments fit a model per any key without a second scan.",
+)
+def ml_regression_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    x = F.datediff(F.col("o_orderdate").cast("date"), F.lit(OLS_EPOCH).cast("date"))
+    y = dec_money("o_totalprice")
+    m = o.select(
+        "o_orderpriority", x.alias("x"), y.alias("y"), (x * x).alias("xx")
+    ).groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("xx").cast("bigint").alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast("decimal(12,2)") * F.col("y")).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n")
+    return m.select(
+        "o_orderpriority",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "ml_regression_trend": ml_regression_trend,
     "q1_pricing_summary": q1_pricing_summary,
     "agg_heavy_hitters": agg_heavy_hitters,
     "agg_trimmed_stats": agg_trimmed_stats,

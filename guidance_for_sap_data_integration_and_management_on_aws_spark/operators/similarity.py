@@ -1209,7 +1209,77 @@ def ann_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NEG_PER_QUERY = 8  # contrastive negatives drawn per anchor
+
+
+@spec(
+    f"""
+    WITH v AS (SELECT vec_id, label FROM embeddings),
+    q AS (SELECT vec_id AS qid, label AS qlabel FROM v
+          WHERE vec_id < {N_QUERIES}),
+    cand AS (
+      SELECT q.qid, q.qlabel, v.vec_id AS neg_id, v.label AS neg_label,
+             md5(CAST(q.qid AS VARCHAR) || '_' || CAST(v.vec_id AS VARCHAR))
+               AS h
+      FROM q JOIN v ON v.label <> q.qlabel
+    )
+    SELECT qid, qlabel, neg_id, neg_label, CAST(rn AS BIGINT) AS draw
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY h, neg_id)
+                      AS rn
+          FROM cand)
+    WHERE rn <= {NEG_PER_QUERY}
+    """,
+    doc="CONTRASTIVE NEGATIVE SAMPLING (the random-negative mining step of "
+    "embedding/retrieval training, e.g. DPR/SimCLR-style objectives): for "
+    f"each of the {N_QUERIES} anchor vectors, draw {NEG_PER_QUERY} "
+    "uniform-random negatives from the differently-LABELED corpus, where "
+    "'random' is the portable md5(qid, vec_id) draw order — the split/"
+    "sampling-family seed discipline — so the drawn pairs are reproducible "
+    "across runs, engines and partitionings (a resumable training job "
+    "re-derives its exact negatives).  Anchors broadcast into the corpus "
+    "scan (the bruteforce topology); the per-anchor top-draws use the "
+    "partial-limit window, so per-anchor work is one corpus pass however "
+    "large the corpus.  At real scale the uniform draw composes with any "
+    "candidate restriction (same-shard, in-batch, or the hard-negative "
+    "two_stage re-rank this family already provides).",
+)
+def ann_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("label").alias("qlabel")
+    )
+    h = F.md5(
+        F.concat(
+            F.col("qid").cast("string"), F.lit("_"), F.col("vec_id").cast("string")
+        )
+    )
+    cand = (
+        F.broadcast(q)
+        .join(v, F.col("label") != F.col("qlabel"))
+        .select(
+            "qid",
+            "qlabel",
+            F.col("vec_id").alias("neg_id"),
+            F.col("label").alias("neg_label"),
+            h.alias("h"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("h"), F.asc("neg_id"))
+    return (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= NEG_PER_QUERY)
+        .select(
+            "qid",
+            "qlabel",
+            "neg_id",
+            "neg_label",
+            F.col("__rn").cast("bigint").alias("draw"),
+        )
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "ann_negative_sampling": ann_negative_sampling,
     "ann_centroid_outliers": ann_centroid_outliers,
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_radius_search": ann_radius_search,

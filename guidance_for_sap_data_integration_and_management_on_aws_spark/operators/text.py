@@ -1194,7 +1194,84 @@ def text_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPLIT_TRAIN_PCT = 80  # hash buckets 0-79 -> train
+SPLIT_VAL_PCT = 90  # 80-89 -> validation; 90-99 -> test
+
+
+@spec(
+    f"""
+    WITH m AS (
+      SELECT source, n_chars, md5(CAST(doc_id AS VARCHAR)) AS mh
+      FROM documents
+    ),
+    s AS (
+      SELECT source, n_chars,
+             CASE WHEN {sql_md5_h32_from('mh')} % 100 < {SPLIT_TRAIN_PCT}
+                    THEN 'train'
+                  WHEN {sql_md5_h32_from('mh')} % 100 < {SPLIT_VAL_PCT}
+                    THEN 'validation'
+                  ELSE 'test' END AS split
+      FROM m
+    ),
+    c AS (
+      SELECT source, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
+      FROM s GROUP BY source, split
+    ),
+    t AS (
+      SELECT source, CAST(SUM(n_docs) AS BIGINT) AS source_total
+      FROM c GROUP BY source
+    )
+    SELECT c.source, c.split, n_docs, n_chars_total, source_total,
+           CAST(n_docs AS DOUBLE) / source_total AS split_share
+    FROM c JOIN t USING (source)
+    """,
+    doc="DETERMINISTIC TRAIN/VALIDATION/TEST SPLIT + leakage audit: each "
+    "document is assigned by hash-bucket of its KEY (md5_h32(doc_id) % "
+    f"100 -> <{SPLIT_TRAIN_PCT} train, <{SPLIT_VAL_PCT} validation, else "
+    "test), the split every training pipeline needs to be (a) "
+    "reproducible across runs and engines, (b) STABLE under corpus growth "
+    "— a doc's split never changes when other docs arrive, unlike "
+    "row-number or sample() splits — and (c) computable map-side with no "
+    "shared state.  The audit output is the per-(source, split) doc/char "
+    "census with each split's share of its source, the report a data-prep "
+    "job emits to catch skewed strata before training.  Scale: assignment "
+    "is a pure projection fused into the scan; the census is one "
+    "map-side-combinable agg, totals derived from the counted frame "
+    "(never a second corpus scan) and broadcast back.",
+)
+def pipeline_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    bucket = md5_h32(F.col("doc_id").cast("string")) % 100
+    s = d.select(
+        "source",
+        "n_chars",
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .when(bucket < SPLIT_VAL_PCT, "validation")
+        .otherwise("test")
+        .alias("split"),
+    )
+    c = (
+        s.groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars_total"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    t = c.groupBy("source").agg(F.sum("n_docs").cast("bigint").alias("source_total"))
+    return c.join(F.broadcast(t), "source").select(
+        "source",
+        "split",
+        "n_docs",
+        "n_chars_total",
+        "source_total",
+        (F.col("n_docs").cast("double") / F.col("source_total")).alias("split_share"),
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "pipeline_train_test_split": pipeline_train_test_split,
     "text_bigram_pmi": text_bigram_pmi,
     "text_bm25_topk": text_bm25_topk,
     "pipeline_decontaminate": pipeline_decontaminate,

@@ -725,7 +725,101 @@ def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CUSUM_K = 60  # drift allowance (fixture mean value ~49.6 -> negative drift)
+CUSUM_H = 400  # alarm threshold (~8 allowance units; 24 of 150 users alarm)
+
+
+@spec(
+    f"""
+    WITH d AS (
+      SELECT user_id, ts, event_id,
+             CAST(value AS DECIMAL(12,2)) - CAST({CUSUM_K} AS DECIMAL(12,2))
+               AS step
+      FROM events
+    ),
+    p AS (
+      SELECT user_id, ts, event_id,
+             SUM(step) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS pref
+      FROM d
+    ),
+    s AS (
+      SELECT user_id, ts, event_id,
+             pref - LEAST(CAST(0 AS DECIMAL(12,2)),
+                          COALESCE(MIN(pref) OVER (
+                                     PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING),
+                                   CAST(0 AS DECIMAL(12,2)))) AS cusum
+      FROM p
+    ),
+    a AS (
+      SELECT user_id, ts, event_id, cusum,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
+      FROM s WHERE cusum >= {CUSUM_H}
+    )
+    SELECT user_id, event_id AS alarm_event_id,
+           epoch_us(ts) // 1000000 AS alarm_epoch_s,
+           round(CAST(cusum AS DOUBLE), 6) AS cusum
+    FROM a WHERE rn = 1
+    """,
+    doc="CUSUM CHANGE-POINT DETECTION (Page 1954) per event stream: the "
+    f"one-sided upward cusum s_t = max(0, s_(t-1) + x_t - {CUSUM_K}) with "
+    f"first alarm at s_t >= {CUSUM_H}.  The recurrence LOOKS inherently "
+    "serial, but the classic prefix identity s_t = p_t - min(0, min_(i<t) "
+    "p_i) with p_t = sum(x_i - k) turns it into ONE cumulative-sum window "
+    "plus ONE running-min window over the same (user, ts) order — a "
+    "single exchange, no iteration, no UDF — so change-point detection "
+    "over billions of independent streams is two window passes at 100 TB.  "
+    "All arithmetic is exact DECIMAL(12,2); the final alarm score is "
+    "surfaced as round(double, 6) — the wide-decimal-to-double cast is "
+    "one ulp apart across engines (DuckDB multiplies hugeint decimals by "
+    "10^-s; Java rounds correctly) and round(6) absorbs it — and the "
+    "alarm instant as integer epoch seconds (the timestamp-precision "
+    "contract).",
+)
+def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    order = [F.asc("ts"), F.asc("event_id")]
+    w_all = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    zero = F.lit(0).cast("decimal(12,2)")
+    step = dec_money("value") - F.lit(CUSUM_K).cast("decimal(12,2)")
+    # two stacked passes over ONE (user, ts) ordering: window functions
+    # cannot nest, so pref materializes as a column between them — Catalyst
+    # fuses both Window nodes onto a single exchange+sort
+    p = ev.select("user_id", "ts", "event_id", F.sum(step).over(w_all).alias("pref"))
+    cusum = F.col("pref") - F.least(
+        zero, F.coalesce(F.min("pref").over(w_prev), zero)
+    )
+    alarms = p.withColumn("cusum", cusum).filter(F.col("cusum") >= CUSUM_H)
+    w_first = Window.partitionBy("user_id").orderBy(*order)
+    return (
+        alarms.withColumn("__rn", F.row_number().over(w_first))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("alarm_event_id"),
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 1000000").alias(
+                "alarm_epoch_s"
+            ),
+            F.round(F.col("cusum").cast("double"), 6).alias("cusum"),
+        )
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "ts_cusum_changepoint": ts_cusum_changepoint,
     "events_sliding_active_users": events_sliding_active_users,
     "events_peak_concurrency": events_peak_concurrency,
     "ts_resample_ohlc": ts_resample_ohlc,

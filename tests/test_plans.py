@@ -774,3 +774,44 @@ def test_ivm_reads_view_plus_delta_never_rescans_base(spark, sf_dir):
     assert len(scans) == 3  # view + the delta's two filtered orders legs
     assert sum(s.reads_table("cust_view") for s in scans) == 1
     assert sum(s.reads_table("orders") for s in scans) == 2
+
+
+def test_cusum_single_exchange_fused_windows(spark, sf_dir):
+    """The CUSUM prefix identity runs both window passes (cumulative sum,
+    running min) and the first-alarm rank over ONE (user_id, ts) ordering —
+    Catalyst fuses all three Window nodes onto a single hash exchange, so
+    change-point detection is exactly one shuffle at any stream count."""
+    plan = _plan(spark, sf_dir, "ts_cusum_changepoint")
+    assert n_exchanges(plan) == 1
+    assert "Exchange hashpartitioning(user_id" in plan
+
+
+def test_train_test_split_mapside_assignment_single_scan(spark, sf_dir):
+    """Split assignment is a pure projection fused into the ONE documents
+    scan; the census aggregates map-side and the per-source totals come
+    from the checkpointed counted frame (broadcast back), never a second
+    corpus scan."""
+    plan = _plan(spark, sf_dir, "pipeline_train_test_split")
+    assert len(file_scans(plan)) == 0  # counted frame is checkpointed...
+    assert "ExistingRDD" in plan  # ...and is the only source in the plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_negative_sampling_anchors_broadcast(spark, sf_dir):
+    """The anchor set broadcasts into the corpus scan (label-inequality is
+    a non-equi predicate -> nested-loop against the 25-row broadcast side);
+    the corpus itself shuffles only for the per-anchor partial-limit
+    window."""
+    plan = _plan(spark, sf_dir, "ann_negative_sampling")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 1  # the qid window
+
+
+def test_regression_trend_single_pass_partial_agg(spark, sf_dir):
+    """All five OLS moments accumulate in one partial+final aggregation over
+    a single orders scan — one exchange on the group key, map-side combine
+    before it (the 100 TB fit-per-key shape)."""
+    plan = _plan(spark, sf_dir, "ml_regression_trend")
+    assert len(file_scans(plan)) == 1
+    assert n_exchanges(plan) == 1
+    assert "partial_sum" in plan or "partial" in plan.lower()

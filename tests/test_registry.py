@@ -30,15 +30,17 @@ def test_registry_shape():
     # invariant; remaining ballast queues past the ~50 line.
     assert names[0] in ("stream_stateful_v2", "lake_bucketed_write")
     # changed-since-green and stale-rotation entries sit inside the window
-    # The 16 back-half additions cost the stale-rotation tail its slots:
-    # 31 never-checked + 12 changed-since-green entries leave ~7 places for
-    # r2-era re-greens (the oldest streaming/UDF entries keep them; the
-    # udtf/mm r2 block and the TPC-H r3 block re-queue for round 8).
+    # The 22 back-half additions cost the stale-rotation tail its slots:
+    # 37 never-checked + 12 changed-since-green entries leave ONE place for
+    # an r2-era re-green (stream_session_window keeps it; the remaining
+    # r2 streaming/UDF block and the TPC-H r3 block re-queue for round 8).
     # Never-checked queries trump stale re-greens — a new operator without
-    # a driver row has NO correctness signal at all.
+    # a driver row has NO correctness signal at all — and every displaced
+    # stale query still runs through the local sf0.001 differential parity
+    # gate (test_oracle_parity) each round.
     for probe in ("lake_bucketed_write", "anomaly_zscore",
                   "dedup_cluster_canonical", "stream_dedup_within_watermark",
-                  "stream_session_window", "udf_scalar_reverse",
+                  "stream_session_window",
                   # round-7 back-half additions (never checked -> in-window)
                   "agg_heavy_hitters", "agg_trimmed_stats",
                   "events_sliding_active_users", "graph_bfs_hops",
@@ -48,7 +50,10 @@ def test_registry_shape():
                   "join_asof_tolerance", "dq_constraint_report",
                   "data_skew_report", "ann_radius_search",
                   "ts_resample_ohlc", "agg_mode_per_group",
-                  "events_rfm_segments", "ivm_incremental_agg"):
+                  "events_rfm_segments", "ivm_incremental_agg",
+                  # round-7 late additions (never checked -> in-window)
+                  "ts_cusum_changepoint", "pipeline_train_test_split",
+                  "ann_negative_sampling", "ml_regression_trend"):
         assert names.index(probe) < 50, probe
     # this round's window is fully oracle-checked — the three rows-only
     # entries (all r6-checked, each with a green exact anchor) rotate out
