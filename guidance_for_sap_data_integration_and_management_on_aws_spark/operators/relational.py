@@ -2098,6 +2098,7 @@ OLS_EPOCH = "1992-01-01"  # x = days since fixture epoch (small exact ints)
                      / CAST(n * sxx - sx * sx AS DOUBLE))
                     * CAST(sx AS DOUBLE)) / n, 6) AS intercept
     FROM m
+    WHERE n * sxx - sx * sx <> 0
     """,
     doc="PER-GROUP OLS TREND (distributed linear-regression fit, the "
     "regr_slope/regr_intercept surface): price-over-time fit per order "
@@ -2109,8 +2110,11 @@ OLS_EPOCH = "1992-01-01"  # x = days since fixture epoch (small exact ints)
     "as ONE identical IEEE expression tree over those exact inputs on "
     "both engines (the native regr_* aggregates stream doubles, whose "
     "sum order — and therefore bits — differs per partitioning; the "
-    "moments form is the scale-correct AND parity-correct one).  This is "
-    "the training step of D9 ml_linear_score: fit here, score there.  "
+    "moments form is the scale-correct AND parity-correct one).  "
+    "Degenerate groups (single row / constant x) zero the denominator and "
+    "are excluded by the same exact-integer predicate on both engines.  "
+    "This is the training step of D9 ml_linear_score: fit here, score "
+    "there.  "
     "Scale: one partial-aggregated pass, k rows out; at 100 TB the same "
     "five moments fit a model per any key without a second scan.",
 )
@@ -2128,11 +2132,16 @@ def ml_regression_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x").cast("decimal(12,2)") * F.col("y")).alias("sxy"),
     )
     num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    den_exact = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    den = den_exact.cast("double")
     slope = num / den
     intercept = (
         F.col("sy").cast("double") - slope * F.col("sx").cast("double")
     ) / F.col("n")
+    # degenerate-group guard (the anomaly_zscore precedent): a single-row or
+    # constant-x group zeroes the denominator — Spark non-ANSI yields NULL,
+    # DuckDB IEEE yields inf/NaN — so both engines exclude it identically
+    m = m.filter(den_exact != 0)
     return m.select(
         "o_orderpriority",
         "n",
