@@ -99,6 +99,14 @@ _PRIORITY = [
     "stream_deadletter_split",  # derived bad replay
     # --- 3a. r2-era greens (oldest in the registry) -------------------------
     "stream_session_window",
+    # --- 1c. round-7 final additions — registered PAST the ~50-line on
+    # --- purpose (the window is saturated: 41 never-checked + 12
+    # --- changed-since-green + 1 r2 re-green); these four are locally
+    # --- parity-verified at sf0.01 + sf0.1 and LEAD the round-8 window ------
+    "agg_equidepth_histogram",  # equal-frequency histogram, shared rank kernel
+    "agg_corr_matrix",  # pairwise Pearson from ten exact moments, one pass
+    "events_path_trigrams",  # top 3-step journeys, constant-size final rank
+    "ml_score_calibration",  # decile reliability table for the D9 scorer
     "stream_stateful_running_totals",
     "stream_static_join",
     "stream_stream_join",

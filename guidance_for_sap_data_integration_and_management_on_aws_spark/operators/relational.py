@@ -2150,8 +2150,158 @@ def ml_regression_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EQUIDEPTH_B = 10  # equal-frequency buckets
+
+
+@spec(
+    f"""
+    WITH r AS (
+      SELECT o_totalprice,
+             ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS i,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n
+      FROM orders
+    )
+    SELECT CAST((i - 1) * {EQUIDEPTH_B} // n AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           MIN(o_totalprice) AS lo,
+           MAX(o_totalprice) AS hi
+    FROM r GROUP BY 1
+    """,
+    doc="EQUI-DEPTH (equal-frequency) HISTOGRAM — the optimizer-statistics "
+    "and data-profiling twin of D1's equi-width agg_histogram: "
+    f"{EQUIDEPTH_B} buckets each holding n/{EQUIDEPTH_B} rows, with the "
+    "observed value range per bucket.  Needs a GLOBAL rank under the "
+    "total (price, key) order; computed through the shared "
+    "distributed_rank kernel (range partitions + broadcast prefix "
+    "offsets — never a single-task window), then bucket = "
+    "((i-1)*B) div n in pure integer arithmetic against the "
+    "1-row-broadcast total.  Bucket bounds are SELECTED input values "
+    "(min/max), zero float arithmetic on the contract surface.  The "
+    "oracle states the same ranks with DuckDB's single-node window — "
+    "fine at oracle scale, which is exactly why the engine side must "
+    "not mirror it.",
+)
+def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    ranked = distributed_rank(o, ["o_totalprice", "o_orderkey"], out="i")
+    n = ranked.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .groupBy(
+            # integer div on both engines — a double division + truncation
+            # could flip an exact bucket boundary by one ulp
+            F.expr(f"CAST(((i - 1) * {EQUIDEPTH_B}) DIV n AS BIGINT)").alias(
+                "bucket"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
+
+
+@spec(
+    """
+    WITH m AS (
+      SELECT l_returnflag AS flag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(q) AS sq, SUM(e) AS se, SUM(d) AS sd,
+             SUM(q*q) AS sqq, SUM(e*e) AS see, SUM(d*d) AS sdd,
+             SUM(q*e) AS sqe, SUM(q*d) AS sqd, SUM(e*d) AS sed
+      FROM (SELECT l_returnflag,
+                   CAST(l_quantity AS DECIMAL(12,2)) AS q,
+                   CAST(l_extendedprice AS DECIMAL(12,2)) AS e,
+                   CAST(l_discount AS DECIMAL(5,2)) AS d
+            FROM lineitem)
+      GROUP BY l_returnflag
+    )
+    SELECT flag, var_x, var_y,
+           round(CAST(num AS DOUBLE)
+                 / (sqrt(CAST(dx AS DOUBLE)) * sqrt(CAST(dy AS DOUBLE))), 6)
+             AS corr
+    FROM (
+      SELECT flag, 'quantity' AS var_x, 'extendedprice' AS var_y,
+             n*sqe - sq*se AS num, n*sqq - sq*sq AS dx, n*see - se*se AS dy
+      FROM m
+      UNION ALL
+      SELECT flag, 'quantity', 'discount',
+             n*sqd - sq*sd, n*sqq - sq*sq, n*sdd - sd*sd FROM m
+      UNION ALL
+      SELECT flag, 'extendedprice', 'discount',
+             n*sed - se*sd, n*see - se*se, n*sdd - sd*sd FROM m
+    )
+    WHERE dx <> 0 AND dy <> 0
+    """,
+    doc="PAIRWISE CORRELATION MATRIX (long form) per group — the "
+    "data-profiling companion to the OLS fit: Pearson r for every "
+    "measure pair from TEN exact decimal moments accumulated in ONE "
+    "partial-aggregated pass over a single scan (the native corr() "
+    "aggregate streams doubles whose sum order differs per "
+    "partitioning; the moments form is exact and mergeable).  The three "
+    "pair rows are projections of the same k-row agged frame — the "
+    "matrix costs one scan regardless of pair count.  Final r is one "
+    "identical expression tree (two correctly-rounded IEEE sqrts, one "
+    "multiply, one divide) with round(6) absorbing the engines' 1-ulp "
+    "wide-decimal-to-double cast difference; zero-variance pairs are "
+    "excluded by the same exact-integer predicate on both engines.",
+)
+def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        dec_money("l_quantity").alias("q"),
+        dec_money("l_extendedprice").alias("e"),
+        F.col("l_discount").cast("decimal(5,2)").alias("d"),
+        F.col("l_returnflag").alias("flag"),
+    )
+    # materialize the k-row moments frame ONCE: the three pair projections
+    # prune different column subsets, so without this each union branch
+    # re-plans its own scan+agg (3 full scans — the events_transitions
+    # broadcast-reuse precedent)
+    m = li.groupBy("flag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("q").alias("sq"),
+        F.sum("e").alias("se"),
+        F.sum("d").alias("sd"),
+        F.sum(F.col("q") * F.col("q")).alias("sqq"),
+        F.sum(F.col("e") * F.col("e")).alias("see"),
+        F.sum(F.col("d") * F.col("d")).alias("sdd"),
+        F.sum(F.col("q") * F.col("e")).alias("sqe"),
+        F.sum(F.col("q") * F.col("d")).alias("sqd"),
+        F.sum(F.col("e") * F.col("d")).alias("sed"),
+    ).localCheckpoint(eager=True)
+
+    def pair(vx: str, vy: str, sxy: str, sx: str, sy: str, sxx: str, syy: str):
+        num = F.col("n") * F.col(sxy) - F.col(sx) * F.col(sy)
+        dx = F.col("n") * F.col(sxx) - F.col(sx) * F.col(sx)
+        dy = F.col("n") * F.col(syy) - F.col(sy) * F.col(sy)
+        return m.select(
+            "flag",
+            F.lit(vx).alias("var_x"),
+            F.lit(vy).alias("var_y"),
+            num.alias("num"),
+            dx.alias("dx"),
+            dy.alias("dy"),
+        )
+
+    pairs = (
+        pair("quantity", "extendedprice", "sqe", "sq", "se", "sqq", "see")
+        .unionByName(pair("quantity", "discount", "sqd", "sq", "sd", "sqq", "sdd"))
+        .unionByName(pair("extendedprice", "discount", "sed", "se", "sd", "see", "sdd"))
+    )
+    corr = F.col("num").cast("double") / (
+        F.sqrt(F.col("dx").cast("double")) * F.sqrt(F.col("dy").cast("double"))
+    )
+    return (
+        pairs.filter((F.col("dx") != 0) & (F.col("dy") != 0))
+        .select("flag", "var_x", "var_y", F.round(corr, 6).alias("corr"))
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "ml_regression_trend": ml_regression_trend,
+    "agg_equidepth_histogram": agg_equidepth_histogram,
+    "agg_corr_matrix": agg_corr_matrix,
     "q1_pricing_summary": q1_pricing_summary,
     "agg_heavy_hitters": agg_heavy_hitters,
     "agg_trimmed_stats": agg_trimmed_stats,

@@ -1278,8 +1278,99 @@ def ann_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CALIB_B = 10  # calibration deciles
+
+
+@spec(
+    f"""
+    WITH s AS (
+      SELECT vec_id,
+             CAST(round(round({ML_BIAS} + {{dot}}, 6) * 1000000.0)
+                  AS BIGINT) AS s6,
+             CAST(label % 2 = 0 AS BOOLEAN) AS pos
+      FROM (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings)
+    ),
+    r AS (
+      SELECT s6, pos,
+             ROW_NUMBER() OVER (ORDER BY s6, vec_id) AS i,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n
+      FROM s
+    )
+    SELECT CAST((i - 1) * {CALIB_B} // n AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(s6) AS BIGINT) AS sum_score_e6,
+           CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+           CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS pos_rate
+    FROM r GROUP BY 1
+    """,
+    doc="MODEL-SCORE CALIBRATION (reliability-diagram input, the standard "
+    "ML-eval table): the D9 linear scorer's outputs are ranked into "
+    f"{CALIB_B} equal-population deciles and each decile reports its "
+    "score mass and observed positive rate — a well-calibrated model's "
+    "pos_rate tracks its mean score.  Ground truth is the deterministic "
+    "even-label class (a fixture stand-in for a real label column).  The "
+    "global rank uses the shared distributed_rank kernel (range "
+    "partitions + broadcast offsets, never a single-task window over the "
+    "scored corpus); scores are fixed to exact integer micro-units "
+    "(round(score,6)*1e6 — the rounded score is the contract surface, so "
+    "the integerization is exact) so the per-decile sums are bit-exact "
+    "bigints and the only float output is one pos-rate division.",
+)
+def ml_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .relational import distributed_rank
+
+    v = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double("embedding").alias("e")
+    )
+    w = F.array(*[F.lit(x) for x in ML_WEIGHTS])
+    score = F.round(
+        F.lit(ML_BIAS)
+        + F.aggregate(
+            F.zip_with(F.col("e"), w, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    s = v.select(
+        "vec_id",
+        F.round(score * F.lit(1000000.0), 0).cast("bigint").alias("s6"),
+        (F.col("label") % 2 == 0).alias("pos"),
+    )
+    ranked = distributed_rank(s, ["s6", "vec_id"], out="i")
+    n = ranked.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .groupBy(
+            F.expr(f"CAST(((i - 1) * {CALIB_B}) DIV n AS BIGINT)").alias("decile")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("s6").cast("bigint").alias("sum_score_e6"),
+            F.sum(F.when(F.col("pos"), 1).otherwise(0)).cast("bigint").alias("n_pos"),
+            (
+                F.sum(F.when(F.col("pos"), 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("pos_rate"),
+        )
+    )
+
+
+# the oracle's dot product is formatted against the same helper the other
+# ANN oracles use (a literal weight vector both engines embed identically)
+ml_score_calibration = QuerySpec(
+    builder=ml_score_calibration.builder,
+    oracle=ml_score_calibration.oracle.format(
+        dot=sql_dot("e", "CAST(" + repr(ML_WEIGHTS) + " AS DOUBLE[])")
+    ),
+    doc=ml_score_calibration.doc,
+)
+
+
 QUERIES: dict[str, QuerySpec] = {
     "ann_negative_sampling": ann_negative_sampling,
+    "ml_score_calibration": ml_score_calibration,
     "ann_centroid_outliers": ann_centroid_outliers,
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_radius_search": ann_radius_search,

@@ -818,7 +818,55 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TRIGRAM_TOP = 20  # most frequent 3-step journeys reported
+
+
+@spec(
+    f"""
+    WITH t AS (
+      SELECT event_type AS e1,
+             LEAD(event_type, 1) OVER w AS e2,
+             LEAD(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    c AS (
+      SELECT e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS n_paths
+      FROM t WHERE e3 IS NOT NULL GROUP BY e1, e2, e3
+    )
+    SELECT e1, e2, e3, n_paths,
+           CAST(ROW_NUMBER() OVER (ORDER BY n_paths DESC, e1, e2, e3)
+                AS BIGINT) AS rank
+    FROM c QUALIFY rank <= {TRIGRAM_TOP}
+    """,
+    doc="TOP EVENT-PATH TRIGRAMS (behavioral path analysis — the 3-step "
+    "extension of the D14 transition matrix, enough context to separate "
+    "view->click->purchase from view->click->error): two LEAD() "
+    "offsets over ONE per-user (ts, event_id) window pass, then a "
+    "|types|^3-bounded hash count and the deterministic top-"
+    f"{TRIGRAM_TOP}.  The final rank orders the COUNTED frame (at most "
+    "|types|^3 rows however large the event log), so the global window "
+    "is constant-size — the only full-data work is one fused window + "
+    "one map-side-combined agg.  Exact integers end to end.",
+)
+def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    c = t.groupBy("e1", "e2", "e3").agg(F.count(F.lit(1)).cast("bigint").alias("n_paths"))
+    wr = Window.orderBy(F.desc("n_paths"), F.asc("e1"), F.asc("e2"), F.asc("e3"))
+    return (
+        c.withColumn("rank", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rank") <= TRIGRAM_TOP)
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "events_path_trigrams": events_path_trigrams,
     "ts_cusum_changepoint": ts_cusum_changepoint,
     "events_sliding_active_users": events_sliding_active_users,
     "events_peak_concurrency": events_peak_concurrency,

@@ -815,3 +815,43 @@ def test_regression_trend_single_pass_partial_agg(spark, sf_dir):
     assert len(file_scans(plan)) == 1
     assert n_exchanges(plan) == 1
     assert "partial_sum" in plan or "partial" in plan.lower()
+
+
+def test_equidepth_histogram_distributed_rank(spark, sf_dir):
+    """Equi-depth bucketing ranks through the distributed_rank kernel
+    (materialized range partitions + broadcast offsets) — no single-task
+    window over the orders frame; the total-count attach is a 1-row
+    broadcast."""
+    plan = _plan(spark, sf_dir, "agg_equidepth_histogram")
+    assert "ExistingRDD" in plan  # materialized range partitions
+    assert "Window" not in plan or "partial" in plan.lower()
+    assert plan.count("BroadcastHashJoin") >= 1  # offset attach
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row total attach
+
+
+def test_corr_matrix_single_scan_single_agg_exchange(spark, sf_dir):
+    """All ten moments accumulate in ONE partial+final aggregation over a
+    single lineitem scan; the three pair rows are projections of the same
+    agged frame (the union re-reads the exchange, never the file)."""
+    plan = _plan(spark, sf_dir, "agg_corr_matrix")
+    # the moments frame is checkpointed, so the SERVED plan reads no file at
+    # all — the three pair rows are projections of the k-row materialization
+    assert file_scans(plan) == []
+    assert "ExistingRDD" in plan
+
+
+def test_path_trigrams_constant_final_rank(spark, sf_dir):
+    """The only full-data work is one per-user window pass + one map-side-
+    combined count; the global rank orders the counted frame (<= |types|^3
+    rows), so its single-partition window is constant-size by construction."""
+    plan = _plan(spark, sf_dir, "events_path_trigrams")
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+    assert "partial_count" in plan
+
+
+def test_score_calibration_distributed_rank_no_global_window(spark, sf_dir):
+    """Score deciles come from the shared distributed_rank kernel — the
+    scored corpus is never pulled through a single-partition window."""
+    plan = _plan(spark, sf_dir, "ml_score_calibration")
+    assert "ExistingRDD" in plan
+    assert plan.count("BroadcastHashJoin") >= 1
