@@ -107,6 +107,8 @@ _PRIORITY = [
     "agg_corr_matrix",  # pairwise Pearson from ten exact moments, one pass
     "events_path_trigrams",  # top 3-step journeys, constant-size final rank
     "ml_score_calibration",  # decile reliability table for the D9 scorer
+    "ts_ewma_smooth",  # truncated-window EWMA, identical strict left fold
+    "text_oov_rate",  # tokenizer vocabulary-coverage audit per source
     "stream_stateful_running_totals",
     "stream_static_join",
     "stream_stream_join",

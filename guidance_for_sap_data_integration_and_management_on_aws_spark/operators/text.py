@@ -1270,8 +1270,64 @@ def pipeline_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+OOV_VOCAB_N = 500  # tokenizer vocabulary budget for the coverage audit
+
+
+@spec(
+    f"""
+    WITH e AS (
+      SELECT source, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ),
+    v AS (
+      SELECT word FROM (
+        SELECT word, row_number() OVER (ORDER BY count(*) DESC, word) AS r
+        FROM e GROUP BY word
+      ) WHERE r <= {OOV_VOCAB_N}
+    )
+    SELECT e.source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS oov_rate
+    FROM e LEFT JOIN v USING (word)
+    GROUP BY e.source
+    """,
+    doc="TOKENIZER VOCABULARY COVERAGE / OOV-RATE AUDIT per source: fix a "
+    f"frequency-ranked top-{OOV_VOCAB_N} vocabulary (deterministic word "
+    "tie-break — the text_numericalize vocab discipline) and report each "
+    "source's share of tokens falling OUTSIDE it — the pipeline-health "
+    "metric that catches a domain whose text a fixed tokenizer budget "
+    "would shred into OOV/byte-fallback tokens before training does.  "
+    "Scale: the vocab agg is |vocab|-bounded and map-side combined, the "
+    "cut is a partial-limit top-k, and membership rides as a BROADCAST "
+    "left join into the token stream — one full-data exchange-free "
+    "marking pass plus one per-source agg; exact integer counts, one "
+    "final division.",
+)
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = parallelize_small_scan(load(spark, sf_dir, "documents"), "doc_id")
+    e = d.select("source", F.explode(F.split(F.col("text"), " ")).alias("word"))
+    v = (
+        e.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("word"))
+        .limit(OOV_VOCAB_N)
+        .select("word", F.lit(True).alias("in_vocab"))
+    )
+    marked = e.join(F.broadcast(v), "word", "left")
+    oov = F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+    return marked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum(oov).cast("bigint").alias("n_oov"),
+        (F.sum(oov).cast("double") / F.count(F.lit(1))).alias("oov_rate"),
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "pipeline_train_test_split": pipeline_train_test_split,
+    "text_oov_rate": text_oov_rate,
     "text_bigram_pmi": text_bigram_pmi,
     "text_bm25_topk": text_bm25_topk,
     "pipeline_decontaminate": pipeline_decontaminate,

@@ -865,8 +865,62 @@ def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EWMA_ALPHA = 0.25  # smoothing factor (exactly representable in binary)
+EWMA_SPAN = 16  # truncated lookback (error bound (1-alpha)^16 ~ 1e-2 of x_0)
+
+
+@spec(
+    f"""
+    WITH l AS (
+      SELECT user_id, event_id,
+             list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN {EWMA_SPAN - 1} PRECEDING
+                               AND CURRENT ROW) AS w
+      FROM events
+    )
+    SELECT user_id, event_id,
+           list_reduce(w, (s, x) -> CAST({EWMA_ALPHA} AS DOUBLE)*x
+                                    + CAST({1 - EWMA_ALPHA} AS DOUBLE)*s)
+             AS ewma
+    FROM l
+    """,
+    doc="EWMA SMOOTHING (exponentially weighted moving average, the "
+    "monitoring/trading-pipeline staple): s_t = a*x_t + (1-a)*s_(t-1), "
+    f"truncated to the last {EWMA_SPAN} observations — the older terms' "
+    f"weight is bounded by (1-a)^{EWMA_SPAN} ≈ 1% and truncation is what "
+    "makes the recurrence a WINDOW FRAME instead of an unbounded serial "
+    "scan: collect the frame's values (deterministic frame order) and "
+    "fold them left-to-right with the literal recurrence.  Both engines "
+    "run the IDENTICAL strict left fold (Spark aggregate() over the "
+    "tail seeded by the head = DuckDB list_reduce), so every "
+    "intermediate IEEE operation matches and the result is surfaced "
+    "UNROUNDED (bit-exact; round(6) is what diverges — the "
+    f"window_distribution half-repr lesson).  a = {EWMA_ALPHA} is "
+    "exactly representable in binary.  One exchange; the CUSUM twin "
+    "covers the exact-decimal unbounded case.",
+)
+def ts_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(EWMA_SPAN - 1), Window.currentRow)
+    )
+    arr = F.collect_list("value").over(w)
+    fold = F.aggregate(
+        F.slice(F.col("w"), F.lit(2), F.size("w") - 1),
+        F.element_at(F.col("w"), 1),
+        lambda s, x: F.lit(EWMA_ALPHA) * x + F.lit(1 - EWMA_ALPHA) * s,
+    )
+    return (
+        ev.select("user_id", "event_id", arr.alias("w"))
+        .select("user_id", "event_id", fold.alias("ewma"))
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "events_path_trigrams": events_path_trigrams,
+    "ts_ewma_smooth": ts_ewma_smooth,
     "ts_cusum_changepoint": ts_cusum_changepoint,
     "events_sliding_active_users": events_sliding_active_users,
     "events_peak_concurrency": events_peak_concurrency,

@@ -855,3 +855,21 @@ def test_score_calibration_distributed_rank_no_global_window(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ml_score_calibration")
     assert "ExistingRDD" in plan
     assert plan.count("BroadcastHashJoin") >= 1
+
+
+def test_ewma_single_exchange(spark, sf_dir):
+    """The truncated-frame collect + fold is one window pass: a single hash
+    exchange on the stream key, no join, no second scan."""
+    plan = _plan(spark, sf_dir, "ts_ewma_smooth")
+    assert n_exchanges(plan) == 1
+    assert "Exchange hashpartitioning(user_id" in plan
+
+
+def test_oov_rate_vocab_broadcast(spark, sf_dir):
+    """Vocabulary membership rides as a broadcast into the token stream —
+    the full-data marking pass is exchange-free (the only hash exchanges
+    feed the |vocab|-bounded cut and the per-source agg, both over frames
+    far smaller than the token stream)."""
+    plan = _plan(spark, sf_dir, "text_oov_rate")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan  # partial-limit vocab cut
