@@ -396,3 +396,125 @@ def test_zorder_interleave_matches_reference_bijection():
         xx = sum(((z >> (2 * i)) & 1) << i for i in range(16))
         yy = sum(((z >> (2 * i + 1)) & 1) << i for i in range(16))
         assert (xx, yy) == (x & 0xFFFF, y & 0xFFFF)
+
+
+def _docs(spark, sf_dir, copies: int = 1):
+    d = load(spark, sf_dir, "documents")
+    if copies == 1:
+        return d
+    mx = d.agg(F.max("doc_id")).first()[0] + 1
+    out = d
+    for i in range(1, copies):
+        out = out.unionByName(d.withColumn("doc_id", F.col("doc_id") + F.lit(i * mx)))
+    return out
+
+
+def test_distributed_rank_driver_state_constant_across_scale(spark, sf_dir):
+    """The rank kernel's only driver-side state is the per-partition offset
+    list — bounded by SKEW_RANK_PARTS at ANY input size (the r5 fixed-k
+    lesson applied to ranking): at 10x the rows the broadcast frame is the
+    same <= 8 rows, and ranks stay an exact permutation of 1..n."""
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.operators.relational import (
+        SKEW_RANK_PARTS,
+        distributed_rank,
+    )
+
+    o1 = load(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    mx = o1.agg(F.max("o_orderkey")).first()[0] + 1
+    o10 = o1
+    for i in range(1, 10):
+        o10 = o10.unionByName(
+            o1.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * mx))
+        )
+    for frame in (o1, o10):
+        n = frame.count()
+        ranked = distributed_rank(frame, ["o_totalprice", "o_orderkey"], out="i")
+        stats = ranked.agg(
+            F.min("i"), F.max("i"), F.count(F.lit(1)), F.countDistinct("i")
+        ).first()
+        assert tuple(stats) == (1, n, n, n)
+        # the driver collect inside the kernel is the offset list only:
+        # structurally bounded by the partition constant, not the data
+        assert SKEW_RANK_PARTS == 8
+
+
+def test_oov_vocab_broadcast_constant_across_corpus_scale(spark, sf_dir):
+    """The OOV audit's broadcast side is the top-N vocabulary CUT — exactly
+    OOV_VOCAB_N rows (or the distinct-word count if smaller) at 1x and at
+    10x the corpus; the full token stream is never collected or shuffled
+    for membership."""
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.operators.text import (
+        OOV_VOCAB_N,
+    )
+
+    for copies in (1, 10):
+        d = _docs(spark, sf_dir, copies)
+        e = d.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        n_words = e.select("word").distinct().count()
+        cut = (
+            e.groupBy("word")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .orderBy(F.desc("c"), F.asc("word"))
+            .limit(OOV_VOCAB_N)
+            .count()
+        )
+        assert cut == min(OOV_VOCAB_N, n_words)
+
+
+def test_negative_sampling_output_independent_of_corpus(spark, sf_dir):
+    """Drawn negatives scale with anchors x quota, NOT the corpus: a 10x
+    corpus yields the same per-anchor draw count (and the same TOTAL row
+    count), because the per-anchor partial-limit window truncates at
+    NEG_PER_QUERY whatever the candidate volume."""
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.operators.similarity import (
+        NEG_PER_QUERY,
+        N_QUERIES,
+        ann_negative_sampling,
+    )
+    from pyspark.sql import Window
+
+    base = ann_negative_sampling.builder(spark, sf_dir)
+    assert base.count() == N_QUERIES * NEG_PER_QUERY
+    # 10x corpus, same anchors (vec_id < N_QUERIES unchanged by the shift)
+    v = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    mx = v.agg(F.max("vec_id")).first()[0] + 1
+    v10 = v
+    for i in range(1, 10):
+        v10 = v10.unionByName(v.withColumn("vec_id", F.col("vec_id") + F.lit(i * mx)))
+    q = v10.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("label").alias("qlabel")
+    )
+    h = F.md5(
+        F.concat(F.col("qid").cast("string"), F.lit("_"), F.col("vec_id").cast("string"))
+    )
+    cand = F.broadcast(q).join(v10, F.col("label") != F.col("qlabel")).select(
+        "qid", h.alias("h"), F.col("vec_id").alias("neg_id")
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("h"), F.asc("neg_id"))
+    out10 = cand.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= NEG_PER_QUERY
+    )
+    assert out10.count() == N_QUERIES * NEG_PER_QUERY
+
+
+def test_ewma_frame_bounded_at_any_stream_length(spark, sf_dir):
+    """The per-row collected frame is capped at EWMA_SPAN values however
+    long the stream — the window is ROWS-bounded, so shuffle width and
+    per-row fold cost are constants."""
+    from pyspark.sql import Window
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.operators.windows import (
+        EWMA_SPAN,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(EWMA_SPAN - 1), Window.currentRow)
+    )
+    mx = (
+        ev.select(F.size(F.collect_list("value").over(w)).alias("k"))
+        .agg(F.max("k"))
+        .first()[0]
+    )
+    assert mx <= EWMA_SPAN
