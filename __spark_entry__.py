@@ -109,6 +109,7 @@ _PRIORITY = [
     "ml_score_calibration",  # decile reliability table for the D9 scorer
     "ts_ewma_smooth",  # truncated-window EWMA, identical strict left fold
     "text_oov_rate",  # tokenizer vocabulary-coverage audit per source
+    "events_ab_test",  # two-proportion pooled z-test from exact counts
     "stream_stateful_running_totals",
     "stream_static_join",
     "stream_stream_join",

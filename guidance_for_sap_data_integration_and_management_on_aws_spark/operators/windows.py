@@ -918,8 +918,133 @@ def ts_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+AB_Z_CRIT = 1.96  # two-sided 95% critical value
+AB_SPEND_T = 600  # high-spender threshold (~50% conversion at every SF)
+
+
+@spec(
+    f"""
+    WITH u AS (
+      SELECT user_id,
+             CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                               THEN CAST(value AS DECIMAL(12,2))
+                               ELSE CAST(0 AS DECIMAL(12,2)) END)
+                       > {AB_SPEND_T}
+                  THEN 1 ELSE 0 END AS conv
+      FROM events GROUP BY user_id
+    ),
+    a AS (
+      SELECT (strpos('0123456789abcdef',
+                     substring(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) % 2
+               AS arm,
+             conv
+      FROM u
+    ),
+    s AS (
+      SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT)
+               AS conv_a,
+             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT)
+               AS conv_b
+      FROM a
+    )
+    SELECT n_a, conv_a, n_b, conv_b,
+           CAST(conv_a AS DOUBLE) / n_a AS rate_a,
+           CAST(conv_b AS DOUBLE) / n_b AS rate_b,
+           CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b
+                THEN NULL
+                ELSE round((CAST(conv_a AS DOUBLE) / n_a
+                            - CAST(conv_b AS DOUBLE) / n_b)
+                 / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b)), 6) END AS z_score,
+           CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b
+                THEN NULL
+                ELSE abs(round((CAST(conv_a AS DOUBLE) / n_a
+                                - CAST(conv_b AS DOUBLE) / n_b)
+                 / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b)), 6)) > {AB_Z_CRIT} END
+             AS significant
+    FROM s
+    """,
+    doc="EXPERIMENT SIGNIFICANCE READOUT (two-proportion pooled z-test, the "
+    "A/B-testing staple): users are hash-assigned to two arms by the "
+    "split-family md5 seed (here an A/A test over the same population — "
+    "the null calibration every experimentation platform runs; a real "
+    "experiment swaps in its assignment column), conversion = exact-"
+    f"decimal purchase spend above {AB_SPEND_T} (~50% base rate at every "
+    "fixture SF — an always-true metric would make the test vacuous), "
+    "and the pooled z-statistic with a two-sided 95% verdict "
+    "comes out of EXACT integer counts: one user-level agg (map-side "
+    "combinable), one 4-counter arm rollup, and a single identical IEEE "
+    "expression tree (divisions, one correctly-rounded sqrt) over those "
+    "ints — round(6) on z absorbs nothing today but guards the contract "
+    "surface.  Scale: two aggregation passes, 1 row out, no window, no "
+    "join — the same shape at any event-log size.",
+)
+def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.exprs import md5_hex_val
+
+    ev = load(spark, sf_dir, "events")
+    zero = F.lit(0).cast("decimal(12,2)")
+    spend = F.sum(
+        F.when(F.col("event_type") == "purchase", dec_money("value")).otherwise(zero)
+    )
+    u = ev.groupBy("user_id").agg(
+        F.when(spend > AB_SPEND_T, 1).otherwise(0).alias("conv")
+    )
+    arm = md5_hex_val(F.col("user_id").cast("string"), 1) % 2
+    a = u.select(arm.alias("arm"), "conv")
+    s = a.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("bigint").alias("n_b"),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_b"),
+    )
+    rate_a = F.col("conv_a").cast("double") / F.col("n_a")
+    rate_b = F.col("conv_b").cast("double") / F.col("n_b")
+    pooled = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    z = (rate_a - rate_b) / F.sqrt(
+        pooled
+        * (F.lit(1.0) - pooled)
+        * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    # degenerate guard (all-or-none conversion, e.g. the sf0.001 fixture):
+    # pooled*(1-pooled) = 0 zeroes the denominator — ANSI Spark raises,
+    # DuckDB yields NaN — so both engines surface NULL identically, and
+    # the lazily-evaluated CASE keeps ANSI from ever running the division
+    degenerate = (
+        (F.col("conv_a") + F.col("conv_b") == 0)
+        | (F.col("conv_a") + F.col("conv_b") == F.col("n_a") + F.col("n_b"))
+    )
+    return s.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        rate_a.alias("rate_a"),
+        rate_b.alias("rate_b"),
+        F.when(degenerate, F.lit(None)).otherwise(F.round(z, 6)).alias("z_score"),
+        # verdict thresholds the ROUNDED z (the ml_linear_score precedent):
+        # a |z| within an ulp of the critical value must not flip across
+        # engines while the rounded score is the stable contract surface
+        F.when(degenerate, F.lit(None).cast("boolean"))
+        .otherwise(F.abs(F.round(z, 6)) > AB_Z_CRIT)
+        .alias("significant"),
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "events_path_trigrams": events_path_trigrams,
+    "events_ab_test": events_ab_test,
     "ts_ewma_smooth": ts_ewma_smooth,
     "ts_cusum_changepoint": ts_cusum_changepoint,
     "events_sliding_active_users": events_sliding_active_users,

@@ -873,3 +873,14 @@ def test_oov_rate_vocab_broadcast(spark, sf_dir):
     plan = _plan(spark, sf_dir, "text_oov_rate")
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan  # partial-limit vocab cut
+
+
+def test_ab_test_two_agg_passes_one_row(spark, sf_dir):
+    """The z-test is two aggregation passes (user-level conversion, then a
+    4-counter arm rollup) over one events scan — no window, no join; the
+    final statistic is a 1-row projection."""
+    plan = _plan(spark, sf_dir, "events_ab_test")
+    assert len(file_scans(plan)) <= 1  # events loads via the nanos rebuild
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
