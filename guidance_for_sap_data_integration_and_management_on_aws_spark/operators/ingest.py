@@ -429,6 +429,58 @@ def orc_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec(
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+             AS sum_price
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="S8 XML scan (Spark 4's BUILT-IN xml data source — the "
+    "databricks-xml donation, no external package): write an orders "
+    "projection as row-tagged XML, read it back with an EXPLICIT schema "
+    "(inference would be a second full scan), aggregate.  XML is the one "
+    "interchange format SAP landscapes still emit heavily (IDocs, "
+    "B2B/EDI payloads), so the lake engine must round-trip it "
+    "losslessly for the types used (bigint, double, string).  DuckDB "
+    "reads no XML, so the oracle states the aggregate from the source "
+    "table; equality proves the round-trip lossless.  Scale: row-tagged "
+    "XML splits by element boundaries across input files — per-file "
+    "parallel parse, no single-reader bottleneck.",
+)
+def xml_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.replay import scratch_dir
+
+    path = scratch_dir(f"xml-orders-{abs(hash(sf_dir)) % 10**8}")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    o.write.mode("overwrite").format("xml").option("rootTag", "orders").option(
+        "rowTag", "order"
+    ).save(path)
+    back = (
+        spark.read.schema(
+            "o_orderkey BIGINT, o_orderpriority STRING, o_totalprice DOUBLE"
+        )
+        .format("xml")
+        .option("rowTag", "order")
+        .load(path)
+    )
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Incremental (delta-load) merge: the reference does full-table extracts only;
 # real SAP pipelines re-extract changed rows and MERGE them into the lake.
@@ -1355,6 +1407,7 @@ QUERIES: dict[str, QuerySpec] = {
     "saprfc_stream_scan": saprfc_stream_scan,
     "csv_scan_roundtrip": csv_scan_roundtrip,
     "orc_scan_roundtrip": orc_scan_roundtrip,
+    "xml_scan_roundtrip": xml_scan_roundtrip,
     "saprfc_pushdown": saprfc_pushdown,
     "saprfc_projection": saprfc_projection,
     "sink_roundtrip": sink_roundtrip,
