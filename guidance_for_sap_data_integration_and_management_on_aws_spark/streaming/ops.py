@@ -887,7 +887,95 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_table(joined, "mem_stream_stream_left_join", "append")
 
 
+def _cusum_first_alarm(key, pdfs, state):
+    """Streaming CUSUM kernel: per-user s_t = max(0, s_(t-1) + x_t - k) in
+    EXACT integer cents (value cents are HALF_UP like the batch twin's
+    DECIMAL(12,2) cast), emitting ONE row at the first s_t >= h.  Rows
+    within a microbatch are sorted by (ts, event_id) — the groupBy shuffle
+    does not preserve arrival order — and the ordered replay guarantees
+    batch N's rows precede batch N+1's, so the serial recurrence sees the
+    exact event-time order end to end."""
+    import numpy as np
+
+    from ..operators.windows import CUSUM_H, CUSUM_K
+
+    s, alarmed = state.get if state.exists else (0, 0)
+    out = None
+    batches = [p for p in pdfs if len(p)]  # empty frames would both waste
+    # work and trip pandas' all-NA concat dtype deprecation
+    if not alarmed and batches:
+        pdf = pd.concat(batches).sort_values(["ts", "event_id"])
+        v = pdf["value"].to_numpy(dtype="float64") * 100.0
+        cents = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype("int64")
+        ts_s = pdf["ts"].to_numpy(dtype="datetime64[s]").astype("int64")
+        eids = pdf["event_id"].to_numpy(dtype="int64")
+        for i in range(len(cents)):
+            s = max(0, s + int(cents[i]) - CUSUM_K * 100)
+            if s >= CUSUM_H * 100:
+                alarmed = 1
+                out = pd.DataFrame(
+                    {
+                        "user_id": [key[0]],
+                        "alarm_event_id": [int(eids[i])],
+                        "alarm_epoch_s": [int(ts_s[i])],
+                        "cusum": [s / 100.0],
+                    }
+                )
+                break
+    state.update((s, alarmed))
+    if out is not None:
+        yield out
+
+
+def _batch_cusum_oracle() -> str:
+    from ..operators.windows import QUERIES as _WQ
+
+    return _WQ["ts_cusum_changepoint"].oracle
+
+
+@spec(
+    _batch_cusum_oracle(),
+    doc="STREAMING CUSUM CHANGE-POINT DETECTION (T6 shape): the D22 batch "
+    "query's serial recurrence run as per-user keyed state over the "
+    "ordered replay — exact integer-cents state, one emitted row per "
+    "user at the first alarm, terminal state afterwards (the kernel "
+    "drains post-alarm batches without growing output).  The ORACLE IS "
+    "THE BATCH TWIN's SQL verbatim: streaming and batch must agree row "
+    "for row on (user, first alarm event, instant, score) — the "
+    "batch-equivalence discipline of the T1-T8 family, here proving the "
+    "prefix-identity window form and the literal recurrence are the "
+    "same operator.  Microbatch rows re-sort by event time inside the "
+    "kernel (groupBy preserves no order); cross-batch order comes from "
+    "the ordered replay.  At 100 TB/day this is the alerting deployment "
+    "of D22: per-key state is two small integers however long the "
+    "stream runs.",
+)
+def stream_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql import Window
+
+    s = read_events_stream(spark, build_replay(spark, sf_dir, "ordered"))
+    alarms = s.groupBy("user_id").applyInPandasWithState(
+        _cusum_first_alarm,
+        "user_id BIGINT, alarm_event_id BIGINT, alarm_epoch_s BIGINT, "
+        "cusum DOUBLE",
+        "s BIGINT, alarmed INT",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    log = run_to_table(alarms, "mem_stream_cusum_alarms", "update")
+    # each user emits at most one row ever; the rn guard is belt-and-braces
+    # against a re-emitted update for the same key
+    w = Window.partitionBy("user_id").orderBy("alarm_event_id")
+    return (
+        log.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "alarm_event_id", "alarm_epoch_s", "cusum")
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "stream_cusum_alarms": stream_cusum_alarms,
     "stream_incremental_upsert": stream_incremental_upsert,
     "stream_tumbling_agg": stream_tumbling_agg,
     "stream_windowed_topk": stream_windowed_topk,
