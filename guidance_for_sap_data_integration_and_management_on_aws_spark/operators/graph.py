@@ -719,7 +719,95 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dist
 
 
+SSSP_MAX_EDGES = 4  # relaxation rounds = max path length considered
+
+
+@spec(
+    f"""
+    WITH RECURSIVE {_EDGES_CTE},
+    mw AS (SELECT MAX(w) AS m FROM edges),
+    bi AS (
+      SELECT src AS a, dst AS b, (SELECT m FROM mw) + 1 - w AS cost
+      FROM edges
+      UNION ALL
+      SELECT dst, src, (SELECT m FROM mw) + 1 - w FROM edges
+    ),
+    seed AS (SELECT a AS s FROM (
+      SELECT a, COUNT(*) AS c FROM bi GROUP BY a
+      ORDER BY c DESC, a LIMIT 1)),
+    walk(node, cost, hops) AS (
+      SELECT s, CAST(0 AS BIGINT), 0 FROM seed
+      UNION
+      SELECT bi.b, w.cost + bi.cost, w.hops + 1
+      FROM walk w JOIN bi ON bi.a = w.node
+      WHERE w.hops < {SSSP_MAX_EDGES}
+    )
+    SELECT node, CAST(MIN(cost) AS BIGINT) AS cost FROM walk GROUP BY node
+    """,
+    doc="SINGLE-SOURCE WEIGHTED SHORTEST PATH (bounded Bellman-Ford, "
+    f"{SSSP_MAX_EDGES} relaxation rounds) from the top-degree hub: edge "
+    "cost is the EXACT integer max(w)+1-w, so strong co-purchase ties are "
+    "short hops — the 'distance through the product graph' primitive "
+    "recommendation radii use, which hop-count BFS cannot answer on a "
+    "weighted graph.  Each round relaxes the full tentative-distance "
+    "frame through the memoized edge list (one equi-join + one min "
+    "aggregation = the textbook distributed Bellman-Ford round; work per "
+    "round is O(|E|)), localCheckpointed so the plan stays flat, with an "
+    "early exit when a round improves nothing.  All arithmetic is exact "
+    "integers — no float path costs to drift.  The oracle enumerates the "
+    "same <= "
+    f"{SSSP_MAX_EDGES}-edge walks as a depth-capped recursive CTE with "
+    "MIN-cost aggregation.",
+)
+def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = copurchase_edges(spark, sf_dir)
+    maxw = e.agg(F.max("w").alias("m")).first()[0]
+    cost = (F.lit(maxw) + 1 - F.col("w")).cast("bigint")
+    bi = (
+        e.select(F.col("src").alias("a"), F.col("dst").alias("b"), cost.alias("cost"))
+        .unionAll(
+            e.select(
+                F.col("dst").alias("a"), F.col("src").alias("b"), cost.alias("cost")
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        bi.groupBy("a")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("a"))
+        .limit(1)
+        .select(F.col("a").alias("node"), F.lit(0).cast("bigint").alias("cost"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(SSSP_MAX_EDGES):
+        relaxed = (
+            dist.join(bi, dist["node"] == bi["a"])
+            .select(F.col("b").alias("node"), (dist["cost"] + bi["cost"]).alias("cost"))
+        )
+        nd = (
+            dist.unionAll(relaxed)
+            .groupBy("node")
+            .agg(F.min("cost").alias("cost"))
+            .localCheckpoint(eager=True)
+        )
+        # early exit: a round that improves no tentative distance is final
+        # (columns renamed — a checkpointed frame self-joined against its
+        # own derivation trips Spark's ambiguous-self-join analyzer)
+        changed = (
+            nd.select(F.col("node"), F.col("cost").alias("new_cost"))
+            .join(dist.select("node", F.col("cost").alias("old_cost")), "node", "left_outer")
+            .filter(F.col("old_cost").isNull() | (F.col("new_cost") < F.col("old_cost")))
+            .take(1)
+        )
+        dist = nd
+        if not changed:
+            break
+    return dist
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "graph_sssp_weighted": graph_sssp_weighted,
     "basket_association_rules": basket_association_rules,
     "graph_bfs_hops": graph_bfs_hops,
     "graph_jaccard_neighbors": graph_jaccard_neighbors,

@@ -1042,8 +1042,57 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec(
+    """
+    WITH u AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+               AS first_view_us,
+             MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+               AS first_purchase_us
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST((first_purchase_us - first_view_us) // 3600000000 AS BIGINT)
+             AS lag_hours,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM u
+    WHERE first_view_us IS NOT NULL AND first_purchase_us IS NOT NULL
+      AND first_purchase_us >= first_view_us
+    GROUP BY 1
+    """,
+    doc="CONVERSION-LAG HISTOGRAM (time-to-convert, the funnel-latency "
+    "readout): per user, first view to first purchase, bucketed into "
+    "whole hours — exact integer epoch-microsecond MINs inside one "
+    "conditional aggregation (map-side combinable; no window, no join, "
+    "no self-scan per stage unlike the funnel's per-stage form), then a "
+    "constant-size histogram agg.  Users who never viewed, never "
+    "purchased, or purchased before ever viewing are excluded by the "
+    "same integer predicate on both engines.  Floor division on "
+    "positive integers is identical in Spark DIV and DuckDB //.  At "
+    "100 TB this is two aggregation passes whose first is keyed on the "
+    "natural user partitioning.",
+)
+def events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    u = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", us)).alias("fv"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("fp"),
+    )
+    return (
+        u.filter(
+            F.col("fv").isNotNull()
+            & F.col("fp").isNotNull()
+            & (F.col("fp") >= F.col("fv"))
+        )
+        .groupBy(F.expr("CAST((fp - fv) DIV 3600000000 AS BIGINT)").alias("lag_hours"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "events_path_trigrams": events_path_trigrams,
+    "events_conversion_lag": events_conversion_lag,
     "events_ab_test": events_ab_test,
     "ts_ewma_smooth": ts_ewma_smooth,
     "ts_cusum_changepoint": ts_cusum_changepoint,

@@ -884,3 +884,23 @@ def test_ab_test_two_agg_passes_one_row(spark, sf_dir):
     assert "Window" not in plan
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_sssp_relaxation_no_cartesian(spark, sf_dir):
+    """Each Bellman-Ford round is an equi-join of the tentative-distance
+    frame against the memoized edge list plus one min aggregation — never
+    a cartesian product, and the served plan reads the checkpointed
+    frames, not the base files."""
+    plan = _plan(spark, sf_dir, "graph_sssp_weighted")
+    assert "CartesianProduct" not in plan
+    assert "ExistingRDD" in plan
+
+
+def test_conversion_lag_two_agg_passes(spark, sf_dir):
+    """Both first-touch times come out of ONE conditional aggregation per
+    user (no per-stage self-joins like the funnel's form), then a
+    constant-size histogram agg."""
+    plan = _plan(spark, sf_dir, "events_conversion_lag")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
