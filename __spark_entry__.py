@@ -101,7 +101,7 @@ _PRIORITY = [
     "stream_session_window",
     # --- 1c. round-7 final additions — registered PAST the ~50-line on
     # --- purpose (the window is saturated: 37 never-checked + 12
-    # --- changed-since-green + 1 r2 re-green); these eleven are locally
+    # --- changed-since-green + 1 r2 re-green); these twelve are locally
     # --- parity-verified at sf0.01 + sf0.1 and LEAD the round-8 window ------
     "agg_equidepth_histogram",  # equal-frequency histogram, shared rank kernel
     "agg_corr_matrix",  # pairwise Pearson from ten exact moments, one pass
@@ -114,6 +114,7 @@ _PRIORITY = [
     "stream_cusum_alarms",  # streaming CUSUM, oracle = the batch twin verbatim
     "graph_sssp_weighted",  # bounded Bellman-Ford, exact integer costs
     "events_conversion_lag",  # first-view->first-purchase lag histogram
+    "mm_wav_vad",  # exact-energy voice-activity gate over real WAV bytes
     "stream_stateful_running_totals",
     "stream_static_join",
     "stream_stream_join",

@@ -856,7 +856,81 @@ def mm_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+VAD_WIN = 10  # samples per energy window
+VAD_ENERGY_T = 9_300_000_000  # ~median window energy of the fixture corpus
+
+
+@spec(
+    f"""
+    WITH d AS (
+      SELECT doc_id, 50 + doc_id % 50 AS n, (doc_id * 7) % 65536 AS a
+      FROM documents
+    ),
+    s AS (
+      SELECT d.doc_id,
+             ((d.a + g.range * 13) % 65536) - 32768 AS v,
+             CAST(g.range // {VAD_WIN} AS BIGINT) AS w_idx
+      FROM d, range(0, 99) g WHERE g.range < d.n
+    ),
+    we AS (
+      SELECT doc_id, w_idx, SUM(CAST(v AS BIGINT) * v) AS energy
+      FROM s GROUP BY doc_id, w_idx HAVING COUNT(*) = {VAD_WIN}
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(CASE WHEN energy > {VAD_ENERGY_T} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_active,
+           CAST(SUM(CASE WHEN energy > {VAD_ENERGY_T} THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS active_ratio
+    FROM we GROUP BY doc_id
+    """,
+    doc="L5 audio VOICE-ACTIVITY GATE over real WAV bytes: the decoded PCM "
+    f"stream is framed into {VAD_WIN}-sample windows, each window's EXACT "
+    "int64 energy (sum of squares) is thresholded, and the per-asset "
+    "active-window share is the curation signal (drop near-silent or "
+    "dead-air audio before training — the energy-VAD every speech "
+    "pipeline runs first; swap the threshold rule for a model VAD in "
+    "production, the framing/aggregation shape is identical).  Trailing "
+    "partial windows are excluded by the same COUNT predicate on both "
+    "engines.  All window energies are exact integers; the only float "
+    "output is one ratio division.  The oracle recomputes the windows "
+    "from the WAV generator's closed-form samples — equality proves the "
+    "real decode-frame-energy path bit-exact.  Scale: mapInPandas over "
+    "the binary column, per-row independent, zero shuffle before the "
+    "per-asset rollup.",
+)
+def mm_wav_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = {k: [] for k in ("doc_id", "n_windows", "n_active", "active_ratio")}
+            for doc_id, payload in zip(b["doc_id"], b["payload"]):
+                with wave.open(io.BytesIO(bytes(payload))) as wv:
+                    n = wv.getnframes()
+                    samples = np.frombuffer(wv.readframes(n), dtype="<i2").astype(
+                        np.int64
+                    )
+                full = (len(samples) // VAD_WIN) * VAD_WIN
+                win = samples[:full].reshape(-1, VAD_WIN)
+                energy = (win * win).sum(axis=1)
+                nw = int(energy.shape[0])
+                na = int((energy > VAD_ENERGY_T).sum())
+                rows["doc_id"].append(doc_id)
+                rows["n_windows"].append(nw)
+                rows["n_active"].append(na)
+                rows["active_ratio"].append(na / nw)
+            out = pd.DataFrame(rows)
+            out["n_windows"] = out["n_windows"].astype("int64")
+            out["n_active"] = out["n_active"].astype("int64")
+            yield out
+
+    return build_wav_frame(spark, sf_dir).mapInPandas(
+        kernel,
+        "doc_id BIGINT, n_windows BIGINT, n_active BIGINT, active_ratio DOUBLE",
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "mm_wav_vad": mm_wav_vad,
     "mm_ahash_neardup": mm_ahash_neardup,
     "mm_video_frames": mm_video_frames,
     "mm_wav_features": mm_wav_features,
