@@ -45,64 +45,24 @@ from guidance_for_sap_data_integration_and_management_on_aws_spark.registry impo
 #      line for round 8 (mm codecs, ingest/text r3 stragglers), then
 #      module order (r4+ greens, freshest last).
 _PRIORITY = [
-    # --- 1. NEW this round (never driver-checked) ---------------------------
-    "stream_stateful_v2",  # Spark 4 transformWithStateInPandas (T6 modern API)
-    "lake_bucketed_write",  # bucketed saveAsTable + zero-Exchange join/agg
-    "events_retention_cohorts",  # cohort retention matrix over events
-    "agg_hll_sketch_union",  # mergeable per-shard Datasketches HLL union
-    "text_bm25_topk",  # Okapi BM25 ranked retrieval over documents
-    "events_transitions",  # first-order Markov next-event matrix
-    "lake_zorder_layout",  # Morton-curve layout key + per-bucket dim bounds
-    "agg_kll_quantile_merge",  # per-shard KLL quantile sketches, merged
-    "agg_theta_set_ops",  # theta-sketch union/intersection vs exact
-    "lake_snapshot_diff",  # Merkle-style bucket-digest table reconciliation
-    "basket_association_rules",  # pairwise Apriori support/confidence/lift
-    "text_bigram_pmi",  # PMI collocations for phrase detection
-    "events_attribution",  # last-touch revenue attribution
-    "graph_jaccard_neighbors",  # neighbor-Jaccard link prediction
-    "ann_centroid_outliers",  # embedding-space outlier gate per cluster
-    # --- 1b. round-7 back-half additions (never driver-checked) -------------
-    "agg_heavy_hitters",  # map-side Misra-Gries candidates + exact verify
-    "agg_trimmed_stats",  # rank-based 5%-trimmed robust statistics
-    "events_sliding_active_users",  # rolling 7-day distinct actives
-    "graph_bfs_hops",  # bounded frontier BFS vs recursive-CTE oracle
-    "dedup_containment_pairs",  # asymmetric shingle containment near-dups
-    "lake_time_travel_read",  # partition-pruned as-of-run read
-    "mm_ahash_neardup",  # pigeonhole-banded perceptual-hash pairs
-    "text_dup_ngram_spans",  # cross-document repeated-8-gram span stats
-    "events_peak_concurrency",  # sweep-line peak concurrent sessions
-    "sql_lateral_topk",  # correlated LATERAL subquery, decorrelated plan
-    "join_asof_tolerance",  # as-of join with a staleness horizon
-    "dq_constraint_report",  # Deequ-style constraint check suite
-    "data_skew_report",  # distributed-Gini key-skew diagnostics
-    "ann_radius_search",  # zero-shuffle cosine range search
-    "ts_resample_ohlc",  # first/last OHLC candlestick rollup
-    "agg_mode_per_group",  # deterministic statistical mode
-    "events_rfm_segments",  # RFM quartile segmentation, distributed NTILE
-    "ivm_incremental_agg",  # materialized-view delta merge, O(delta) refresh
-    "ts_cusum_changepoint",  # CUSUM via the prefix-min identity, 2 windows
-    "pipeline_train_test_split",  # hash-bucket split + leakage audit census
-    "ann_negative_sampling",  # portable-seed contrastive negative draws
-    "ml_regression_trend",  # per-group OLS from five exact moments
-    # --- 2. builder/oracle changed since their last green -------------------
-    "text_sentiment_lexicon",  # polarity surfaced unrounded (ADVICE r6)
-    "anomaly_zscore",  # degenerate groups excluded on both engines (ADVICE r6)
-    "ml_linear_score",  # pred thresholds the ROUNDED score (ADVICE r6)
-    "lake_schema_evolution",  # deterministic reused scratch dir (ADVICE r6)
-    "dedup_connected_components",  # contraction + pointer-doubling kernel
-    "dedup_cluster_canonical",  # same kernel; now benched at full SF
-    "graph_components",  # same shared kernel
-    "dedup_jaccard_pairs",  # memoized verified-pair frame
-    "dedup_minhash_recall",  # exact-twin anchor over the cached pairs
-    "stream_dedup_within_watermark",  # derived dups replay + 4 state stores
-    "stream_watermark_late_drop",  # derived late replay
-    "stream_deadletter_split",  # derived bad replay
-    # --- 3a. r2-era greens (oldest in the registry) -------------------------
-    "stream_session_window",
-    # --- 1c. round-7 final additions — registered PAST the ~50-line on
-    # --- purpose (the window is saturated: 37 never-checked + 12
-    # --- changed-since-green + 1 r2 re-green); these twelve are locally
-    # --- parity-verified at sf0.01 + sf0.1 and LEAD the round-8 window ------
+    # ------------------------------------------------------------------
+    # ROUND-8 WINDOW LEDGER (~50 driver slots; see rotation invariant
+    # above).  Entering r8 the age profile was: never-checked 12 (+2 new
+    # this round), changed-since-green 1, r2-era greens 12, r3-era greens
+    # 43, r4+ greens re-earned within the last 4 rounds.  Budget:
+    #   12 never-checked (r7 late additions, queued here on purpose last
+    #      round)                                        -> slots  1-12
+    #    2 NEW this round (sketch rollup-merge family)   -> slots 13-14
+    #    1 changed-since-green (state-store sizing)      -> slot  15
+    #   12 r2-era greens (entire block drains)           -> slots 16-27
+    #   21 oldest r3 greens: the TPC-H suite             -> slots 28-48
+    #    2 next-oldest r3 greens (join family head)      -> slots 49-50
+    # Remaining r3 greens (18) queue first for round 9; after this round
+    # no query's latest green should be older than r3, and the r3 block
+    # fits inside one more window.
+    # ------------------------------------------------------------------
+    # --- 1. never driver-checked (r7 late additions; local sf0.001/
+    # --- sf0.01/sf0.1 parity only until the driver sees them) ----------
     "agg_equidepth_histogram",  # equal-frequency histogram, shared rank kernel
     "agg_corr_matrix",  # pairwise Pearson from ten exact moments, one pass
     "events_path_trigrams",  # top 3-step journeys, constant-size final rank
@@ -115,6 +75,14 @@ _PRIORITY = [
     "graph_sssp_weighted",  # bounded Bellman-Ford, exact integer costs
     "events_conversion_lag",  # first-view->first-purchase lag histogram
     "mm_wav_vad",  # exact-energy voice-activity gate over real WAV bytes
+    # --- 1b. NEW this round (never driver-checked): sketch partial-merge
+    # --- across rollup levels (r7 verdict item 7) ----------------------
+    "agg_hll_rollup_merge",  # day-sketch fact table unioned up the cube
+    "agg_kll_rollup_merge",  # KLL twin: mergeable medians per rollup level
+    # --- 2. builder changed since last green ---------------------------
+    "stream_stateful_sessions",  # state stores sized to keyspace (r7 item 6)
+    # --- 3. staleness rotation: the 12 r2-era greens (oldest on record;
+    # --- whole block drains this round) --------------------------------
     "stream_stateful_running_totals",
     "stream_static_join",
     "stream_stream_join",
@@ -127,10 +95,8 @@ _PRIORITY = [
     "mm_asset_stats",
     "mm_resize",
     "mm_frame_sample",
-    # --- 3b. oldest r3 greens up to the ~50-entry line ----------------------
-    # --- ~50-entry line (the 10 back-half additions displaced the r3-stale
-    # --- TPC-H block to ballast; never-checked queries trump stale
-    # --- re-greens, the suite re-queues for round 8) ------------------------
+    # --- 3b. oldest r3 greens: the TPC-H suite (headline relational
+    # --- surface, displaced from the saturated r7 window) --------------
     "q1_pricing_summary",
     "q2_min_cost_supplier",
     "q3_shipping_priority",
@@ -152,9 +118,11 @@ _PRIORITY = [
     "q20_promotion_suppliers",
     "q21_waiting_suppliers",
     "q22_idle_customers",
+    # --- 3c. next-oldest r3 greens up to the ~50-entry line ------------
     "join_inner",
     "join_broadcast",
-    # --- 4. rotation ballast: remaining r3 greens queue for round 8 ---------
+    # --- 4. rotation ballast: remaining r3 greens queue FIRST for
+    # --- round 9 (the window line falls above here) --------------------
     "join_shuffle_hash",
     "join_left_outer",
     "join_full_outer",
@@ -175,8 +143,9 @@ _PRIORITY = [
     "mm_bmp_decode",
     "mm_bmp_resize",
     "mm_wav_decode",
-    # r04+ greens not listed trail in module order (re-earned within the
-    # last three rounds)
+    # r04+ greens not listed trail in module order (every one re-earned
+    # green within the last four rounds; stream_stateful_v2 — r7-green —
+    # trails too, with its conditional registration handled below)
 ]
 
 

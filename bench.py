@@ -27,6 +27,23 @@ REDUCED_SF queries run against sf0.01 instead (flagged in the JSON under
 qualify), which is oracle-twin duty, not the production path; the
 production-scale near-dup representative at full bench SF is
 dedup_minhash_lsh.
+
+SHARED-FRAME ATTRIBUTION (round 8, r7 verdict What's-wrong #2): the
+quadratic verified-pair frame dedup.py memoizes per (session, sf_dir) is
+consumed by four dedup queries; before round 8 its one-time build was
+charged to whichever consumer ran first, making those per-query times
+order-dependent.  The bench now materializes it up front and reports the
+cost as explicit `_shared_pair_frame_build[sfX]` entries in "queries", so
+every dedup consumer's time is its own marginal work regardless of order.
+
+BASELINE FREEZE POLICY (round 8, r7 verdict What's-wrong #1):
+bench_baseline.json is FROZEN across rounds — never refreshed wholesale at
+round end (two same-round refreshes in r7 made the 2x gate compare a run
+against its own run-family and blinded it to within-round regressions).
+The only permitted update is ADDING rows for queries that did not exist in
+the previous round, at their first benched time, via
+`python bench.py --baseline-add-new` (which refuses to touch existing
+rows).  Shared-query rows therefore always predate the round under test.
 """
 
 from __future__ import annotations
@@ -78,12 +95,13 @@ REDUCED_SF = {
     # sub-quadratic SCALING and so bench at full SF; note their sf0.1 wall
     # time is dominated by the FIXTURE's pathological pair density (57% of
     # all doc pairs qualify at 0.6 — the batch x corpus qualifying-pair
-    # mass is ~2.3M rows), not by the operators' asymptotics.  In
-    # particular ~2/3 of dedup_cluster_canonical's wall is the ONE-TIME
-    # session build of the exact verified-pair frame (quadratic oracle
-    # duty, ~7M pairs at sf0.1), charged to it because it is that frame's
-    # first consumer in the run; its own marginal work (contraction CC +
-    # one window pass) is ~7s at sf0.1 once the frame exists.
+    # mass is ~2.3M rows), not by the operators' asymptotics.  The
+    # ONE-TIME session build of the exact verified-pair frame (quadratic
+    # oracle duty, ~7M pairs at sf0.1) is since round 8 materialized up
+    # front and reported as `_shared_pair_frame_build[...]` line items
+    # (see SHARED-FRAME ATTRIBUTION in the module docstring), so
+    # dedup_cluster_canonical's number is its own marginal work
+    # (contraction CC + one window pass).
     # dedup_connected_components IS reduced: it computes connected
     # components OVER the quadratic pair set — its input is the oracle
     # twin's output, so it inherits the same volume (the contraction
@@ -101,6 +119,31 @@ REDUCED_SF = {
 # small absolute slack for sub-second noise) under --check
 CHECK_FACTOR = 1.5
 CHECK_SLACK_SEC = 0.3
+
+
+def baseline_add_new() -> None:
+    """Merge rows for NEW queries from bench_out.json into
+    bench_baseline.json — the only update the freeze policy permits.
+    Existing rows are never touched; run after benching a round that
+    added queries."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "bench_out.json")) as fh:
+        out = json.load(fh)
+    with open(os.path.join(here, "bench_baseline.json")) as fh:
+        base = json.load(fh)
+    added = []
+    for name, t in out["queries"].items():
+        if name not in base["queries"]:
+            base["queries"][name] = t
+            if name in out.get("queries_norm", {}):
+                base.setdefault("queries_norm", {})[name] = out["queries_norm"][name]
+            added.append(name)
+    base["n_queries"] = len(base["queries"])
+    with open(os.path.join(here, "bench_baseline.json"), "w") as fh:
+        json.dump(base, fh, indent=1)
+        fh.write("\n")
+    print(f"baseline: added {len(added)} new rows {added}; "
+          f"existing rows untouched (freeze policy)", file=sys.stderr)
 
 
 def main(check: bool = False) -> None:
@@ -195,6 +238,29 @@ def main(check: bool = False) -> None:
     )
     run_to_table(warm, "bench_warm_stream", "append", shuffle_partitions=4)
 
+    # Shared verified-pair frame: the quadratic exact pair frame dedup.py
+    # memoizes per (session, sf_dir) feeds dedup_jaccard_pairs,
+    # dedup_minhash_recall, dedup_connected_components and
+    # dedup_cluster_canonical.  Materialize it up front and charge the
+    # one-time build to an explicit line item so the four consumers' times
+    # are order-independent (see SHARED-FRAME ATTRIBUTION above).
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.operators.dedup import (
+        _jaccard_pairs_cached,
+    )
+
+    pair_consumers = ("dedup_jaccard_pairs", "dedup_minhash_recall",
+                      "dedup_connected_components", "dedup_cluster_canonical")
+    shared_builds: dict[str, float] = {}
+    for pdir in sorted({reduced.get(n, sf_dir) for n in pair_consumers if n in qs}):
+        t0 = time.perf_counter()
+        _jaccard_pairs_cached(spark, pdir).write.mode("overwrite").format(
+            "noop"
+        ).save()
+        leaf = os.path.basename(pdir.rstrip("/"))
+        shared_builds[f"_shared_pair_frame_build[{leaf}]"] = round(
+            time.perf_counter() - t0, 3
+        )
+
     # Environment calibration: a fixed CPU-bound Spark job whose cost is
     # data-independent.  Cross-round headline comparisons divide by this to
     # separate engine regressions from host-load drift (observed 1.4x
@@ -208,7 +274,7 @@ def main(check: bool = False) -> None:
 
     calib_start = run_calib()
 
-    timings: dict[str, float] = {}
+    timings: dict[str, float] = dict(shared_builds)
     errors: dict[str, str] = {}
     for name in HEADLINE:
         if name in qs:
@@ -318,4 +384,7 @@ def main(check: bool = False) -> None:
 
 
 if __name__ == "__main__":
-    main(check="--check" in sys.argv)
+    if "--baseline-add-new" in sys.argv:
+        baseline_add_new()
+    else:
+        main(check="--check" in sys.argv)

@@ -452,9 +452,19 @@ def orc_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "parallel parse, no single-reader bottleneck.",
 )
 def xml_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..streaming.replay import scratch_dir
+    import hashlib
+    import os
 
-    path = scratch_dir(f"xml-orders-{abs(hash(sf_dir)) % 10**8}")
+    from ..streaming.replay import _SCRATCH
+
+    # stable md5 key (str hash is salted per-process) + pid suffix, reused
+    # across invocations in a process — same scratch-hygiene convention as
+    # lake_schema_evolution / lake_time_travel_read / ivm_incremental_agg
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.abspath(
+        os.path.join(_SCRATCH, "xml-orders", f"sf-{key}-p{os.getpid()}")
+    )
+    os.makedirs(path, exist_ok=True)
     o = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority", "o_totalprice"
     )

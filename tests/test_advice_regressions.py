@@ -232,3 +232,60 @@ def test_corrupt_run_honors_arrow_batch_bound(monkeypatch):
     assert max(b.num_rows for b in batches) <= 16  # bound held mid-corrupt-run
     corrupt = sum(b.column("_corrupt_record").null_count == 0 for b in batches)
     assert corrupt  # corrupt rows did surface
+
+
+# ---------------------------------------------------------------------------
+# Round-7 advisor findings (ADVICE.md r07):
+# 11. the streaming CUSUM kernel must derive cents with the batch twin's
+#     double -> DECIMAL(12,2) HALF_UP semantics (Decimal on the shortest
+#     string repr), not float sign*floor(|v*100|+0.5) — those diverge on
+#     >2-decimal inputs like 49.615 (double 49.61499...);
+# 12. xml_scan_roundtrip's scratch dir must be stable within a process
+#     (md5-keyed like its lake siblings), not abs(hash(...))-keyed —
+#     str hash is salted per process, so every run would leak a fresh tree.
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_cusum_cents_match_decimal_cast():
+    from decimal import Decimal
+
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.streaming.ops import (
+        _decimal_cents,
+    )
+
+    # the ADVICE example: double(49.615) = 49.61499... — float rounding
+    # yields 4961, the DECIMAL(12,2) HALF_UP cast (and this kernel) 4962
+    assert _decimal_cents(49.615) == 4962
+    # binary-exact .5 boundary: HALF_UP, not banker's
+    assert _decimal_cents(0.125) == 13
+    assert _decimal_cents(-0.125) == -13  # away from zero
+    # exact agreement with the literal DECIMAL(12,2) HALF_UP quantize — the
+    # ADVICE-prescribed form — on a spread of values
+    from decimal import ROUND_HALF_UP
+
+    for v in (0.0, 1.0, 2.675, -2.675, 49.615, 103.99499999, 7.005):
+        want = int(
+            Decimal(repr(v))
+            .quantize(Decimal("0.01"), rounding=ROUND_HALF_UP)
+            .scaleb(2)
+        )
+        assert _decimal_cents(v) == want, v
+
+
+def test_xml_scratch_dir_stable_within_process(spark, sf_dir):
+    import os
+
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.streaming.replay import (
+        _SCRATCH,
+    )
+    from tests.test_oracle_parity import REG
+
+    base = os.path.abspath(os.path.join(_SCRATCH, "xml-orders"))
+    REG["xml_scan_roundtrip"].builder(spark, sf_dir).collect()
+    first = set(os.listdir(base))
+    REG["xml_scan_roundtrip"].builder(spark, sf_dir).collect()
+    second = set(os.listdir(base))
+    # a second invocation reuses the md5+pid-keyed dir — no new tree leaks
+    assert first == second
+    mine = [d for d in second if d.endswith(f"-p{os.getpid()}")]
+    assert len(mine) == 1, mine

@@ -904,3 +904,31 @@ def test_conversion_lag_two_agg_passes(spark, sf_dir):
     assert "Join" not in plan
     assert "Window" not in plan
     assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_hll_rollup_merges_cached_sketch_frame(spark, sf_dir):
+    """The grouping-sets sketch rollup (r7 verdict item 7): every rollup
+    level above the leaf must be served by merging the PERSISTED
+    per-(type, day) sketch fact table (InMemoryTableScan), never by
+    re-aggregating events rows — at 100 TB the coarser cube cells cost
+    unions of 4 KB buffers, not rescans.  The parquet FileScans visible in
+    the text are the InMemoryRelation's child echoed per cache-scan site
+    (same artifact the minhash lock documents)."""
+    plan = _plan(spark, sf_dir, "agg_hll_rollup_merge")
+    # leaf passthrough + per-type union + grand union all read the cache
+    assert plan.count("InMemoryTableScan") >= 3, plan
+    assert "hll_union_agg" in plan  # levels are sketch MERGES, not re-aggs
+    # the estimate side is broadcast into the exact rollup anchor
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_kll_rollup_merges_cached_sketch_frame(spark, sf_dir):
+    """KLL twin of the HLL rollup lock: per-flag and grand-total medians
+    come from pairwise kll_sketch_merge_double folds over the persisted
+    leaf-sketch frame; exact percentile runs once as the anchor scan."""
+    plan = _plan(spark, sf_dir, "agg_kll_rollup_merge")
+    assert plan.count("InMemoryTableScan") >= 3, plan
+    assert "kll_sketch_merge_double" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -22,38 +22,34 @@ def test_registry_shape():
     # stream_stateful_v2 is gated off (no provisionable protobuf runtime)
     expected = [n for n in entrymod._PRIORITY if n in reg]
     assert names[: len(expected)] == expected
-    # round-7 window layout (criticality order): NEVER-CHECKED round-7
-    # additions lead (no correctness signal without a driver row), then
-    # queries whose builder/oracle changed since their last green (float-
-    # parity fixes, contraction CC kernel, derived replay variants), then
-    # the r2-stale greens and the oldest r3 greens per the rotation
-    # invariant; remaining ballast queues past the ~50 line.
-    assert names[0] in ("stream_stateful_v2", "lake_bucketed_write")
-    # changed-since-green and stale-rotation entries sit inside the window
-    # The 22 back-half additions cost the stale-rotation tail its slots:
-    # 37 never-checked + 12 changed-since-green entries leave ONE place for
-    # an r2-era re-green (stream_session_window keeps it; the remaining
-    # r2 streaming/UDF block and the TPC-H r3 block re-queue for round 8).
-    # Never-checked queries trump stale re-greens — a new operator without
-    # a driver row has NO correctness signal at all — and every displaced
-    # stale query still runs through the local sf0.001 differential parity
-    # gate (test_oracle_parity) each round.
-    for probe in ("lake_bucketed_write", "anomaly_zscore",
-                  "dedup_cluster_canonical", "stream_dedup_within_watermark",
-                  "stream_session_window",
-                  # round-7 back-half additions (never checked -> in-window)
-                  "agg_heavy_hitters", "agg_trimmed_stats",
-                  "events_sliding_active_users", "graph_bfs_hops",
-                  "dedup_containment_pairs", "lake_time_travel_read",
-                  "mm_ahash_neardup", "text_dup_ngram_spans",
-                  "events_peak_concurrency", "sql_lateral_topk",
-                  "join_asof_tolerance", "dq_constraint_report",
-                  "data_skew_report", "ann_radius_search",
-                  "ts_resample_ohlc", "agg_mode_per_group",
-                  "events_rfm_segments", "ivm_incremental_agg",
-                  # round-7 late additions (never checked -> in-window)
-                  "ts_cusum_changepoint", "pipeline_train_test_split",
-                  "ann_negative_sampling", "ml_regression_trend"):
+    # round-8 window layout (criticality order): the 12 r7 late additions
+    # that have NEVER had a driver row lead (deliberately queued past the
+    # saturated r7 window; ADVICE r7 pinned exactly this ordering risk),
+    # then the 2 new sketch-rollup queries, the 1 changed-since-green
+    # builder, the 12 r2-era greens (the whole block drains), and the
+    # 21-query TPC-H suite + the 2 oldest r3 joins per the rotation
+    # invariant; remaining r3 ballast queues FIRST for round 9.
+    never_checked = [
+        "agg_equidepth_histogram", "agg_corr_matrix", "events_path_trigrams",
+        "ml_score_calibration", "ts_ewma_smooth", "text_oov_rate",
+        "events_ab_test", "xml_scan_roundtrip", "stream_cusum_alarms",
+        "graph_sssp_weighted", "events_conversion_lag", "mm_wav_vad",
+    ]
+    assert names[:12] == never_checked
+    assert names[12:15] == [
+        "agg_hll_rollup_merge",  # new this round (r7 verdict item 7)
+        "agg_kll_rollup_merge",
+        "stream_stateful_sessions",  # state-store sizing (r7 verdict item 6)
+    ]
+    for probe in (
+        # r2-era rotation block
+        "stream_stateful_running_totals", "udf_scalar_reverse",
+        "udtf_bigrams", "mm_frame_sample",
+        # TPC-H rotation block (oldest r3 greens)
+        "q1_pricing_summary", "q13_order_distribution", "q22_idle_customers",
+        # join-family head (next-oldest r3)
+        "join_inner", "join_broadcast",
+    ):
         assert names.index(probe) < 50, probe
     # this round's window is fully oracle-checked — the three rows-only
     # entries (all r6-checked, each with a green exact anchor) rotate out
