@@ -559,3 +559,42 @@ def test_heavy_hitters_matches_plain_having(spark, sf_dir):
         .collect()
     }
     assert got == plain and got
+
+
+def test_hll_rollup_union_equals_direct_sketch(spark, sf_dir):
+    """Structural invariant behind agg_hll_rollup_merge: Datasketches HLL
+    union is LOSSLESS over partitionings — merging the per-(type, day) cell
+    sketches must estimate exactly what one sketch built over all rows
+    estimates (same register state), for the grand total AND each per-type
+    level.  This is the property that makes the sketch fact table a safe
+    substitute for re-scanning rows at every cube level."""
+    from pyspark.sql import functions as F
+
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.catalog import load
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id"
+    )
+    base = ev.groupBy("event_type", "day").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged_total = base.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e")
+    ).first()["e"]
+    direct_total = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("e")
+    ).first()["e"]
+    assert merged_total == direct_total
+    merged_by_type = {
+        r["event_type"]: r["e"]
+        for r in base.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e"))
+        .collect()
+    }
+    direct_by_type = {
+        r["event_type"]: r["e"]
+        for r in ev.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("e"))
+        .collect()
+    }
+    assert merged_by_type == direct_by_type and merged_by_type

@@ -64,6 +64,9 @@ def _assert_no_decimal(df, name):
 
 @pytest.mark.parametrize("name", ORACLE_NAMES)
 def test_oracle_parity(spark, duck, sf_dir, name):
+    reason = _sweep_skip(name, sf_dir)
+    if reason:
+        pytest.skip(f"sf0.1 sweep exception: {reason}")
     q = REG[name]
     df = q.builder(spark, sf_dir)
     _assert_no_decimal(df, name)
