@@ -32,9 +32,18 @@ SHARED-FRAME ATTRIBUTION (round 8, r7 verdict What's-wrong #2): the
 quadratic verified-pair frame dedup.py memoizes per (session, sf_dir) is
 consumed by four dedup queries; before round 8 its one-time build was
 charged to whichever consumer ran first, making those per-query times
-order-dependent.  The bench now materializes it up front and reports the
-cost as explicit `_shared_pair_frame_build[sfX]` entries in "queries", so
-every dedup consumer's time is its own marginal work regardless of order.
+order-dependent.  The bench now materializes it right after the headline
+block (before the full loop, so it precedes every consumer; building it
+before the headline pins multi-million-row persisted frames through the
+headline measurements — observed +2x) and reports the cost as explicit
+`_shared_pair_frame_build[sfX]` entries in "queries", so every dedup
+consumer's time is its own marginal work regardless of order.  The four
+consumers are timed immediately after, then the pair frames are RELEASED
+(leaving 7M-row persisted frames pinned evicted other queries' caches —
+measured 2.7-5x inflation on the ann family / dedup_minhash_lsh).  The
+graph edge memo gets the same split (`_shared_edge_frame_build[sfX]`) but
+stays checkpointed for the run, as in r7.  The `_shared_*` entries count
+toward all_queries_total, never toward the headline value.
 
 BASELINE FREEZE POLICY (round 8, r7 verdict What's-wrong #1):
 bench_baseline.json is FROZEN across rounds — never refreshed wholesale at
@@ -238,29 +247,6 @@ def main(check: bool = False) -> None:
     )
     run_to_table(warm, "bench_warm_stream", "append", shuffle_partitions=4)
 
-    # Shared verified-pair frame: the quadratic exact pair frame dedup.py
-    # memoizes per (session, sf_dir) feeds dedup_jaccard_pairs,
-    # dedup_minhash_recall, dedup_connected_components and
-    # dedup_cluster_canonical.  Materialize it up front and charge the
-    # one-time build to an explicit line item so the four consumers' times
-    # are order-independent (see SHARED-FRAME ATTRIBUTION above).
-    from guidance_for_sap_data_integration_and_management_on_aws_spark.operators.dedup import (
-        _jaccard_pairs_cached,
-    )
-
-    pair_consumers = ("dedup_jaccard_pairs", "dedup_minhash_recall",
-                      "dedup_connected_components", "dedup_cluster_canonical")
-    shared_builds: dict[str, float] = {}
-    for pdir in sorted({reduced.get(n, sf_dir) for n in pair_consumers if n in qs}):
-        t0 = time.perf_counter()
-        _jaccard_pairs_cached(spark, pdir).write.mode("overwrite").format(
-            "noop"
-        ).save()
-        leaf = os.path.basename(pdir.rstrip("/"))
-        shared_builds[f"_shared_pair_frame_build[{leaf}]"] = round(
-            time.perf_counter() - t0, 3
-        )
-
     # Environment calibration: a fixed CPU-bound Spark job whose cost is
     # data-independent.  Cross-round headline comparisons divide by this to
     # separate engine regressions from host-load drift (observed 1.4x
@@ -274,12 +260,70 @@ def main(check: bool = False) -> None:
 
     calib_start = run_calib()
 
-    timings: dict[str, float] = dict(shared_builds)
+    timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
         if name in qs:
             timings[name] = round(run(name), 3)
     total = round(sum(timings.values()), 3)
+
+    # Shared verified-pair frame: the quadratic exact pair frame dedup.py
+    # memoizes per (session, sf_dir) feeds dedup_jaccard_pairs,
+    # dedup_minhash_recall, dedup_connected_components and
+    # dedup_cluster_canonical.  Materialize it AFTER the headline block (no
+    # headline query consumes it, and pinning two multi-million-row
+    # persisted frames before the headline measurably pressures the whole
+    # block — observed +2x on an otherwise idle box) but BEFORE the full
+    # loop, charging the one-time build to explicit line items so the four
+    # consumers' times are order-independent (SHARED-FRAME ATTRIBUTION
+    # above).
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.operators.dedup import (
+        _jaccard_pairs_cached,
+    )
+
+    pair_consumers = ("dedup_jaccard_pairs", "dedup_minhash_recall",
+                      "dedup_connected_components", "dedup_cluster_canonical")
+    for pdir in sorted({reduced.get(n, sf_dir) for n in pair_consumers if n in qs}):
+        t0 = time.perf_counter()
+        _jaccard_pairs_cached(spark, pdir).write.mode("overwrite").format(
+            "noop"
+        ).save()
+        leaf = os.path.basename(pdir.rstrip("/"))
+        timings[f"_shared_pair_frame_build[{leaf}]"] = round(
+            time.perf_counter() - t0, 3
+        )
+    # ...then time the four consumers against the warm frames and RELEASE
+    # the frames before the rest of the suite: nothing else reads them, and
+    # leaving two multi-million-row persisted frames pinned measurably
+    # evicts other queries' caches for the remainder of the run (observed:
+    # the ann family 3-5x slower, dedup_minhash_lsh 2.7x, with the frames
+    # pinned vs r7's numbers).
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.operators.dedup import (
+        _PAIRS_CACHE,
+    )
+
+    for name in pair_consumers:
+        if name in qs and name not in timings:
+            timings[name] = round(run(name), 3)
+    for frame in _PAIRS_CACHE.values():
+        frame.unpersist()
+    _PAIRS_CACHE.clear()
+
+    # Same attribution split for graph.py's memoized co-purchase edge list
+    # (localCheckpoint, eager): every graph_* query reads it, so whichever
+    # ran first in registry order paid its one-time build (~3-5s at sf0.1 —
+    # r8's window re-sort moved graph_sssp_weighted to the front and its
+    # number silently tripled).  Build it here as its own line item; it is
+    # small enough to stay checkpointed for the run (the r7 status quo).
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.operators.graph import (
+        copurchase_edges,
+    )
+
+    t0 = time.perf_counter()
+    copurchase_edges(spark, sf_dir).write.mode("overwrite").format("noop").save()
+    timings[
+        f"_shared_edge_frame_build[{os.path.basename(sf_dir.rstrip('/'))}]"
+    ] = round(time.perf_counter() - t0, 3)
 
     for name in qs:
         if name in timings:
