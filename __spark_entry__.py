@@ -53,13 +53,13 @@ _PRIORITY = [
     #   12 never-checked (r7 late additions, queued here on purpose last
     #      round)                                        -> slots  1-12
     #    2 NEW this round (sketch rollup-merge family)   -> slots 13-14
-    #    1 changed-since-green (state-store sizing)      -> slot  15
-    #   12 r2-era greens (entire block drains)           -> slots 16-27
-    #   21 oldest r3 greens: the TPC-H suite             -> slots 28-48
-    #    2 next-oldest r3 greens (join family head)      -> slots 49-50
-    # Remaining r3 greens (18) queue first for round 9; after this round
-    # no query's latest green should be older than r3, and the r3 block
-    # fits inside one more window.
+    #    3 changed-since-green (state-store sizing; the
+    #      S8 csv/orc scratch-path hygiene fix)          -> slots 15-17
+    #   12 r2-era greens (entire block drains)           -> slots 18-29
+    #   21 oldest r3 greens: the TPC-H suite             -> slots 30-50
+    # Remaining r3 greens (19, join family first) queue first for round 9;
+    # after this round no query's latest green should be older than r3,
+    # and the r3 block fits inside one more window.
     # ------------------------------------------------------------------
     # --- 1. never driver-checked (r7 late additions; local sf0.001/
     # --- sf0.01/sf0.1 parity only until the driver sees them) ----------
@@ -81,6 +81,8 @@ _PRIORITY = [
     "agg_kll_rollup_merge",  # KLL twin: mergeable medians per rollup level
     # --- 2. builder changed since last green ---------------------------
     "stream_stateful_sessions",  # state stores sized to keyspace (r7 item 6)
+    "csv_scan_roundtrip",  # md5+pid scratch path (ADVICE r7 item 2 sibling)
+    "orc_scan_roundtrip",  # md5+pid scratch path (ADVICE r7 item 2 sibling)
     # --- 3. staleness rotation: the 12 r2-era greens (oldest on record;
     # --- whole block drains this round) --------------------------------
     "stream_stateful_running_totals",
@@ -118,11 +120,10 @@ _PRIORITY = [
     "q20_promotion_suppliers",
     "q21_waiting_suppliers",
     "q22_idle_customers",
-    # --- 3c. next-oldest r3 greens up to the ~50-entry line ------------
-    "join_inner",
-    "join_broadcast",
     # --- 4. rotation ballast: remaining r3 greens queue FIRST for
     # --- round 9 (the window line falls above here) --------------------
+    "join_inner",
+    "join_broadcast",
     "join_shuffle_hash",
     "join_left_outer",
     "join_full_outer",
@@ -132,7 +133,6 @@ _PRIORITY = [
     "agg_grouping_sets",
     "ingest_merge_upsert",
     "rfc_parse_valid",
-    "orc_scan_roundtrip",
     "text_repetition_filter",
     "sample_stratified",
     "pipeline_pack_sequences",

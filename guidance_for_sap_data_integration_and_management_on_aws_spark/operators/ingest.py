@@ -348,6 +348,25 @@ def sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "fmt STRING, channel STRING, n_rows BIGINT")
 
 
+def _roundtrip_scratch(kind: str, sf_dir: str) -> str:
+    """Stable per-(kind, sf, process) scratch path for the S8 round-trip
+    scans, REUSED across invocations in a process (mode=overwrite rewrites
+    in place, so scratch stays bounded instead of leaking a fresh tree per
+    call).  md5, not str hash — the latter is salted per process and
+    accumulated stale trees (ADVICE r7 item 2, applied to the whole S8
+    family).  The pid suffix keeps concurrent processes (bench + pytest,
+    xdist workers) from overwriting each other's files mid-scan."""
+    import hashlib
+    import os
+
+    from ..streaming.replay import _SCRATCH
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.abspath(os.path.join(_SCRATCH, kind, f"sf-{key}-p{os.getpid()}"))
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
 @spec(
     """
     SELECT l_returnflag,
@@ -363,9 +382,7 @@ def sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "must be lossless for the types used (bigint, double, string, date).",
 )
 def csv_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..streaming.replay import scratch_dir
-
-    path = scratch_dir(f"csv-lineitem-{abs(hash(sf_dir)) % 10**8}")
+    path = _roundtrip_scratch("csv-lineitem", sf_dir)
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey",
         "l_linenumber",
@@ -409,9 +426,7 @@ def csv_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "round-trip lossless for the types used.",
 )
 def orc_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..streaming.replay import scratch_dir
-
-    path = scratch_dir(f"orc-lineitem-{abs(hash(sf_dir)) % 10**8}")
+    path = _roundtrip_scratch("orc-lineitem", sf_dir)
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus", "l_extendedprice"
     )
@@ -452,19 +467,7 @@ def orc_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "parallel parse, no single-reader bottleneck.",
 )
 def xml_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
-    import os
-
-    from ..streaming.replay import _SCRATCH
-
-    # stable md5 key (str hash is salted per-process) + pid suffix, reused
-    # across invocations in a process — same scratch-hygiene convention as
-    # lake_schema_evolution / lake_time_travel_read / ivm_incremental_agg
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = os.path.abspath(
-        os.path.join(_SCRATCH, "xml-orders", f"sf-{key}-p{os.getpid()}")
-    )
-    os.makedirs(path, exist_ok=True)
+    path = _roundtrip_scratch("xml-orders", sf_dir)
     o = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority", "o_totalprice"
     )

@@ -289,3 +289,27 @@ def test_xml_scratch_dir_stable_within_process(spark, sf_dir):
     assert first == second
     mine = [d for d in second if d.endswith(f"-p{os.getpid()}")]
     assert len(mine) == 1, mine
+
+
+def test_decimal_cents_vec_matches_scalar():
+    """The vectorized cents kernel must agree with the scalar Decimal path
+    everywhere — including .5 ties (half-up pinned above), 3-decimal
+    values whose doubles sit just under a boundary, and full-precision
+    random doubles (seeded)."""
+    import numpy as np
+
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.streaming.ops import (
+        _decimal_cents,
+        _decimal_cents_vec,
+    )
+
+    rng = np.random.default_rng(7)
+    vals = np.concatenate([
+        rng.uniform(-1000, 1000, 20000),
+        np.array([49.615, -49.615, 0.125, -0.125, 0.625, 2.675, -2.675,
+                  7.005, 0.0, 1.0, 103.99499999]),
+        np.round(rng.uniform(-100, 100, 10000), 3),
+        np.round(rng.uniform(-100, 100, 10000), 2),
+    ])
+    want = np.array([_decimal_cents(x) for x in vals])
+    assert (want == _decimal_cents_vec(vals)).all()

@@ -36,10 +36,12 @@ def test_registry_shape():
         "graph_sssp_weighted", "events_conversion_lag", "mm_wav_vad",
     ]
     assert names[:12] == never_checked
-    assert names[12:15] == [
+    assert names[12:17] == [
         "agg_hll_rollup_merge",  # new this round (r7 verdict item 7)
         "agg_kll_rollup_merge",
         "stream_stateful_sessions",  # state-store sizing (r7 verdict item 6)
+        "csv_scan_roundtrip",  # scratch-path hygiene (ADVICE r7 item 2)
+        "orc_scan_roundtrip",
     ]
     for probe in (
         # r2-era rotation block
@@ -47,8 +49,6 @@ def test_registry_shape():
         "udtf_bigrams", "mm_frame_sample",
         # TPC-H rotation block (oldest r3 greens)
         "q1_pricing_summary", "q13_order_distribution", "q22_idle_customers",
-        # join-family head (next-oldest r3)
-        "join_inner", "join_broadcast",
     ):
         assert names.index(probe) < 50, probe
     # this round's window is fully oracle-checked — the three rows-only
