@@ -134,19 +134,29 @@ def baseline_add_new() -> None:
     """Merge rows for NEW queries from bench_out.json into
     bench_baseline.json — the only update the freeze policy permits.
     Existing rows are never touched; run after benching a round that
-    added queries."""
+    added queries.  Refuses a bench_out produced at a different scale
+    factor than the baseline's (a quick sf0.01 local run must never seed
+    permanent rows into the sf0.1 gate), and skips rows for queries that
+    errored in the run."""
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "bench_out.json")) as fh:
         out = json.load(fh)
     with open(os.path.join(here, "bench_baseline.json")) as fh:
         base = json.load(fh)
+    if out.get("sf") != base.get("sf"):
+        sys.exit(
+            f"refusing --baseline-add-new: bench_out.json is sf={out.get('sf')} "
+            f"but the frozen baseline is sf={base.get('sf')} — re-run bench.py "
+            f"at the baseline SF first"
+        )
     added = []
     for name, t in out["queries"].items():
-        if name not in base["queries"]:
+        if name not in base["queries"] and name not in out.get("errors", {}):
             base["queries"][name] = t
             if name in out.get("queries_norm", {}):
                 base.setdefault("queries_norm", {})[name] = out["queries_norm"][name]
             added.append(name)
+    # row count of the queries map (includes the _shared_* line items)
     base["n_queries"] = len(base["queries"])
     with open(os.path.join(here, "bench_baseline.json"), "w") as fh:
         json.dump(base, fh, indent=1)
@@ -284,11 +294,18 @@ def main(check: bool = False) -> None:
     pair_consumers = ("dedup_jaccard_pairs", "dedup_minhash_recall",
                       "dedup_connected_components", "dedup_cluster_canonical")
     for pdir in sorted({reduced.get(n, sf_dir) for n in pair_consumers if n in qs}):
-        t0 = time.perf_counter()
-        _jaccard_pairs_cached(spark, pdir).write.mode("overwrite").format(
-            "noop"
-        ).save()
         leaf = os.path.basename(pdir.rstrip("/"))
+        t0 = time.perf_counter()
+        try:
+            _jaccard_pairs_cached(spark, pdir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+        except Exception as e:  # same containment as the full loop: a
+            # failed frame build must cost its consumers, not the bench
+            errors[f"_shared_pair_frame_build[{leaf}]"] = (
+                f"{type(e).__name__}: {e}"[:200]
+            )
+            continue
         timings[f"_shared_pair_frame_build[{leaf}]"] = round(
             time.perf_counter() - t0, 3
         )
@@ -304,7 +321,10 @@ def main(check: bool = False) -> None:
 
     for name in pair_consumers:
         if name in qs and name not in timings:
-            timings[name] = round(run(name), 3)
+            try:
+                timings[name] = round(run(name), 3)
+            except Exception as e:
+                errors[name] = f"{type(e).__name__}: {e}"[:200]
     for frame in _PAIRS_CACHE.values():
         frame.unpersist()
     _PAIRS_CACHE.clear()
@@ -320,10 +340,17 @@ def main(check: bool = False) -> None:
     )
 
     t0 = time.perf_counter()
-    copurchase_edges(spark, sf_dir).write.mode("overwrite").format("noop").save()
-    timings[
-        f"_shared_edge_frame_build[{os.path.basename(sf_dir.rstrip('/'))}]"
-    ] = round(time.perf_counter() - t0, 3)
+    try:
+        copurchase_edges(spark, sf_dir).write.mode("overwrite").format(
+            "noop"
+        ).save()
+        timings[
+            f"_shared_edge_frame_build[{os.path.basename(sf_dir.rstrip('/'))}]"
+        ] = round(time.perf_counter() - t0, 3)
+    except Exception as e:
+        errors[
+            f"_shared_edge_frame_build[{os.path.basename(sf_dir.rstrip('/'))}]"
+        ] = f"{type(e).__name__}: {e}"[:200]
 
     for name in qs:
         if name in timings:

@@ -983,23 +983,10 @@ def ingest_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     "files.  Oracle states the union-with-NULL form directly.",
 )
 def lake_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
-    import os
-
-    from ..streaming.replay import _SCRATCH
-
-    # deterministic per-(sf, process) path, REUSED across invocations in a
-    # process (mode=overwrite rewrites both batches in place; md5 not str
-    # hash — the latter is salted per-process) so scratch stays bounded
-    # without a fresh uuid dir per call.  The pid suffix keeps CONCURRENT
-    # processes (bench + pytest, xdist workers) out of each other's
-    # directories: a shared path would let one process's overwrite delete
-    # part files mid-scan under the other's mergeSchema read.
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    base = os.path.abspath(
-        os.path.join(_SCRATCH, "evolve", f"sf-{key}-p{os.getpid()}")
-    )
-    os.makedirs(base, exist_ok=True)
+    # shared stable-scratch convention (one implementation, see
+    # _roundtrip_scratch): mode=overwrite rewrites both batches in the
+    # reused per-(sf, process) directory, so scratch stays bounded
+    base = _roundtrip_scratch("evolve", sf_dir)
     o = load(spark, sf_dir, "orders")
     o.filter(F.col("o_orderkey") % 2 == 0).select(
         "o_orderkey", "o_totalprice"
@@ -1255,18 +1242,9 @@ _TT_ASOF_RUN = 2
     "engines replay identically.",
 )
 def lake_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
-    import os
-
     from pyspark.sql import Window
 
-    from ..streaming.replay import _SCRATCH
-
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    base = os.path.abspath(
-        os.path.join(_SCRATCH, "ttravel", f"sf-{key}-p{os.getpid()}")
-    )
-    os.makedirs(base, exist_ok=True)
+    base = _roundtrip_scratch("ttravel", sf_dir)
     o = load(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("k"),
         F.col("o_totalprice").cast("decimal(12,2)").alias("p"),
@@ -1352,16 +1330,7 @@ _IVM_CUST_OFFSET = 3_000_000_000
     "refresh costing O(delta) and O(history).",
 )
 def ivm_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
-    import os
-
-    from ..streaming.replay import _SCRATCH
-
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    base_dir = os.path.abspath(
-        os.path.join(_SCRATCH, "ivm", f"sf-{key}-p{os.getpid()}")
-    )
-    os.makedirs(base_dir, exist_ok=True)
+    base_dir = _roundtrip_scratch("ivm", sf_dir)
     view_path = f"{base_dir}/cust_view"
     o = load(spark, sf_dir, "orders")
     p = F.col("o_totalprice").cast("decimal(12,2)")

@@ -453,6 +453,22 @@ def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 KLL_TOL = 0.05  # k=200 -> ~1.65% rank error; value tol 5% on a dense range
 
+# bounded per-(session, sf_dir) caches for the rollup-merge sketch fact
+# tables (dedup._cached_persisted is the one shared memoizer implementation)
+_HLL_CELL_CACHE: dict = {}
+_KLL_CELL_CACHE: dict = {}
+
+
+def _kll_merge_fold() -> Column:
+    """Pairwise KLL merge over a collected (bounded, one-per-child-cell)
+    sketch list — kll_sketch_merge_double is a scalar pair merge, so the
+    fold is the per-group reduction.  ONE definition for both KLL queries
+    so the merge semantics cannot drift between them."""
+    return F.expr(
+        "reduce(slice(sks, 2, size(sks)), sks[0],"
+        " (acc, x) -> kll_sketch_merge_double(acc, x))"
+    )
+
 
 @spec(
     """
@@ -486,13 +502,7 @@ def agg_kll_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per shard) sketch list per flag — 8 fixed-size buffers, never rows
     merged = sketches.groupBy("l_returnflag").agg(
         F.collect_list("sk").alias("sks")
-    ).select(
-        "l_returnflag",
-        F.expr(
-            "reduce(slice(sks, 2, size(sks)), sks[0],"
-            " (acc, x) -> kll_sketch_merge_double(acc, x))"
-        ).alias("sk"),
-    )
+    ).select("l_returnflag", _kll_merge_fold().alias("sk"))
     est = merged.select(
         "l_returnflag",
         F.expr("kll_sketch_get_quantile_double(sk, 0.5)").alias("__e50"),
@@ -607,15 +617,23 @@ def agg_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a naive per-level re-aggregation would pay four.",
 )
 def agg_hll_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import _cached_persisted
+
     ev = load(spark, sf_dir, "events").select(
         "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id"
     )
-    # the stored fact: one sketch per (type, day) cell, persisted so all
-    # rollup levels merge THIS frame instead of re-reading events
-    base = (
-        ev.groupBy("event_type", "day")
-        .agg(F.hll_sketch_agg("user_id").alias("sk"))
-        .persist()
+    # the stored fact: one sketch per (type, day) cell, persisted through
+    # the shared bounded memoizer (repeated builder invocations in one
+    # session — parity + dtype + plan tests, the bench — must reuse ONE
+    # frame, not pin a fresh one each call) so all rollup levels merge
+    # THIS frame instead of re-reading events
+    base = _cached_persisted(
+        _HLL_CELL_CACHE,
+        spark,
+        sf_dir,
+        lambda: ev.groupBy("event_type", "day").agg(
+            F.hll_sketch_agg("user_id").alias("sk")
+        ),
     )
     nul = F.lit(None).cast("string")
     lvl2 = base.select("event_type", "day", "sk")
@@ -677,23 +695,23 @@ def agg_hll_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scans.",
 )
 def agg_kll_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import _cached_persisted
+
     li = load(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_linestatus", "l_extendedprice"
     )
     price = F.col("l_extendedprice").cast("double")
-    base = (
-        li.groupBy("l_returnflag", "l_linestatus")
-        .agg(
+    base = _cached_persisted(
+        _KLL_CELL_CACHE,
+        spark,
+        sf_dir,
+        lambda: li.groupBy("l_returnflag", "l_linestatus").agg(
             F.expr(
                 "kll_sketch_agg_double(CAST(l_extendedprice AS DOUBLE))"
             ).alias("sk")
-        )
-        .persist()
+        ),
     )
-    merge_fold = F.expr(
-        "reduce(slice(sks, 2, size(sks)), sks[0],"
-        " (acc, x) -> kll_sketch_merge_double(acc, x))"
-    ).alias("sk")
+    merge_fold = _kll_merge_fold().alias("sk")
     nul = F.lit(None).cast("string")
     lvl2 = base.select("l_returnflag", "l_linestatus", "sk")
     lvl1 = (

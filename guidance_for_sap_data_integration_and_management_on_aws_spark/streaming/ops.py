@@ -924,12 +924,18 @@ def _decimal_cents_vec(v):
     can disagree with the decimal cast, and those few resolve through the
     scalar Decimal path.  On the fixture's full-precision random doubles
     the band admits ~0 rows, so the per-row Decimal churn (~1.5 s per
-    sf0.1 drain, measured) vanishes without weakening exactness."""
+    sf0.1 drain, measured) vanishes without weakening exactness.  The
+    band's error bound only holds for |v| <= 1e6 (beyond that the float
+    error of |v|*100 can itself exceed 1e-5), so larger magnitudes are
+    routed through the Decimal path unconditionally rather than trusted
+    to the band."""
     import numpy as np
 
     d = np.abs(v) * 100.0
     cents = (np.sign(v) * np.floor(d + 0.5)).astype("int64")
-    amb = np.nonzero(np.abs(d - np.floor(d) - 0.5) < 1e-5)[0]
+    amb = np.nonzero(
+        (np.abs(d - np.floor(d) - 0.5) < 1e-5) | (np.abs(v) > 1e6)
+    )[0]
     for i in amb:
         cents[i] = _decimal_cents(v[i])
     return cents

@@ -25,10 +25,11 @@ def test_registry_shape():
     # round-8 window layout (criticality order): the 12 r7 late additions
     # that have NEVER had a driver row lead (deliberately queued past the
     # saturated r7 window; ADVICE r7 pinned exactly this ordering risk),
-    # then the 2 new sketch-rollup queries, the 1 changed-since-green
-    # builder, the 12 r2-era greens (the whole block drains), and the
-    # 21-query TPC-H suite + the 2 oldest r3 joins per the rotation
-    # invariant; remaining r3 ballast queues FIRST for round 9.
+    # then the 2 new sketch-rollup queries, the 3 changed-since-green
+    # builders, the 12 r2-era greens (the whole block drains), and the
+    # 21-query TPC-H suite per the rotation invariant — 12+2+3+12+21 = 50
+    # exactly; the join family leads the remaining r3 ballast, queued
+    # FIRST for round 9.
     never_checked = [
         "agg_equidepth_histogram", "agg_corr_matrix", "events_path_trigrams",
         "ml_score_calibration", "ts_ewma_smooth", "text_oov_rate",
