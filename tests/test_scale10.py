@@ -518,3 +518,40 @@ def test_ewma_frame_bounded_at_any_stream_length(spark, sf_dir):
         .first()[0]
     )
     assert mx <= EWMA_SPAN
+
+
+def test_sketch_rollup_fact_table_constant_across_corpus_scale(spark, sf_dir):
+    """D34's scale claim: the rollup-merge sketch fact table has one row per
+    (event_type, day) CELL, so its size — and every super-aggregate level's
+    merge input — is fixed by the key domain, independent of corpus rows.
+    10x the events (replicated with shifted user ids so distinct counts
+    genuinely grow) must leave the cell count unchanged while the leaf
+    cells keep absorbing rows into the same fixed 4 KB sketch buffers."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id"
+    )
+    mx = ev.agg(F.max("user_id")).first()[0] + 1
+    ev10 = ev
+    for i in range(1, 10):
+        ev10 = ev10.unionByName(
+            ev.withColumn("user_id", F.col("user_id") + F.lit(i * mx))
+        )
+
+    def cells(frame):
+        return (
+            frame.groupBy("event_type", "day")
+            .agg(F.hll_sketch_agg("user_id").alias("sk"))
+            .count()
+        )
+
+    n1, n10 = cells(ev), cells(ev10)
+    assert n1 == n10, (n1, n10)  # fact-table size = key domain, not corpus
+    # and the merged grand total still tracks the (10x larger) truth
+    est10 = (
+        ev10.groupBy("event_type", "day")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e"))
+        .first()["e"]
+    )
+    exact10 = ev10.select("user_id").distinct().count()
+    assert abs(est10 - exact10) / exact10 <= 0.05
