@@ -53,6 +53,15 @@ The only permitted update is ADDING rows for queries that did not exist in
 the previous round, at their first benched time, via
 `python bench.py --baseline-add-new` (which refuses to touch existing
 rows).  Shared-query rows therefore always predate the round under test.
+
+FIRST FROZEN-BASELINE READING (round 8): four same-code runs measured
+headline 15.6-23.8s against the r7-recorded 12.7s, with calib_sec 0.45-0.62
+vs the baseline's 0.446 and the inflation UNIFORM across untouched queries
+with unchanged plans (q1's pure scan+agg drifts exactly like the rest;
+standalone re-runs confirm).  That is host/cache drift between round
+environments — now visible instead of masked by a same-round refresh.
+Read cross-round comparisons normalized (value_norm / queries_norm) and
+corroborate any single-query flag standalone per the noise-band note.
 """
 
 from __future__ import annotations
