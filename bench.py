@@ -265,6 +265,19 @@ def main(check: bool = False) -> None:
                 "n_events")
     )
     run_to_table(warm, "bench_warm_stream", "append", shuffle_partitions=4)
+    # warmup 5: the Spark 4 transformWithStateInPandas path pays a separate
+    # one-time setup on first use — RocksDB provider native-lib load +
+    # protobuf runtime provisioning + its own streaming codegen (measured
+    # standalone at sf0.1: 25s cold vs 5-8s warm; warmup 4's HDFS-backed
+    # window agg absorbs none of it).  One tiny-SF drain absorbs it so the
+    # timed stream_stateful_v2 number is steady-state, like every other
+    # one-time engine cost the earlier warmups absorb.
+    if "stream_stateful_v2" in qs:
+        tiny = os.path.join(os.path.dirname(sf_dir.rstrip("/")) or ".", "sf0.001")
+        qs["stream_stateful_v2"](
+            spark, tiny if os.path.isdir(tiny) else sf_dir
+        ).write.mode("overwrite").format("noop").save()
+        drop_memory_sinks()
 
     # Environment calibration: a fixed CPU-bound Spark job whose cost is
     # data-independent.  Cross-round headline comparisons divide by this to
