@@ -167,6 +167,15 @@ def baseline_add_new() -> None:
             added.append(name)
     # row count of the queries map (includes the _shared_* line items)
     base["n_queries"] = len(base["queries"])
+    # keep the summary totals equal to the sum of the (merged) queries map
+    # so cross-round readers of the baseline file see consistent numbers;
+    # `value`/`value_norm` (the headline gate) remain frozen at the r7
+    # snapshot because the HEADLINE set itself is frozen.
+    base["all_queries_total"] = round(sum(base["queries"].values()), 3)
+    if "queries_norm" in base:
+        base["all_queries_total_norm"] = round(
+            sum(base["queries_norm"].values()), 3
+        )
     with open(os.path.join(here, "bench_baseline.json"), "w") as fh:
         json.dump(base, fh, indent=1)
         fh.write("\n")
@@ -278,6 +287,16 @@ def main(check: bool = False) -> None:
             spark, tiny if os.path.isdir(tiny) else sf_dir
         ).write.mode("overwrite").format("noop").save()
         drop_memory_sinks()
+    # warmup 5b: the stateful-v2 drain churns the Python worker pool enough
+    # to evict the datasource workers warmup 2 primed (round-8 symptom: the
+    # headline saprfc_scan_typed re-paid the ~3.5s first-use worker + Arrow
+    # setup, reading 4.0s in-bench vs 0.5-0.6s standalone).  Re-prime both
+    # the scan worker and the pushdown-planning worker so the timed scan is
+    # steady-state regardless of what warmup 5 evicted.
+    _saprfc_df(spark, mockrows="10").write.mode("overwrite").format("noop").save()
+    _saprfc_df(spark, mockrows="10").filter(_F.col("TABNAME") == "TAB1").write.mode(
+        "overwrite"
+    ).format("noop").save()
 
     # Environment calibration: a fixed CPU-bound Spark job whose cost is
     # data-independent.  Cross-round headline comparisons divide by this to
@@ -323,10 +342,16 @@ def main(check: bool = False) -> None:
                 "noop"
             ).save()
         except Exception as e:  # same containment as the full loop: a
-            # failed frame build must cost its consumers, not the bench
+            # failed frame build must cost its consumers, not the bench —
+            # record the consumers of this dir as errors too, otherwise
+            # each would silently re-attempt the quadratic build inside its
+            # own timing and the order-dependent attribution returns
             errors[f"_shared_pair_frame_build[{leaf}]"] = (
                 f"{type(e).__name__}: {e}"[:200]
             )
+            for name in pair_consumers:
+                if name in qs and reduced.get(name, sf_dir) == pdir:
+                    errors[name] = f"shared pair-frame build failed [{leaf}]"
             continue
         timings[f"_shared_pair_frame_build[{leaf}]"] = round(
             time.perf_counter() - t0, 3
@@ -342,7 +367,7 @@ def main(check: bool = False) -> None:
     )
 
     for name in pair_consumers:
-        if name in qs and name not in timings:
+        if name in qs and name not in timings and name not in errors:
             try:
                 timings[name] = round(run(name), 3)
             except Exception as e:
@@ -375,7 +400,7 @@ def main(check: bool = False) -> None:
         ] = f"{type(e).__name__}: {e}"[:200]
 
     for name in qs:
-        if name in timings:
+        if name in timings or name in errors:
             continue
         try:
             timings[name] = round(run(name), 3)

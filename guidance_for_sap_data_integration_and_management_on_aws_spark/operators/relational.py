@@ -636,26 +636,44 @@ def agg_hll_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     nul = F.lit(None).cast("string")
-    lvl2 = base.select("event_type", "day", "sk")
+    # each estimate row carries its rollup level as the grouping_id it will
+    # match on the exact side (2-col rollup: cell=0, per-type=1, grand=3) —
+    # null-safe key equality ALONE would let a genuine NULL event_type/day
+    # in the data collide with rollup super-aggregate NULL keys and
+    # double-match (ADVICE r8 item 2)
+    lvl2 = base.select(
+        "event_type", "day", "sk", F.lit(0).cast("bigint").alias("__gid")
+    )
     lvl1 = (
         base.groupBy("event_type")
         .agg(F.hll_union_agg("sk").alias("sk"))
-        .select("event_type", nul.alias("day"), "sk")
+        .select(
+            "event_type", nul.alias("day"), "sk",
+            F.lit(1).cast("bigint").alias("__gid"),
+        )
     )
     lvl0 = base.groupBy().agg(F.hll_union_agg("sk").alias("sk")).select(
-        nul.alias("event_type"), nul.alias("day"), "sk"
+        nul.alias("event_type"), nul.alias("day"), "sk",
+        F.lit(3).cast("bigint").alias("__gid"),
     )
     est = (
         lvl2.unionByName(lvl1)
         .unionByName(lvl0)
-        .select("event_type", "day", F.hll_sketch_estimate("sk").alias("__est"))
+        .select(
+            "event_type", "day", "__gid",
+            F.hll_sketch_estimate("sk").alias("__est"),
+        )
     )
     exact = ev.rollup("event_type", "day").agg(
-        F.countDistinct("user_id").cast("bigint").alias("exact_users")
+        F.countDistinct("user_id").cast("bigint").alias("exact_users"),
+        F.grouping_id().alias("__gid"),
     )
     # ~(types*days + types + 1) rows on each side; broadcast the estimate
-    # frame, join NULL-SAFE — rollup's super-aggregate keys are NULL
-    cond = F.expr("x.event_type <=> e.event_type AND x.day <=> e.day")
+    # frame, join NULL-SAFE on keys + EXACT on grouping level
+    cond = F.expr(
+        "x.event_type <=> e.event_type AND x.day <=> e.day"
+        " AND x.__gid = e.__gid"
+    )
     return (
         exact.alias("x")
         .join(F.broadcast(est.alias("e")), cond)
@@ -713,16 +731,27 @@ def agg_kll_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merge_fold = _kll_merge_fold().alias("sk")
     nul = F.lit(None).cast("string")
-    lvl2 = base.select("l_returnflag", "l_linestatus", "sk")
+    # grouping-level marker per estimate row, matched against the exact
+    # rollup's grouping_id() — see agg_hll_rollup_merge (ADVICE r8 item 2)
+    lvl2 = base.select(
+        "l_returnflag", "l_linestatus", "sk",
+        F.lit(0).cast("bigint").alias("__gid"),
+    )
     lvl1 = (
         base.groupBy("l_returnflag")
         .agg(F.collect_list("sk").alias("sks"))
-        .select("l_returnflag", nul.alias("l_linestatus"), merge_fold)
+        .select(
+            "l_returnflag", nul.alias("l_linestatus"), merge_fold,
+            F.lit(1).cast("bigint").alias("__gid"),
+        )
     )
     lvl0 = (
         base.groupBy()
         .agg(F.collect_list("sk").alias("sks"))
-        .select(nul.alias("l_returnflag"), nul.alias("l_linestatus"), merge_fold)
+        .select(
+            nul.alias("l_returnflag"), nul.alias("l_linestatus"), merge_fold,
+            F.lit(3).cast("bigint").alias("__gid"),
+        )
     )
     est = (
         lvl2.unionByName(lvl1)
@@ -730,14 +759,17 @@ def agg_kll_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "l_returnflag",
             "l_linestatus",
+            "__gid",
             F.expr("kll_sketch_get_quantile_double(sk, 0.5)").alias("__e50"),
         )
     )
     exact = li.rollup("l_returnflag", "l_linestatus").agg(
-        F.round(F.percentile(price, F.lit(0.5)), 6).alias("exact_p50")
+        F.round(F.percentile(price, F.lit(0.5)), 6).alias("exact_p50"),
+        F.grouping_id().alias("__gid"),
     )
     cond = F.expr(
         "x.l_returnflag <=> e.l_returnflag AND x.l_linestatus <=> e.l_linestatus"
+        " AND x.__gid = e.__gid"
     )
     return (
         exact.alias("x")

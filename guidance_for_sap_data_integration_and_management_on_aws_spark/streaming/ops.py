@@ -919,7 +919,7 @@ def _decimal_cents(x: float) -> int:
 def _decimal_cents_vec(v):
     """Vectorized `_decimal_cents` with identical semantics: the numpy
     half-away-from-zero fast path is exact except where fl(|v|*100) lies
-    within float error of a .5 boundary — for |v| <= 1e7 that error is
+    within float error of a .5 boundary — for |v| <= 1e6 that error is
     < 1e-6 absolute, so only rows inside a (conservative, 10x) 1e-5 band
     can disagree with the decimal cast, and those few resolve through the
     scalar Decimal path.  On the fixture's full-precision random doubles
@@ -928,9 +928,17 @@ def _decimal_cents_vec(v):
     band's error bound only holds for |v| <= 1e6 (beyond that the float
     error of |v|*100 can itself exceed 1e-5), so larger magnitudes are
     routed through the Decimal path unconditionally rather than trusted
-    to the band."""
+    to the band.  Non-finite inputs are rejected loudly: NaN/inf would
+    otherwise pass both guards (NaN compares False everywhere) and
+    astype('int64') on them is undefined — silent cents corruption if the
+    value column ever admits NULLs (ADVICE r8 item 1)."""
     import numpy as np
 
+    if not np.isfinite(v).all():
+        raise ValueError(
+            "_decimal_cents_vec: non-finite value in cents column — a NULL "
+            "or NaN `value` cannot be cast to DECIMAL(12,2) cents"
+        )
     d = np.abs(v) * 100.0
     cents = (np.sign(v) * np.floor(d + 0.5)).astype("int64")
     amb = np.nonzero(

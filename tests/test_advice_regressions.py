@@ -281,14 +281,22 @@ def test_xml_scratch_dir_stable_within_process(spark, sf_dir):
     from tests.test_oracle_parity import REG
 
     base = os.path.abspath(os.path.join(_SCRATCH, "xml-orders"))
+    # compare only THIS pid's entries: the dir is shared across pytest-xdist
+    # workers, so a whole-listing equality would flake when another worker
+    # creates its own -p<pid> dir between the two runs (ADVICE r8 item 5);
+    # the invariant under test is one stable dir per pid
+    pid_suffix = f"-p{os.getpid()}"
+
+    def mine() -> set:
+        return {d for d in os.listdir(base) if d.endswith(pid_suffix)}
+
     REG["xml_scan_roundtrip"].builder(spark, sf_dir).collect()
-    first = set(os.listdir(base))
+    first = mine()
     REG["xml_scan_roundtrip"].builder(spark, sf_dir).collect()
-    second = set(os.listdir(base))
+    second = mine()
     # a second invocation reuses the md5+pid-keyed dir — no new tree leaks
     assert first == second
-    mine = [d for d in second if d.endswith(f"-p{os.getpid()}")]
-    assert len(mine) == 1, mine
+    assert len(second) == 1, second
 
 
 def test_decimal_cents_vec_matches_scalar():
