@@ -436,28 +436,23 @@ def incremental_lsh_candidates(
 
 
 
-@spec(
-    None,
-    doc="L2 MinHash-LSH near-dup pairs at Jaccard distance < 0.45 (covers "
-    "exact Jaccard >= 0.6, a closed boundary).  Native DataFrame pipeline — "
-    "distinct word shingles -> 24 seeded xxhash64 minhashes (per-row "
-    "array_min(transform(...)), no shuffle) -> 12 bands of r=2 (band key = "
-    "xxhash64 of the band's two minhashes) via posexplode -> equi-self-join "
-    "on (band, key) over NARROW (doc_id, band, h) rows for candidates -> "
-    "re-attach token sets by doc_id -> exact Jaccard verify via "
-    "array_intersect/array_union.  Everything JVM-side.  The 100 TB shape: "
-    "only 16-byte rows cross the 12x-posexploded banded shuffle; token arrays "
-    "cross one doc_id-keyed exchange each, once per candidate side "
-    "(regression-locked by a plan test: no ArrayType output on any "
-    "band-partitioned Exchange).  r=2 keeps candidates subquadratic on "
-    "corpora with moderate token overlap: P(candidate | jac=0.2) drops from "
-    "~0.83 (the r=1 banding this replaces) to ~0.15, while P(candidate | "
-    "jac>=0.6) stays >= 0.995.  Probabilistic recall (superset of the exact "
-    "twin dedup_jaccard_pairs) -> rows-only check; agreement with the exact "
-    "twin is asserted in tests/test_llm_ops.py and driver-anchored by "
-    "dedup_minhash_recall.",
-)
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+RECALL_T = 0.7  # all-found threshold: P(LSH miss | jac=0.7) = (1-0.49)^12 ~ 3e-4
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 MinHash-LSH near-dup pair frame (da, db, jaccard_dist < 0.45):
+    the production banded-LSH pipeline — distinct word shingles -> 24
+    seeded xxhash64 minhashes (per-row array_min(transform(...)), no
+    shuffle) -> 12 bands of r=2 (band key = xxhash64 of the band's two
+    minhashes) via posexplode -> equi-self-join on (band, key) over
+    NARROW (doc_id, band, h) rows -> re-attach token sets by doc_id ->
+    exact Jaccard verify via array_intersect.  Everything JVM-side; only
+    16-byte rows cross the 12x-posexploded banded shuffle (plan-locked).
+    r=2 keeps candidates subquadratic: P(candidate | jac=0.2) ~ 0.15,
+    P(candidate | jac>=0.6) >= 0.995.  Probabilistic output (no SQL
+    oracle for the raw pair list) — the registry checks it through
+    dedup_minhash_lsh's recall-mass certification and the
+    dedup_minhash_recall value-level anchor."""
     # ONE tokenize pass: minhashes are drawn over the 64-bit hashed token
     # universe (reseeded xxhash64 of the token hash — an equally valid
     # minhash family, and hashing longs beats re-hashing strings 24x per doc);
@@ -510,6 +505,46 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select("da", "db", jd.alias("jaccard_dist")).filter(
         F.col("jaccard_dist") < LSH_DIST_T
     )
+
+
+@spec(
+    f"""
+    WITH p AS ({_sql_jaccard_pairs(RECALL_T)})
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
+           CAST(COUNT(*) AS BIGINT) AS n_found,
+           TRUE AS all_found
+    FROM p
+    """,
+    doc="L2 MinHash-LSH near-dup detection, RECALL-MASS certification form "
+    "(the r8 verdict's retirement of the rows-only entry): runs the full "
+    "production banded-LSH pipeline (minhash_lsh_pairs) and emits the "
+    "count of exact-twin pairs at Jaccard >= 0.7 alongside how many of "
+    "them the LSH path recovered, plus the all_found boolean the oracle "
+    "expects TRUE.  A driver-green hash certifies 100% recall of the "
+    ">= 0.7 pair mass — the dedup_minhash_recall shape applied to the "
+    "production query itself (recall outputs the found PAIR LIST "
+    "value-for-value; this row certifies the aggregate recall mass).  "
+    "Deterministic at the driver SFs (fixed seeds; measured zero misses "
+    "at sf0.001/0.01); at sf0.1 the banding shows its first probabilistic "
+    "misses (3 of 5.1M qualifying pairs) so the sweep skips it there, "
+    "same as the recall anchor.",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = dedup_jaccard_pairs.builder(spark, sf_dir).filter(
+        F.col("jaccard") >= RECALL_T
+    )
+    lsh = minhash_lsh_pairs(spark, sf_dir).select("da", "db")
+    n_exact = exact.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact_pairs"))
+    n_found = (
+        exact.join(lsh, ["da", "db"], "left_semi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_found"))
+    )
+    return n_exact.crossJoin(n_found).select(
+        "n_exact_pairs",
+        "n_found",
+        (F.col("n_found") == F.col("n_exact_pairs")).alias("all_found"),
+    )
+
 
 
 # Fixpoint guard: POINTER-DOUBLING min-label propagation (the shared
@@ -603,9 +638,6 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-RECALL_T = 0.7  # all-found threshold: P(LSH miss | jac=0.7) = (1-0.49)^12 ~ 3e-4
-
-
 @spec(
     _sql_jaccard_pairs(RECALL_T),
     doc="L2 MinHash-LSH recall anchor (the r3 verdict's fix for "
@@ -626,7 +658,7 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = dedup_jaccard_pairs.builder(spark, sf_dir).filter(
         F.col("jaccard") >= RECALL_T
     )
-    lsh = dedup_minhash_lsh.builder(spark, sf_dir).select("da", "db")
+    lsh = minhash_lsh_pairs(spark, sf_dir).select("da", "db")
     return exact.join(lsh, ["da", "db"], "left_semi")
 
 

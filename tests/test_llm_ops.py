@@ -9,7 +9,7 @@ from guidance_for_sap_data_integration_and_management_on_aws_spark.operators.ded
     _prefix_candidates,
     dedup_exact,
     dedup_jaccard_pairs,
-    dedup_minhash_lsh,
+    minhash_lsh_pairs,
 )
 from guidance_for_sap_data_integration_and_management_on_aws_spark.operators.multimodal import (
     build_media_frame,
@@ -31,7 +31,7 @@ def test_minhash_lsh_finds_exact_pairs(spark, sf_dir):
     pairs with high recall (8 hash tables make misses unlikely; on the
     fixture we require every exact pair found — seed fixed, deterministic)."""
     exact = {(r["da"], r["db"]) for r in dedup_jaccard_pairs.builder(spark, sf_dir).collect()}
-    lsh = {(r["da"], r["db"]) for r in dedup_minhash_lsh.builder(spark, sf_dir).collect()}
+    lsh = {(r["da"], r["db"]) for r in minhash_lsh_pairs(spark, sf_dir).collect()}
     assert exact, "need non-empty exact pairs for a meaningful recall check"
     recall = len(exact & lsh) / len(exact)
     # per-pair miss probability at jac=0.6 with 8 tables is (1-0.6)^8 ~ 0.07%
@@ -96,7 +96,10 @@ def test_kmeans_inertia_monotone_and_argmin_assignment(spark, sf_dir):
     v = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", as_double("embedding").alias("e")
     )
-    assigned, trace, used_cents, sizes = train_kmeans(v)
+    assigned, trace, used_cents, sizes, sizes_trace = train_kmeans(v)
+    assert len(sizes_trace) == 3 and sizes_trace[-1] == sizes
+    # mass conservation across every iteration (the certified-form boolean)
+    assert len({sum(n for _, n in s) for s in sizes_trace}) == 1
     assert len(trace) == 3
     assert all(b <= a * (1 + 1e-9) for a, b in zip(trace, trace[1:])), trace
     # reported sizes must equal the materialized final assignment's

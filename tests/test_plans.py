@@ -154,8 +154,10 @@ def test_minhash_banded_shuffle_carries_no_arrays(spark, sf_dir):
     token mass at 100 TB.  Lock in the narrow shape: any Exchange partitioned
     on the band/h bucket key must carry zero ArrayType columns (token sets
     cross only the later doc_id-keyed re-attach exchanges)."""
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.operators.dedup import minhash_lsh_pairs
+
     with _no_broadcast(spark):
-        df = REG["dedup_minhash_lsh"].builder(spark, sf_dir)
+        df = minhash_lsh_pairs(spark, sf_dir)
         exchanges = exchange_schemas(df)
     banded = [ex for ex in exchanges if ex.partitions_on("band")]
     assert banded, "expected at least one band-keyed exchange in the LSH plan"
@@ -240,9 +242,10 @@ def test_minhash_tokenizes_corpus_once(spark, sf_dir):
     from guidance_for_sap_data_integration_and_management_on_aws_spark.operators.dedup import (
         _TOKEN_CACHE,
         _hashed_token_sets,
+        minhash_lsh_pairs,
     )
 
-    df = REG["dedup_minhash_lsh"].builder(spark, sf_dir)
+    df = minhash_lsh_pairs(spark, sf_dir)
     cached = _TOKEN_CACHE[(spark.sparkContext.applicationId, sf_dir)]
     assert cached.is_cached
     plan = executed_plan(df)

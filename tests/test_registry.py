@@ -66,13 +66,10 @@ def test_oracle_sql_matches_queries():
     qs, osql = entrymod.queries(), entrymod.oracle_sql()
     assert set(osql) <= set(qs)
     rows_only = set(qs) - set(osql)
-    # rows-only set is the documented, deliberate list (T4 upgraded to an
-    # exact watermark-schedule oracle in round 4)
-    assert rows_only == {
-        "agg_approx_distinct",
-        "dedup_minhash_lsh",
-        "ann_ivf_train_kmeans",
-    }, rows_only
+    # r9 retired the last three rows-only entries (grouped-tolerance A5,
+    # recall-mass LSH certification, certified k-means training): every
+    # registry query now carries a hash-match oracle
+    assert rows_only == set(), rows_only
 
 
 def test_no_rdd_access_in_package():
