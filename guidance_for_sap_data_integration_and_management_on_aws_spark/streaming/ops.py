@@ -1039,8 +1039,118 @@ def stream_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sketch_maintenance_run(
+    spark: SparkSession, sf_dir: str, stats: list | None = None
+) -> str:
+    """Drive the incremental HLL cell-sketch maintenance loop and return the
+    path of the final maintained fact table (one row per (event_type, day)
+    cell, sk = Datasketches HLL binary).
+
+    Each microbatch is reduced to ITS OWN per-cell sketches (work O(batch))
+    and unioned with the current fact table — a bounded frame of one 4 KB
+    sketch per cell, never the event rows — so maintenance cost per tick is
+    O(batch + n_cells) and prior events are never re-scanned.  Versioned
+    parquet dirs make each tick's table an atomic publish (the
+    stream_incremental_upsert pattern; a table format at scale).  When
+    ``stats`` is given, per-batch (batch_rows, fact_cells_read) pairs are
+    recorded so tests can assert the O(batch) contract literally."""
+    base_dir = scratch_dir("sketch-maint")
+    state: dict[str, str | None] = {"cur": None}
+
+    def merge(batch: DataFrame, bid: int) -> None:
+        delta = batch.groupBy("event_type", "day").agg(
+            F.hll_sketch_agg("user_id").alias("sk")
+        )
+        if state["cur"] is not None:
+            prev = batch.sparkSession.read.parquet(state["cur"])
+            if stats is not None:
+                stats.append((batch.count(), prev.count()))
+            delta = (
+                prev.unionByName(delta)
+                .groupBy("event_type", "day")
+                .agg(F.hll_union_agg("sk").alias("sk"))
+            )
+        elif stats is not None:
+            stats.append((batch.count(), 0))
+        out = f"{base_dir}/v{bid}"
+        delta.write.mode("overwrite").parquet(out)
+        state["cur"] = out
+
+    s = read_events_stream(spark, build_replay(spark, sf_dir, "ordered"))
+    sel = s.select(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id"
+    )
+    with stream_shuffle(spark):
+        q = (
+            sel.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", scratch_dir("ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    assert state["cur"] is not None
+    return state["cur"]
+
+
+@spec(
+    """
+    SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_tol,
+           TRUE AS matches_batch_rebuild
+    FROM events GROUP BY 1, 2
+    """,
+    doc="STREAMING SKETCH MAINTENANCE (D34's ingest side, r8 verdict item "
+    "3): a foreachBatch loop incrementally merges each microbatch's "
+    "per-(event_type, day) HLL cell sketches into the persisted sketch "
+    "fact table — per-tick work is O(batch rows + n_cells), the arriving "
+    "rows are sketched ONCE and prior events are never re-scanned (the "
+    "100 TB rollup-serving shape: ingest maintains the sketches, the D34 "
+    "agg_hll_rollup_merge cube reads them).  Certified two ways, both "
+    "hash-checked: within_tol (each maintained cell estimate lands within "
+    "HLL_TOL of the exact distinct count) and matches_batch_rebuild (the "
+    "incrementally maintained sketch estimates EXACTLY equal a one-shot "
+    "batch build over the same rows — Datasketches HLL union is lossless "
+    "over partitionings, the invariant pinned in tests/test_llm_ops.py).  "
+    "Oracle = the exact batch rebuild with both booleans TRUE.",
+)
+def stream_sketch_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import HLL_TOL
+
+    fact_path = _sketch_maintenance_run(spark, sf_dir)
+    maintained = spark.read.parquet(fact_path).select(
+        "event_type", "day", F.hll_sketch_estimate("sk").alias("__m")
+    )
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id"
+    )
+    rebuilt = ev.groupBy("event_type", "day").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("__b")
+    )
+    exact = ev.groupBy("event_type", "day").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_users")
+    )
+    # cell-count-sized frames (types x days) — broadcast both certifier sides
+    return (
+        exact.join(F.broadcast(maintained), ["event_type", "day"])
+        .join(F.broadcast(rebuilt), ["event_type", "day"])
+        .select(
+            "event_type",
+            "day",
+            "exact_users",
+            (
+                F.abs(F.col("__m") - F.col("exact_users"))
+                / F.col("exact_users").cast("double")
+                <= HLL_TOL
+            ).alias("within_tol"),
+            (F.col("__m") == F.col("__b")).alias("matches_batch_rebuild"),
+        )
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "stream_cusum_alarms": stream_cusum_alarms,
+    "stream_sketch_maintenance": stream_sketch_maintenance,
     "stream_incremental_upsert": stream_incremental_upsert,
     "stream_tumbling_agg": stream_tumbling_agg,
     "stream_windowed_topk": stream_windowed_topk,

@@ -455,3 +455,44 @@ def test_pb_runtime_provisioning_is_idempotent_and_worker_visible(spark):
         env = spark.sparkContext.environment
         assert pb_runtime._zip_in_use in env.get("PYTHONPATH", "").split(os.pathsep)
         assert env.get(pb_runtime._VERSION_CHECK_FLAG) == "true"
+
+
+def test_sketch_maintenance_per_batch_work_is_o_batch(spark, sf_dir):
+    """The streaming sketch-maintenance contract (r8 verdict item 3): each
+    microbatch sketches only ITS OWN rows, and the merge reads back only
+    the bounded cell-sketch fact table — never prior event rows.  Asserted
+    literally from the instrumented per-batch (batch_rows, fact_cells_read)
+    trace: batch row counts sum to the corpus exactly once, and every
+    fact read is bounded by the corpus' cell count (types x days), which
+    is independent of corpus row count.  Plus end-state losslessness: the
+    maintained sketches estimate exactly what a one-shot batch build does."""
+    from pyspark.sql import functions as F
+
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.catalog import load
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.streaming.ops import (
+        _sketch_maintenance_run,
+    )
+
+    stats: list[tuple[int, int]] = []
+    fact_path = _sketch_maintenance_run(spark, sf_dir, stats=stats)
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id"
+    )
+    n_events = ev.count()
+    n_cells = ev.select("event_type", "day").distinct().count()
+    assert len(stats) == N_CHUNKS
+    assert sum(b for b, _ in stats) == n_events  # every row sketched once
+    assert all(c <= n_cells for _, c in stats), stats  # fact reads bounded
+    maintained = {
+        (r["event_type"], r["day"]): r["e"]
+        for r in spark.read.parquet(fact_path)
+        .select("event_type", "day", F.hll_sketch_estimate("sk").alias("e"))
+        .collect()
+    }
+    rebuilt = {
+        (r["event_type"], r["day"]): r["e"]
+        for r in ev.groupBy("event_type", "day")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("e"))
+        .collect()
+    }
+    assert maintained == rebuilt and len(maintained) == n_cells
