@@ -25,103 +25,44 @@ from guidance_for_sap_data_integration_and_management_on_aws_spark.registry impo
 # ROTATION INVARIANT (keep this when re-sorting in future rounds): after
 # blocks 1-2 below, fill the window with the queries whose latest driver
 # green is OLDEST, oldest first, so that no query's green ever ages past
-# ~3 rounds without being re-earned.  Entering r7 the age profile was
-# r2:15, r3:43, r4:42, r5:42, r6:48 — the r2 block fits entirely this
-# round and the r3 block drains across r7-r8.
+# ~5 rounds without being re-earned (245 queries / ~50 slots).
 #
-#   1. NEVER-CHECKED queries added this round (stream_stateful_v2 exists
-#      only where the protobuf runtime can be provisioned — it is ordered
-#      first so the driver exercises the transformWithState path);
-#   2. queries whose BUILDER OR ORACLE CHANGED since their last green
-#      (r7: de-rounded sentiment polarity, degenerate-group z-score guard,
-#      rounded linear-score threshold, the contraction CC kernel + cached
-#      pair frame, the derived replay variants, the dedup state-store
-#      sizing, the reused schema-evolution scratch path);
-#   3. STALENESS rotation per the invariant: the 13 remaining r2-era
-#      greens (streaming batch-equivalence family, UDF surface, mm
-#      basics), then the oldest r3 greens (TPC-H suite, physical-join
-#      variants) up to the window line;
-#   4. ROTATION BALLAST: the rest of the r3 block queues just past the
-#      line for round 8 (mm codecs, ingest/text r3 stragglers), then
-#      module order (r4+ greens, freshest last).
+#   1. NEVER HASH-CHECKED queries (brand-new this round, or rows-only
+#      entries converted to carry an oracle);
+#   2. queries whose BUILDER OR ORACLE CHANGED since their last green;
+#   3. STALENESS rotation per the invariant: oldest greens first, up to
+#      the window line;
+#   4. ROTATION BALLAST: the next-oldest greens queue just past the line
+#      for the following round, then module order (freshest last).
 _PRIORITY = [
     # ------------------------------------------------------------------
-    # ROUND-8 WINDOW LEDGER (~50 driver slots; see rotation invariant
-    # above).  Entering r8 the age profile was: never-checked 12 (+2 new
-    # this round), changed-since-green 1, r2-era greens 12, r3-era greens
-    # 43, r4+ greens re-earned within the last 4 rounds.  Budget:
-    #   12 never-checked (r7 late additions, queued here on purpose last
-    #      round)                                        -> slots  1-12
-    #    2 NEW this round (sketch rollup-merge family)   -> slots 13-14
-    #    3 changed-since-green (state-store sizing; the
-    #      S8 csv/orc scratch-path hygiene fix)          -> slots 15-17
-    #   12 r2-era greens (entire block drains)           -> slots 18-29
-    #   21 oldest r3 greens: the TPC-H suite             -> slots 30-50
-    # Remaining r3 greens (19, join family first) queue first for round 9;
-    # after this round no query's latest green should be older than r3,
-    # and the r3 block fits inside one more window.
+    # ROUND-9 WINDOW LEDGER (~50 driver slots; see rotation invariant
+    # above).  Entering r9 the age profile was: never hash-checked 4
+    # (1 new + the 3 retired rows-only entries, first oracle this round),
+    # changed-since-green 4, r3-era greens 21 (the final r3 block),
+    # r4 greens 41, r5+ within the last 4 rounds.  Budget:
+    #    4 never hash-checked                            -> slots  1-4
+    #    4 changed-since-green (grouping_id rollup join;
+    #      the cents-kernel finiteness guard; the LSH
+    #      pairs-pipeline extraction)                    -> slots  5-8
+    #   21 r3-era greens (the block drains — after this
+    #      round no green is older than r4)              -> slots  9-29
+    #   21 oldest r4 greens (relational/fn core)         -> slots 30-50
+    # The remaining 20 r4 greens queue FIRST for round 10; steady-state
+    # rotation at 245 queries / 50 slots re-greens every ~5 rounds.
     # ------------------------------------------------------------------
-    # --- 1. never driver-checked (r7 late additions; local sf0.001/
-    # --- sf0.01/sf0.1 parity only until the driver sees them) ----------
-    "agg_equidepth_histogram",  # equal-frequency histogram, shared rank kernel
-    "agg_corr_matrix",  # pairwise Pearson from ten exact moments, one pass
-    "events_path_trigrams",  # top 3-step journeys, constant-size final rank
-    "ml_score_calibration",  # decile reliability table for the D9 scorer
-    "ts_ewma_smooth",  # truncated-window EWMA, identical strict left fold
-    "text_oov_rate",  # tokenizer vocabulary-coverage audit per source
-    "events_ab_test",  # two-proportion pooled z-test from exact counts
-    "xml_scan_roundtrip",  # Spark 4 built-in XML source round-trip (S8)
-    "stream_cusum_alarms",  # streaming CUSUM, oracle = the batch twin verbatim
-    "graph_sssp_weighted",  # bounded Bellman-Ford, exact integer costs
-    "events_conversion_lag",  # first-view->first-purchase lag histogram
-    "mm_wav_vad",  # exact-energy voice-activity gate over real WAV bytes
-    # --- 1b. NEW this round (never driver-checked): sketch partial-merge
-    # --- across rollup levels (r7 verdict item 7) ----------------------
-    "agg_hll_rollup_merge",  # day-sketch fact table unioned up the cube
-    "agg_kll_rollup_merge",  # KLL twin: mergeable medians per rollup level
+    # --- 1. never hash-checked (first driver oracle this round) --------
+    "stream_sketch_maintenance",  # NEW r9: foreachBatch HLL cell merge
+    "agg_approx_distinct",  # converted: grouped tolerance form (r8 item 5)
+    "dedup_minhash_lsh",  # converted: recall-mass certification
+    "ann_ivf_train_kmeans",  # converted: certified seed-argmin + invariants
     # --- 2. builder changed since last green ---------------------------
-    "stream_stateful_sessions",  # state stores sized to keyspace (r7 item 6)
-    "csv_scan_roundtrip",  # md5+pid scratch path (ADVICE r7 item 2 sibling)
-    "orc_scan_roundtrip",  # md5+pid scratch path (ADVICE r7 item 2 sibling)
-    # --- 3. staleness rotation: the 12 r2-era greens (oldest on record;
-    # --- whole block drains this round) --------------------------------
-    "stream_stateful_running_totals",
-    "stream_static_join",
-    "stream_stream_join",
-    "udf_scalar_reverse",
-    "udf_pandas_l2norm",
-    "udf_grouped_stats",
-    "udtf_explode_words",
-    "udtf_bigrams",
-    "mm_decode",
-    "mm_asset_stats",
-    "mm_resize",
-    "mm_frame_sample",
-    # --- 3b. oldest r3 greens: the TPC-H suite (headline relational
-    # --- surface, displaced from the saturated r7 window) --------------
-    "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_priority_check",
-    "q5_local_supplier",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q13_order_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_counts",
-    "q17_small_quantity",
-    "q18_large_orders",
-    "q19_disjunctive_bands",
-    "q20_promotion_suppliers",
-    "q21_waiting_suppliers",
-    "q22_idle_customers",
-    # --- 4. rotation ballast: remaining r3 greens queue FIRST for
-    # --- round 9 (the window line falls above here) --------------------
+    "agg_hll_rollup_merge",  # grouping_id join markers (ADVICE r8 item 2)
+    "agg_kll_rollup_merge",
+    "stream_cusum_alarms",  # cents-kernel finiteness guard (ADVICE r8 item 1)
+    "dedup_minhash_recall",  # now reads the extracted minhash_lsh_pairs
+    # --- 3. staleness rotation: the 21 remaining r3-era greens (the
+    # --- whole block drains; join family first) ------------------------
     "join_inner",
     "join_broadcast",
     "join_shuffle_hash",
@@ -143,7 +84,51 @@ _PRIORITY = [
     "mm_bmp_decode",
     "mm_bmp_resize",
     "mm_wav_decode",
-    # r04+ greens not listed trail in module order (every one re-earned
+    # --- 3b. oldest r4 greens: the relational/scalar-fn core -----------
+    "filter_where",
+    "limit_offset",
+    "topk_orders",
+    "sort_global",
+    "union_all",
+    "intersect_custkeys",
+    "except_custkeys",
+    "distinct_flags",
+    "agg_count",
+    "agg_stats",
+    "agg_count_distinct",
+    "agg_rollup",
+    "agg_cube",
+    "agg_filtered",
+    "agg_collect",
+    "agg_statistical",
+    "fn_string",
+    "fn_datetime",
+    "fn_array",
+    "fn_map",
+    "fn_json",
+    # --- 4. rotation ballast: the remaining 20 r4 greens queue FIRST
+    # --- for round 10 (the window line falls above here) ---------------
+    "fn_conditional",
+    "fn_math",
+    "subquery_exists",
+    "subquery_scalar",
+    "pivot_linestatus",
+    "unpivot_measures",
+    "join_cross_theta",
+    "window_rank",
+    "window_lag_lead",
+    "text_simhash",
+    "join_range_bands",
+    "join_asof",
+    "dedup_simhash_buckets",
+    "q12_late_shipments",
+    "pipeline_domain_mix",
+    "pipeline_length_buckets",
+    "ingest_scd2_history",
+    "stream_windowed_topk",
+    "text_entropy",
+    "agg_approx_distinct_error",
+    # r5+ greens not listed trail in module order (every one re-earned
     # green within the last four rounds; stream_stateful_v2 — r7-green —
     # trails too, with its conditional registration handled below)
 ]

@@ -108,6 +108,11 @@ REDUCED_SF = {
     # recall anchor = the exact twin filtered at 0.7 — same quadratic
     # output volume by construction
     "dedup_minhash_recall": "sf0.01",
+    # since r9 the registry entry is the recall-mass certification, which
+    # consumes the exact twin too — same oracle-duty reduction; the
+    # PRODUCTION banded-LSH pipeline keeps its full-SF reading as the
+    # `_lsh_pairs_pipeline[...]` line item below
+    "dedup_minhash_lsh": "sf0.01",
     # NOT reduced — dedup_incremental_jaccard (batch-vs-corpus) and
     # dedup_cluster_canonical (contraction CC + window argmax) claim
     # sub-quadratic SCALING and so bench at full SF; note their sf0.1 wall
@@ -181,6 +186,50 @@ def baseline_add_new() -> None:
         fh.write("\n")
     print(f"baseline: added {len(added)} new rows {added}; "
           f"existing rows untouched (freeze policy)", file=sys.stderr)
+
+
+def baseline_reprice(names: list[str]) -> None:
+    """Replace the frozen rows of queries whose SEMANTICS changed (a
+    conversion that altered what the query computes — r9: the three
+    rows-only retirements), taking fresh readings from bench_out.json and
+    keeping every displaced value in a `repriced` audit map so the change
+    is visible cross-round.  This is NOT a perf refresh: the freeze policy
+    stands for every unchanged query, and comparing a converted query
+    against its pre-conversion row would measure two different programs."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "bench_out.json")) as fh:
+        out = json.load(fh)
+    with open(os.path.join(here, "bench_baseline.json")) as fh:
+        base = json.load(fh)
+    if out.get("sf") != base.get("sf"):
+        sys.exit(
+            f"refusing --baseline-reprice: bench_out.json is sf={out.get('sf')} "
+            f"but the frozen baseline is sf={base.get('sf')}"
+        )
+    audit = base.setdefault("repriced", {})
+    for name in names:
+        if name not in base["queries"]:
+            sys.exit(f"--baseline-reprice: {name} has no baseline row (use "
+                     f"--baseline-add-new for new queries)")
+        if name not in out["queries"]:
+            sys.exit(f"--baseline-reprice: {name} missing from bench_out.json")
+        audit[name] = {
+            "old_sec": base["queries"][name],
+            "old_norm": base.get("queries_norm", {}).get(name),
+        }
+        base["queries"][name] = out["queries"][name]
+        if name in out.get("queries_norm", {}):
+            base.setdefault("queries_norm", {})[name] = out["queries_norm"][name]
+    base["all_queries_total"] = round(sum(base["queries"].values()), 3)
+    if "queries_norm" in base:
+        base["all_queries_total_norm"] = round(
+            sum(base["queries_norm"].values()), 3
+        )
+    with open(os.path.join(here, "bench_baseline.json"), "w") as fh:
+        json.dump(base, fh, indent=1)
+        fh.write("\n")
+    print(f"baseline: repriced {names} (old values kept in 'repriced' audit "
+          f"map); all other rows untouched", file=sys.stderr)
 
 
 def main(check: bool = False) -> None:
@@ -333,6 +382,7 @@ def main(check: bool = False) -> None:
     )
 
     pair_consumers = ("dedup_jaccard_pairs", "dedup_minhash_recall",
+                      "dedup_minhash_lsh",
                       "dedup_connected_components", "dedup_cluster_canonical")
     for pdir in sorted({reduced.get(n, sf_dir) for n in pair_consumers if n in qs}):
         leaf = os.path.basename(pdir.rstrip("/"))
@@ -375,6 +425,29 @@ def main(check: bool = False) -> None:
     for frame in _PAIRS_CACHE.values():
         frame.unpersist()
     _PAIRS_CACHE.clear()
+
+    # The production banded-LSH pair pipeline, timed at the FULL bench SF:
+    # the registry's dedup_minhash_lsh row is since r9 the recall-mass
+    # certification (reduced to sf0.01 with the rest of the exact-twin
+    # oracle duty), so this line item keeps the 100 TB-relevant reading —
+    # tokenize -> 24 minhashes -> 12-band self-join -> exact verify — on
+    # the full corpus.
+    t0 = time.perf_counter()
+    try:
+        from guidance_for_sap_data_integration_and_management_on_aws_spark.operators.dedup import (
+            minhash_lsh_pairs,
+        )
+
+        minhash_lsh_pairs(spark, sf_dir).write.mode("overwrite").format(
+            "noop"
+        ).save()
+        timings[
+            f"_lsh_pairs_pipeline[{os.path.basename(sf_dir.rstrip('/'))}]"
+        ] = round(time.perf_counter() - t0, 3)
+    except Exception as e:
+        errors[
+            f"_lsh_pairs_pipeline[{os.path.basename(sf_dir.rstrip('/'))}]"
+        ] = f"{type(e).__name__}: {e}"[:200]
 
     # Same attribution split for graph.py's memoized co-purchase edge list
     # (localCheckpoint, eager): every graph_* query reads it, so whichever
@@ -504,5 +577,11 @@ def main(check: bool = False) -> None:
 if __name__ == "__main__":
     if "--baseline-add-new" in sys.argv:
         baseline_add_new()
+    elif "--baseline-reprice" in sys.argv:
+        i = sys.argv.index("--baseline-reprice")
+        names = sys.argv[i + 1 :]
+        if not names:
+            sys.exit("--baseline-reprice requires explicit query names")
+        baseline_reprice(names)
     else:
         main(check="--check" in sys.argv)

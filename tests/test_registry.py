@@ -22,38 +22,38 @@ def test_registry_shape():
     # stream_stateful_v2 is gated off (no provisionable protobuf runtime)
     expected = [n for n in entrymod._PRIORITY if n in reg]
     assert names[: len(expected)] == expected
-    # round-8 window layout (criticality order): the 12 r7 late additions
-    # that have NEVER had a driver row lead (deliberately queued past the
-    # saturated r7 window; ADVICE r7 pinned exactly this ordering risk),
-    # then the 2 new sketch-rollup queries, the 3 changed-since-green
-    # builders, the 12 r2-era greens (the whole block drains), and the
-    # 21-query TPC-H suite per the rotation invariant — 12+2+3+12+21 = 50
-    # exactly; the join family leads the remaining r3 ballast, queued
-    # FIRST for round 9.
+    # round-9 window layout (criticality order): the 4 never hash-checked
+    # entries lead (the new streaming sketch maintenance + the 3 retired
+    # rows-only conversions earning their first oracle row), then the 4
+    # changed-since-green builders (grouping_id rollup joins, the cents
+    # finiteness guard, the LSH pairs-pipeline extraction), the final 21
+    # r3-era greens (join family, ingest/text stragglers, mm codecs — the
+    # r3 block drains), and the 21 oldest r4 greens (relational/fn core):
+    # 4+4+21+21 = 50 exactly; the remaining 20 r4 greens queue FIRST for
+    # round 10.
     never_checked = [
-        "agg_equidepth_histogram", "agg_corr_matrix", "events_path_trigrams",
-        "ml_score_calibration", "ts_ewma_smooth", "text_oov_rate",
-        "events_ab_test", "xml_scan_roundtrip", "stream_cusum_alarms",
-        "graph_sssp_weighted", "events_conversion_lag", "mm_wav_vad",
+        "stream_sketch_maintenance",
+        "agg_approx_distinct",
+        "dedup_minhash_lsh",
+        "ann_ivf_train_kmeans",
     ]
-    assert names[:12] == never_checked
-    assert names[12:17] == [
-        "agg_hll_rollup_merge",  # new this round (r7 verdict item 7)
+    assert names[:4] == never_checked
+    assert names[4:8] == [
+        "agg_hll_rollup_merge",  # grouping_id markers (ADVICE r8 item 2)
         "agg_kll_rollup_merge",
-        "stream_stateful_sessions",  # state-store sizing (r7 verdict item 6)
-        "csv_scan_roundtrip",  # scratch-path hygiene (ADVICE r7 item 2)
-        "orc_scan_roundtrip",
+        "stream_cusum_alarms",  # cents finiteness guard (ADVICE r8 item 1)
+        "dedup_minhash_recall",  # reads the extracted minhash_lsh_pairs
     ]
     for probe in (
-        # r2-era rotation block
-        "stream_stateful_running_totals", "udf_scalar_reverse",
-        "udtf_bigrams", "mm_frame_sample",
-        # TPC-H rotation block (oldest r3 greens)
-        "q1_pricing_summary", "q13_order_distribution", "q22_idle_customers",
+        # final r3-era rotation block
+        "join_inner", "join_salted_skew", "ingest_merge_upsert",
+        "stream_incremental_upsert", "mm_wav_decode",
+        # oldest r4 greens (relational/fn core)
+        "filter_where", "agg_statistical", "fn_json",
     ):
         assert names.index(probe) < 50, probe
-    # this round's window is fully oracle-checked — the three rows-only
-    # entries (all r6-checked, each with a green exact anchor) rotate out
+    # since r9 every registry query carries an oracle — the whole window
+    # (and everything past it) is hash-checked
     window_rows_only = [n for n in names[:50] if reg[n].oracle is None]
     assert window_rows_only == [], window_rows_only
     # every builder is callable and every oracle is non-empty SQL text
