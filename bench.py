@@ -325,16 +325,18 @@ def main(check: bool = False) -> None:
     run_to_table(warm, "bench_warm_stream", "append", shuffle_partitions=4)
     # warmup 5: the Spark 4 transformWithStateInPandas path pays a separate
     # one-time setup on first use — RocksDB provider native-lib load +
-    # protobuf runtime provisioning + its own streaming codegen (measured
-    # standalone at sf0.1: 25s cold vs 5-8s warm; warmup 4's HDFS-backed
-    # window agg absorbs none of it).  One tiny-SF drain absorbs it so the
-    # timed stream_stateful_v2 number is steady-state, like every other
-    # one-time engine cost the earlier warmups absorb.
+    # protobuf runtime provisioning + its own streaming codegen (warmup 4's
+    # HDFS-backed window agg absorbs none of it).  Drain at the BENCH SF:
+    # r8 warmed at sf0.001 and the timed sf0.1 number still re-paid ~5s of
+    # shape-dependent setup (r9 standalone corroboration: after an sf0.001
+    # warmup the first sf0.1 run reads 11.0s, the second 5.3s, the third
+    # 4.7s — the tiny-SF drain does not match the sf0.1 state-store/worker
+    # shape).  One full-SF drain makes the timed number steady-state, like
+    # every other one-time engine cost the earlier warmups absorb.
     if "stream_stateful_v2" in qs:
-        tiny = os.path.join(os.path.dirname(sf_dir.rstrip("/")) or ".", "sf0.001")
-        qs["stream_stateful_v2"](
-            spark, tiny if os.path.isdir(tiny) else sf_dir
-        ).write.mode("overwrite").format("noop").save()
+        qs["stream_stateful_v2"](spark, sf_dir).write.mode("overwrite").format(
+            "noop"
+        ).save()
         drop_memory_sinks()
     # warmup 5b: the stateful-v2 drain churns the Python worker pool enough
     # to evict the datasource workers warmup 2 primed (round-8 symptom: the
