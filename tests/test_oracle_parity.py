@@ -15,7 +15,8 @@ from tests.oracle_harness import compare
 
 REG = entrymod._registry()
 ORACLE_NAMES = [n for n, q in REG.items() if q.oracle is not None]
-ROWS_ONLY_NAMES = [n for n, q in REG.items() if q.oracle is None]
+# since r9 every registry query carries an oracle (pinned in
+# tests/test_registry.py); no rows-only parametrization remains
 
 # ---------------------------------------------------------------------------
 # sf0.1 CI sweep (r7 verdict item 5): the full-registry differential sweep at
@@ -130,14 +131,6 @@ def test_oracle_dtype_parity(spark, duck, sf_dir, name):
         if not _duck_type_ok(f.dataType, duck_types[f.name])
     ]
     assert not bad, f"{name}: spark/duckdb dtype families differ: {bad}"
-
-
-@pytest.mark.parametrize("name", ROWS_ONLY_NAMES)
-def test_rows_only_runs(spark, sf_dir, name):
-    q = REG[name]
-    df = q.builder(spark, sf_dir)
-    _assert_no_decimal(df, name)
-    assert df.count() >= 0
 
 
 def test_entry_smoke(spark):
