@@ -25,7 +25,7 @@ from guidance_for_sap_data_integration_and_management_on_aws_spark.registry impo
 # ROTATION INVARIANT (keep this when re-sorting in future rounds): after
 # blocks 1-2 below, fill the window with the queries whose latest driver
 # green is OLDEST, oldest first, so that no query's green ever ages past
-# ~5 rounds without being re-earned (245 queries / ~50 slots).
+# ~5 rounds without being re-earned (246 queries / ~50 slots).
 #
 #   1. NEVER HASH-CHECKED queries (brand-new this round, or rows-only
 #      entries converted to carry an oracle);
@@ -37,22 +37,24 @@ from guidance_for_sap_data_integration_and_management_on_aws_spark.registry impo
 _PRIORITY = [
     # ------------------------------------------------------------------
     # ROUND-9 WINDOW LEDGER (~50 driver slots; see rotation invariant
-    # above).  Entering r9 the age profile was: never hash-checked 4
-    # (1 new + the 3 retired rows-only entries, first oracle this round),
+    # above).  Entering r9 the age profile was: never hash-checked 5
+    # (2 new + the 3 retired rows-only entries, first oracle this round),
     # changed-since-green 4, r3-era greens 21 (the final r3 block),
     # r4 greens 41, r5+ within the last 4 rounds.  Budget:
-    #    4 never hash-checked                            -> slots  1-4
+    #    5 never hash-checked                            -> slots  1-5
     #    4 changed-since-green (grouping_id rollup join;
     #      the cents-kernel finiteness guard; the LSH
-    #      pairs-pipeline extraction)                    -> slots  5-8
+    #      pairs-pipeline extraction)                    -> slots  6-9
     #   21 r3-era greens (the block drains — after this
-    #      round no green is older than r4)              -> slots  9-29
-    #   21 oldest r4 greens (relational/fn core)         -> slots 30-50
-    # The remaining 20 r4 greens queue FIRST for round 10; steady-state
-    # rotation at 245 queries / 50 slots re-greens every ~5 rounds.
+    #      round no green is older than r4)              -> slots 10-30
+    #   20 oldest r4 greens (relational/fn core)         -> slots 31-50
+    # fn_json and the remaining 20 r4 greens queue FIRST for round 10;
+    # steady-state rotation at 246 queries / 50 slots re-greens every
+    # ~5 rounds.
     # ------------------------------------------------------------------
     # --- 1. never hash-checked (first driver oracle this round) --------
     "stream_sketch_maintenance",  # NEW r9: foreachBatch HLL cell merge
+    "stream_kll_maintenance",  # NEW r9: the KLL quantile twin
     "agg_approx_distinct",  # converted: grouped tolerance form (r8 item 5)
     "dedup_minhash_lsh",  # converted: recall-mass certification
     "ann_ivf_train_kmeans",  # converted: certified seed-argmin + invariants

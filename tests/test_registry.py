@@ -22,23 +22,24 @@ def test_registry_shape():
     # stream_stateful_v2 is gated off (no provisionable protobuf runtime)
     expected = [n for n in entrymod._PRIORITY if n in reg]
     assert names[: len(expected)] == expected
-    # round-9 window layout (criticality order): the 4 never hash-checked
-    # entries lead (the new streaming sketch maintenance + the 3 retired
-    # rows-only conversions earning their first oracle row), then the 4
-    # changed-since-green builders (grouping_id rollup joins, the cents
-    # finiteness guard, the LSH pairs-pipeline extraction), the final 21
-    # r3-era greens (join family, ingest/text stragglers, mm codecs — the
-    # r3 block drains), and the 21 oldest r4 greens (relational/fn core):
-    # 4+4+21+21 = 50 exactly; the remaining 20 r4 greens queue FIRST for
-    # round 10.
+    # round-9 window layout (criticality order): the 5 never hash-checked
+    # entries lead (the two new streaming sketch-maintenance queries + the
+    # 3 retired rows-only conversions earning their first oracle row),
+    # then the 4 changed-since-green builders (grouping_id rollup joins,
+    # the cents finiteness guard, the LSH pairs-pipeline extraction), the
+    # final 21 r3-era greens (join family, ingest/text stragglers, mm
+    # codecs — the r3 block drains), and the 20 oldest r4 greens
+    # (relational/fn core): 5+4+21+20 = 50 exactly; fn_json and the
+    # remaining r4 greens queue FIRST for round 10.
     never_checked = [
         "stream_sketch_maintenance",
+        "stream_kll_maintenance",
         "agg_approx_distinct",
         "dedup_minhash_lsh",
         "ann_ivf_train_kmeans",
     ]
-    assert names[:4] == never_checked
-    assert names[4:8] == [
+    assert names[:5] == never_checked
+    assert names[5:9] == [
         "agg_hll_rollup_merge",  # grouping_id markers (ADVICE r8 item 2)
         "agg_kll_rollup_merge",
         "stream_cusum_alarms",  # cents finiteness guard (ADVICE r8 item 1)
@@ -48,8 +49,9 @@ def test_registry_shape():
         # final r3-era rotation block
         "join_inner", "join_salted_skew", "ingest_merge_upsert",
         "stream_incremental_upsert", "mm_wav_decode",
-        # oldest r4 greens (relational/fn core)
-        "filter_where", "agg_statistical", "fn_json",
+        # oldest r4 greens (relational/fn core; fn_json is slot 51 —
+        # first past the line, leading the r10 ballast)
+        "filter_where", "agg_statistical", "fn_map",
     ):
         assert names.index(probe) < 50, probe
     # since r9 every registry query carries an oracle — the whole window
