@@ -49,10 +49,15 @@ BASELINE FREEZE POLICY (round 8, r7 verdict What's-wrong #1):
 bench_baseline.json is FROZEN across rounds — never refreshed wholesale at
 round end (two same-round refreshes in r7 made the 2x gate compare a run
 against its own run-family and blinded it to within-round regressions).
-The only permitted update is ADDING rows for queries that did not exist in
-the previous round, at their first benched time, via
+The only permitted updates are (a) ADDING rows for queries that did not
+exist in the previous round, at their first benched time, via
 `python bench.py --baseline-add-new` (which refuses to touch existing
-rows).  Shared-query rows therefore always predate the round under test.
+rows), and (b) REPRICING rows whose query SEMANTICS changed (r9: the three
+rows-only-to-certification conversions) via `--baseline-reprice <names>`,
+which records every displaced value in the file's `repriced` audit map —
+a reprice is never a perf refresh.  Both recompute all_queries_total(+norm)
+from the merged map; `value`/`value_norm` (the headline gate) stay frozen.
+Shared-query rows therefore always predate the round under test.
 
 FIRST FROZEN-BASELINE READING (round 8): four same-code runs measured
 headline 15.6-23.8s against the r7-recorded 12.7s, with calib_sec 0.45-0.62
