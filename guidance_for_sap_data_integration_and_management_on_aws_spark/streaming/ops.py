@@ -1211,12 +1211,16 @@ def stream_kll_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = ev.groupBy("event_type").agg(
         F.round(F.percentile(F.col("v"), F.lit(0.5)), 6).alias("exact_p50")
     )
+    # relative tolerance with an absolute floor: events.value spans a dense
+    # positive range at every fixture SF, but a zero median would null the
+    # bare relative form (0/0) and silently break the boolean contract —
+    # the same latent-trap class ADVICE r8 flagged for NULL rollup keys
     return exact.join(F.broadcast(maintained), ["event_type"]).select(
         "event_type",
         "exact_p50",
         (
             F.abs(F.col("__m50") - F.col("exact_p50"))
-            / F.abs(F.col("exact_p50"))
+            / F.greatest(F.abs(F.col("exact_p50")), F.lit(1e-9))
             <= KLL_TOL
         ).alias("p50_within_tol"),
     )
