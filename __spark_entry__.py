@@ -42,14 +42,16 @@ _PRIORITY = [
     # changed-since-green 4, r3-era greens 21 (the final r3 block),
     # r4 greens 41, r5+ within the last 4 rounds.  Budget:
     #    5 never hash-checked                            -> slots  1-5
-    #    4 changed-since-green (grouping_id rollup join;
+    #    5 changed-since-green (grouping_id rollup join;
     #      the cents-kernel finiteness guard; the LSH
-    #      pairs-pipeline extraction)                    -> slots  6-9
+    #      pairs-pipeline extraction; the pair-frame
+    #      verify rework: union-size identity + eager
+    #      candidate checkpoint)                         -> slots  6-10
     #   21 r3-era greens (the block drains — after this
-    #      round no green is older than r4)              -> slots 10-30
-    #   20 oldest r4 greens (relational/fn core)         -> slots 31-50
-    # fn_json and the remaining 20 r4 greens queue FIRST for round 10;
-    # steady-state rotation at 246 queries / 50 slots re-greens every
+    #      round no green is older than r4)              -> slots 11-31
+    #   19 oldest r4 greens (relational/fn core)         -> slots 32-50
+    # fn_map, fn_json and the remaining r4 greens queue FIRST for round
+    # 10; steady-state rotation at 246 queries / 50 slots re-greens every
     # ~5 rounds.
     # ------------------------------------------------------------------
     # --- 1. never hash-checked (first driver oracle this round) --------
@@ -63,6 +65,10 @@ _PRIORITY = [
     "agg_kll_rollup_merge",
     "stream_cusum_alarms",  # cents-kernel finiteness guard (ADVICE r8 item 1)
     "dedup_minhash_recall",  # now reads the extracted minhash_lsh_pairs
+    "dedup_jaccard_pairs",  # pair-frame verify rework (value-identical:
+    # |A∪B| = |A|+|B|-|A∩B| on distinct-token arrays; candidates
+    # checkpointed eagerly) — its downstream consumers cc/cluster_canonical
+    # read the same unchanged values and keep their r7 greens
     # --- 3. staleness rotation: the 21 remaining r3-era greens (the
     # --- whole block drains; join family first) ------------------------
     "join_inner",

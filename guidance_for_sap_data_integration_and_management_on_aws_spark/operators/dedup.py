@@ -237,8 +237,26 @@ def _jaccard_pairs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     cand = _prefix_candidates(d, JACCARD_T)
     toks = _hashed_token_sets(spark, sf_dir)
-    ta = toks.select(F.col("doc_id").alias("da"), F.col("toks").alias("ta"))
-    tb = toks.select(F.col("doc_id").alias("db"), F.col("toks").alias("tb"))
+    sized = toks.select("doc_id", "toks", F.size("toks").alias("nt"))
+    ta = sized.select(
+        F.col("doc_id").alias("da"), F.col("toks").alias("ta"),
+        F.col("nt").alias("na"),
+    )
+    tb = sized.select(
+        F.col("doc_id").alias("db"), F.col("toks").alias("tb"),
+        F.col("nt").alias("nb"),
+    )
+    # MATERIALIZE the candidate frame before the verify (the prefix-frame
+    # precedent): submitting tokenize -> prefix -> expansion -> dedup ->
+    # verify -> cache-build as ONE job measured bimodal 26-96s for the
+    # identical plan — the first large single-action run pays a one-time
+    # JIT/deopt storm across the fused pipeline (2166 CPU·s vs the same
+    # work's 200-500 CPU·s steady state; rebuilds in the same process read
+    # 6-9s).  Split into two bounded jobs the storm never appears: the
+    # expansion lands at ~9s and the verify at ~3-13s, cold.  The
+    # checkpoint is 9.5M narrow (da, db) rows ≈ 150 MB at sf0.1 — and this
+    # exact twin is oracle duty; the production near-dup path is the LSH.
+    cand = cand.localCheckpoint(eager=True)
     # EXPLICIT broadcast of the token-set table into the verify joins: the
     # candidate side is the big one (quadratic pair mass in this dense
     # fixture), and shuffling a token ARRAY per candidate row is the whole
@@ -248,9 +266,11 @@ def _jaccard_pairs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # where the token table outgrows a broadcast, the exact twin is oracle
     # duty anyway — the production near-dup path is the banded LSH.
     pairs = cand.join(F.broadcast(ta), "da").join(F.broadcast(tb), "db")
+    # |A∪B| = |A| + |B| - |A∩B| on these distinct-token arrays: one hash-set
+    # build per pair instead of two (array_union was ~half the verify CPU —
+    # ~480 CPU·s total at sf0.1's 9.5M candidates before this change)
     inter = F.size(F.array_intersect("ta", "tb")).cast("double")
-    union = F.size(F.array_union("ta", "tb")).cast("double")
-    jac = F.round(inter / union, 6)
+    jac = F.round(inter / (F.col("na") + F.col("nb") - inter), 6)
     return pairs.select("da", "db", jac.alias("jaccard")).filter(
         F.col("jaccard") >= JACCARD_T
     )

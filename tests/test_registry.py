@@ -25,12 +25,12 @@ def test_registry_shape():
     # round-9 window layout (criticality order): the 5 never hash-checked
     # entries lead (the two new streaming sketch-maintenance queries + the
     # 3 retired rows-only conversions earning their first oracle row),
-    # then the 4 changed-since-green builders (grouping_id rollup joins,
-    # the cents finiteness guard, the LSH pairs-pipeline extraction), the
-    # final 21 r3-era greens (join family, ingest/text stragglers, mm
-    # codecs — the r3 block drains), and the 20 oldest r4 greens
-    # (relational/fn core): 5+4+21+20 = 50 exactly; fn_json and the
-    # remaining r4 greens queue FIRST for round 10.
+    # then the 5 changed-since-green builders (grouping_id rollup joins,
+    # the cents finiteness guard, the LSH pairs-pipeline extraction, the
+    # pair-frame verify rework), the final 21 r3-era greens (join family,
+    # ingest/text stragglers, mm codecs — the r3 block drains), and the 19
+    # oldest r4 greens (relational/fn core): 5+5+21+19 = 50 exactly;
+    # fn_map, fn_json and the remaining r4 greens queue FIRST for round 10.
     never_checked = [
         "stream_sketch_maintenance",
         "stream_kll_maintenance",
@@ -39,19 +39,20 @@ def test_registry_shape():
         "ann_ivf_train_kmeans",
     ]
     assert names[:5] == never_checked
-    assert names[5:9] == [
+    assert names[5:10] == [
         "agg_hll_rollup_merge",  # grouping_id markers (ADVICE r8 item 2)
         "agg_kll_rollup_merge",
         "stream_cusum_alarms",  # cents finiteness guard (ADVICE r8 item 1)
         "dedup_minhash_recall",  # reads the extracted minhash_lsh_pairs
+        "dedup_jaccard_pairs",  # pair-frame verify rework (value-identical)
     ]
     for probe in (
         # final r3-era rotation block
         "join_inner", "join_salted_skew", "ingest_merge_upsert",
         "stream_incremental_upsert", "mm_wav_decode",
-        # oldest r4 greens (relational/fn core; fn_json is slot 51 —
-        # first past the line, leading the r10 ballast)
-        "filter_where", "agg_statistical", "fn_map",
+        # oldest r4 greens (relational/fn core; fn_map and fn_json are
+        # slots 51-52 — first past the line, leading the r10 ballast)
+        "filter_where", "agg_statistical", "fn_array",
     ):
         assert names.index(probe) < 50, probe
     # since r9 every registry query carries an oracle — the whole window

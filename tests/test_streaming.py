@@ -496,3 +496,66 @@ def test_sketch_maintenance_per_batch_work_is_o_batch(spark, sf_dir):
         .collect()
     }
     assert maintained == rebuilt and len(maintained) == n_cells
+
+
+def test_kll_maintenance_loop_holds_the_same_o_batch_contract(spark, sf_dir):
+    """The KLL twin exercises a structurally different merge path through
+    the shared loop — collect_list of prior+delta sketch buffers folded by
+    pairwise kll_sketch_merge_double (post_merge), not a native union
+    aggregate — so the O(batch + n_cells) contract is asserted for it
+    separately: per-type cells, fact reads bounded by the TYPE domain
+    (independent of both corpus rows and the day range), every row
+    sketched exactly once.  End state checks the rank-error contract (KLL
+    compaction is merge-order-dependent, so no register equality like the
+    HLL twin): the maintained median lands within KLL_TOL of the exact
+    per-type median."""
+    from pyspark.sql import functions as F
+
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.catalog import load
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.operators.relational import (
+        KLL_TOL,
+        _kll_merge_fold,
+    )
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.streaming.ops import (
+        _sketch_maintenance_run,
+    )
+
+    stats: list[tuple[int, int]] = []
+    fact_path = _sketch_maintenance_run(
+        spark,
+        sf_dir,
+        stats=stats,
+        value_col="value",
+        sketch_agg=F.expr("kll_sketch_agg_double(CAST(value AS DOUBLE))").alias(
+            "sk"
+        ),
+        merge_agg=F.collect_list("sk").alias("sks"),
+        post_merge=_kll_merge_fold().alias("sk"),
+        keys=("event_type",),
+    )
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.col("value").cast("double").alias("v")
+    )
+    n_events = ev.count()
+    n_types = ev.select("event_type").distinct().count()
+    assert len(stats) == N_CHUNKS
+    assert sum(b for b, _ in stats) == n_events  # every row sketched once
+    assert all(c <= n_types for _, c in stats), stats  # fact reads bounded
+    maintained = {
+        r["event_type"]: r["m50"]
+        for r in spark.read.parquet(fact_path)
+        .select(
+            "event_type",
+            F.expr("kll_sketch_get_quantile_double(sk, 0.5)").alias("m50"),
+        )
+        .collect()
+    }
+    exact = {
+        r["event_type"]: r["p50"]
+        for r in ev.groupBy("event_type")
+        .agg(F.percentile(F.col("v"), F.lit(0.5)).alias("p50"))
+        .collect()
+    }
+    assert maintained.keys() == exact.keys() and len(exact) == n_types
+    for t, p50 in exact.items():
+        assert abs(maintained[t] - p50) / max(abs(p50), 1e-9) <= KLL_TOL, t
