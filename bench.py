@@ -21,6 +21,25 @@ below ~2x on the heavier queries are therefore position/GC noise, not
 regressions — corroborate any single-query flag with a standalone re-run
 before treating it as real.
 
+ROOT CAUSE OF THE ONE-OFFS, PROFILED (round 9): the flap is tier-4 JIT
+latency, not GC or heap.  A storm run of the exact-Jaccard pair build
+burned 2166 CPU·s in its verify stage where the identical plan's steady
+state is 200-500 CPU·s (stage-level executorCpuTime via the UI REST API;
+GC 133s of 2527s run time, every generated method <1500 bytecodes so no
+huge-method bailout): with all 32 cores saturated by tier-3 profiled code,
+whether the one hot generated method's C2 compile lands early or late in
+the queue is luck, and a late landing multiplies the whole stage by the
+tier-3/tier-4 cost ratio (~4-10x on allocation-heavy kernels like
+array_intersect).  Storm odds rise with the amount of work submitted as
+ONE job — dedup.py now eagerly checkpoints its candidate frame to split
+the worst offender into bounded jobs (26-96s bimodal -> 10-23s cold,
+6-9s steady) — and session.py reserves 512m of code cache so the
+flush-at-240MB variant cannot add to it mid-run.  The corroboration
+protocol stands: standalone-warm is the query's true cost; in-run one-offs
+above it are queue luck.  Measured victims this round (all at-baseline
+standalone, 3-7x in-run): text_bigram_pmi, pipeline_decontaminate,
+text_oov_rate, pipeline_train_test_split, text_bm25_topk.
+
 REDUCED_SF queries run against sf0.01 instead (flagged in the JSON under
 "reduced_sf"): the exact all-pairs Jaccard twin emits ~7M pairs at sf0.1
 (the fixture corpus is a dense near-dup graph — 57% of ALL doc pairs
@@ -58,6 +77,13 @@ which records every displaced value in the file's `repriced` audit map —
 a reprice is never a perf refresh.  Both recompute all_queries_total(+norm)
 from the merged map; `value`/`value_norm` (the headline gate) stay frozen.
 Shared-query rows therefore always predate the round under test.
+Round-9 reprices: the three rows-only-to-certification conversions, plus
+the `_shared_pair_frame_build[*]` line items after the verify rework
+(union-size identity + eager candidate checkpoint — a different program).
+The repriced [sf0.1] value (78.4s) is an in-bench reading with full
+C2-queue exposure; the same build reads 10-23s standalone-cold and 6-9s
+steady — interpret against the ROOT CAUSE note above, and expect future
+in-bench readings anywhere in that band.
 
 FIRST FROZEN-BASELINE READING (round 8): four same-code runs measured
 headline 15.6-23.8s against the r7-recorded 12.7s, with calib_sec 0.45-0.62

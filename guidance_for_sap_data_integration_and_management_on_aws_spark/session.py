@@ -54,6 +54,18 @@ _LOCAL_DEFAULTS: dict[str, str] = {
     # the measured 16g stands.  A cluster deployment sets executor memory
     # instead.
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+    # JIT code-cache headroom for the local harness.  A full bench pass
+    # compiles hundreds of queries' whole-stage-codegen classes in one JVM;
+    # at the JDK-17 default (240 MB, UseCodeCacheFlushing=true) a filling
+    # cache flushes cold compiled methods and stalls the compile queue.
+    # Separately measured (r9): a heavy fused stage sporadically runs 4-10x
+    # CPU when its hot generated method sits in the C2 queue behind
+    # thousands of cold-start compilations while 32 saturated cores burn
+    # tier-3 code (identical plans, 2166 vs 200-500 CPU·s; every generated
+    # method <1500 bytecodes, so not a huge-method bailout).  More cache
+    # can't eliminate queue luck but removes the flush-induced variant.
+    # Driver-JVM-only; cluster deployments size executor JVMs themselves.
+    "spark.driver.extraJavaOptions": "-XX:ReservedCodeCacheSize=512m",
 }
 
 
