@@ -391,6 +391,17 @@ def main(check: bool = False) -> None:
         ).format("noop").save()
         return round(time.perf_counter() - t0, 3)
 
+    # Quiesce before the first timed work: the warmups just enqueued
+    # thousands of cold-start compilations; with all cores then saturated
+    # by query work, tier-4 compiles of the headline queries' own hot
+    # methods queue behind that backlog — the storm mechanism in the ROOT
+    # CAUSE note.  Ten idle seconds let the compiler threads drain the
+    # backlog so the headline block's compiles contend only with each
+    # other.  (calib_sec 0.953 was once measured right after the stateful
+    # warmup vs 0.32-0.47 at rest — the calibration sample itself needs
+    # this quiesce to price the host, not the warmup's wake.)
+    time.sleep(10)
+
     calib_start = run_calib()
 
     timings: dict[str, float] = {}
