@@ -492,6 +492,12 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
         .dropDuplicates(["da", "db"])
     )
+    # materialize the banded candidates before the verify — the same
+    # bounded-jobs split as _jaccard_pairs_plan (sign -> band-join ->
+    # dedup -> verify submitted as ONE job exposes the whole pipeline to
+    # the tier-4 compile-latency storm; measured 5.9-20.7s band at sf0.1
+    # for the fused run vs a stable ~6s split).  ~8M narrow rows at sf0.1.
+    cand = cand.localCheckpoint(eager=True)
     # carry |A|,|B| with the token sets: |A∪B| = |A|+|B|-|A∩B|, so the exact
     # verify costs ONE array_intersect per pair instead of intersect + union
     sized = hashed.select("doc_id", "toks", F.size("toks").alias("n"))
