@@ -459,6 +459,27 @@ def incremental_lsh_candidates(
 RECALL_T = 0.7  # all-found threshold: P(LSH miss | jac=0.7) = (1-0.49)^12 ~ 3e-4
 
 
+def _lsh_band_candidates(hashed: DataFrame) -> DataFrame:
+    """Lazy banded-LSH candidate (da, db) frame over a (doc_id, toks)
+    token frame: sign -> 12-band self-join on (band, h) over NARROW
+    16-byte rows -> dedup.  Kept as its own subplan so minhash_lsh_pairs
+    can materialize it (bounded-jobs split) while the banded-exchange
+    plan lock inspects the executing shape."""
+    banded = banded_signatures(hashed)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .dropDuplicates(["da", "db"])
+    )
+
+
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 MinHash-LSH near-dup pair frame (da, db, jaccard_dist < 0.45):
     the production banded-LSH pipeline — distinct word shingles -> 24
@@ -479,25 +500,15 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the persisted token cache makes "one pass" literal — the signature
     # build and both verify sides read the same materialized frame
     hashed = _hashed_token_sets(spark, sf_dir)
-    banded = banded_signatures(hashed)
-    a = banded.alias("a")
-    b = banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
-        .dropDuplicates(["da", "db"])
-    )
     # materialize the banded candidates before the verify — the same
     # bounded-jobs split as _jaccard_pairs_plan (sign -> band-join ->
     # dedup -> verify submitted as ONE job exposes the whole pipeline to
     # the tier-4 compile-latency storm; measured 5.9-20.7s band at sf0.1
     # for the fused run vs a stable ~6s split).  ~8M narrow rows at sf0.1.
-    cand = cand.localCheckpoint(eager=True)
+    # The lazy constructor stays separate so the banded-exchange plan lock
+    # (tests/test_plans.py: no ArrayType on any band-keyed Exchange)
+    # inspects the plan that actually executes here.
+    cand = _lsh_band_candidates(hashed).localCheckpoint(eager=True)
     # carry |A|,|B| with the token sets: |A∪B| = |A|+|B|-|A∩B|, so the exact
     # verify costs ONE array_intersect per pair instead of intersect + union
     sized = hashed.select("doc_id", "toks", F.size("toks").alias("n"))
