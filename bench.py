@@ -93,6 +93,17 @@ standalone re-runs confirm).  That is host/cache drift between round
 environments — now visible instead of masked by a same-round refresh.
 Read cross-round comparisons normalized (value_norm / queries_norm) and
 corroborate any single-query flag standalone per the noise-band note.
+
+ROUND-9 PROTOCOL VALIDATION: three same-code runs under the final protocol
+(registry-wide warm pass + post-pass saprfc re-prime + saprfc timed first)
+measured headline 12.75 / 13.18 / 14.24 s raw = 0.97x / 1.11x / 1.18x of
+the frozen baseline normalized (r8 band was 1.41-1.78x), zero errors, and
+9 / 23 / 9 non-headline rows above 2x normalized per run — all in the
+2.0-3.1x band of sub-second absolute noise plus in-bench C2-queue residue
+on the two big fused line items (`_lsh_pairs_pipeline[sf0.1]` 12.1-15.7s
+in-bench vs 5.0s steady standalone; `_shared_pair_frame_build[sf0.1]`
+7.5-17.9s vs 6-9s steady).  The flagged set changes every run — the
+corroboration protocol (standalone-warm = true cost) is the read.
 """
 
 from __future__ import annotations
