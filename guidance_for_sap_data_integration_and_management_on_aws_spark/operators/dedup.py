@@ -504,7 +504,10 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bounded-jobs split as _jaccard_pairs_plan (sign -> band-join ->
     # dedup -> verify submitted as ONE job exposes the whole pipeline to
     # the tier-4 compile-latency storm; measured 5.9-20.7s band at sf0.1
-    # for the fused run vs a stable ~6s split).  ~8M narrow rows at sf0.1.
+    # for the fused run vs a stable ~6s split).  ~8M narrow rows at sf0.1;
+    # at cluster scale the materialization boundary is the persisted
+    # (band, h)-bucketed signature-index TABLE (incremental_lsh_candidates'
+    # input) — the in-session localCheckpoint is its single-job analog.
     # The lazy constructor stays separate so the banded-exchange plan lock
     # (tests/test_plans.py: no ArrayType on any band-keyed Exchange)
     # inspects the plan that actually executes here.
