@@ -263,29 +263,34 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     "training prep): the corpus vocabulary is ranked by frequency "
     "(deterministic word tie-break) and every document's token sequence is "
     "rewritten as the comma-joined id sequence, order-preserving.  Scale: "
-    "the vocabulary aggregation is bounded by |vocab| (map-side combined), "
-    "rides as a broadcast into the token join, and the re-assembly is one "
-    "doc-keyed aggregation — at 100 TB exactly the two-pass shape a real "
-    "tokenizer-id pipeline uses (build vocab once, then a map-side encode "
-    "pass).  Position order is pinned on both engines (array_sort on the "
-    "(pos, id) structs / string_agg ORDER BY pos), so the id string is "
-    "hash-exact.",
+    "the vocabulary aggregation is bounded by |vocab| (map-side combined); "
+    "ids come from the shared distributed_rank kernel (range partitions + "
+    "broadcast prefix offsets — never a single-task global window, because "
+    "a web-scale corpus has billions of word types), and the encode pass is "
+    "a hash join on word — NOT a vocab broadcast, which would also grow "
+    "with |types| — followed by one doc-keyed re-assembly aggregation.  At "
+    "100 TB this is exactly the two-pass shape a real tokenizer-id pipeline "
+    "uses (build vocab once, then an encode join).  Position order is "
+    "pinned on both engines (array_sort on the (pos, id) structs / "
+    "string_agg ORDER BY pos), so the id string is hash-exact.",
 )
 def text_numericalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .relational import distributed_rank
+
     d = load(spark, sf_dir, "documents")
     e = d.select(
         "doc_id",
         F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "word"),
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
-    from pyspark.sql import Window
 
-    wv = Window.orderBy(F.desc("freq"), F.asc("word"))
-    vocab = (
+    freqs = (
         e.groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
-        .select("word", F.row_number().over(wv).alias("wid"))
+        .withColumn("__nf", -F.col("freq"))
     )
-    joined = e.join(F.broadcast(vocab), "word")
+    # rank on (-freq asc, word asc) == (freq desc, word asc); tie-free.
+    vocab = distributed_rank(freqs, ["__nf", "word"], out="wid").select("word", "wid")
+    joined = e.join(vocab, "word")
     ids_in_order = F.transform(
         F.array_sort(F.collect_list(F.struct("pos", "wid"))),
         lambda x: x["wid"].cast("string"),

@@ -946,3 +946,22 @@ def test_kll_rollup_merges_cached_sketch_frame(spark, sf_dir):
     assert "kll_sketch_merge_double" in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_numericalize_distributed_rank_no_vocab_broadcast(spark, sf_dir):
+    """Vocabulary id assignment must survive a billion-type corpus: wids come
+    from the shared distributed_rank kernel (range partitions + hinted
+    broadcast of the <= SKEW_RANK_PARTS-row prefix offsets) — never a
+    single-task global window — and the encode pass joins the vocab by hash,
+    never by a |vocab|-sized broadcast hint.  Planned with auto-broadcast
+    off so only HINTED broadcasts survive (the big-cluster view)."""
+    with _no_broadcast(spark):
+        plan = _plan(spark, sf_dir, "text_numericalize")
+    assert "ExistingRDD" in plan  # materialized range-partitioned freqs
+    assert "Exchange SinglePartition" not in plan
+    # the only window is the per-range-partition local row_number
+    assert plan.count("Window") == 1
+    assert "windowspecdefinition(__pid" in plan
+    # only hinted broadcast = the bounded offsets frame; vocab joins by hash
+    assert plan.count("BroadcastExchange") == 1
+    assert "Exchange hashpartitioning(word" in plan
