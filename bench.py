@@ -447,21 +447,18 @@ def main(check: bool = False) -> None:
                 except Exception:
                     pass  # a warmup must never take the bench down
         drop_memory_sinks()
-        # release tiny-SF entries the memoizing operators may have pinned
-        # (pair/token frames keyed per sf_dir): the bounded FIFO caches
-        # would evict them anyway, but dropping them now keeps the timed
-        # region's storage memory identical to the pre-warmup protocol
-        from guidance_for_sap_data_integration_and_management_on_aws_spark.operators.dedup import (
-            _PAIRS_CACHE as _wp,
-            _TOKEN_CACHE as _wt,
+        # release EVERY warm-SF entry the memoizing operators may have
+        # pinned (pair/token/edge/sketch frames keyed per sf_dir): the
+        # bounded FIFO caches would evict them anyway, but dropping them
+        # now keeps the timed region's storage memory identical to the
+        # pre-warmup protocol.  One central sweep (caches.clear_caches)
+        # instead of hand-listing dicts — the r9 advice found the old
+        # two-dict sweep missed graph/sketch memoizers.
+        from guidance_for_sap_data_integration_and_management_on_aws_spark.caches import (
+            clear_caches,
         )
 
-        for c in (_wp, _wt):
-            for key in [k for k in c if k[1] == warm_sf]:
-                try:
-                    c.pop(key).unpersist()
-                except Exception:
-                    pass
+        clear_caches(warm_sf)
         # warmup 6b: the 246-query warm pass churns the Python worker pool
         # exactly like warmup 5 did in round 8 (and evicts the datasource
         # workers 5b re-primed — measured: saprfc_scan_typed 1.37s timed

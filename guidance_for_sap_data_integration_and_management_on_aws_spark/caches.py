@@ -1,0 +1,49 @@
+"""Central registry of the per-(session, sf_dir) memoizer dicts.
+
+Several operator families memoize an expensive derived frame per corpus
+snapshot (dedup's token/pair tables, graph's edge frame, the sketch fact
+tables).  Each cache is bounded and self-evicting, but harness code — the
+bench's post-warmup cleanup in particular — needs to release EVERY entry
+pinned for a given sf_dir, not just the dicts it happens to know about
+(round-9 advice: the hard-coded two-dict sweep silently skipped
+graph._EDGE_CACHE and the sketch caches).  Modules register their dicts at
+definition time; ``clear_caches(sf_dir)`` is the one sweep point.
+
+Registration is a side effect of importing the owning module, so callers
+that want a FULL sweep should import the operator modules first (the bench
+and the registry both already do — every builder lives in an imported
+module by the time a sweep runs).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+# (cache dict, key -> sf_dir extractor)
+_REGISTRY: list[tuple[dict, Callable]] = []
+
+
+def register_cache(cache: dict, sf_of_key: Callable = lambda k: k[1]) -> dict:
+    """Register a memoizer dict for the global sweep and return it.
+
+    ``sf_of_key`` maps a cache key to its sf_dir; the default fits the
+    dominant ``(applicationId, sf_dir)`` keying.
+    """
+    _REGISTRY.append((cache, sf_of_key))
+    return cache
+
+
+def clear_caches(sf_dir: str | None = None) -> int:
+    """Drop (and unpersist, where the value supports it) every registered
+    cache entry for ``sf_dir`` — or every entry when ``sf_dir`` is None.
+    Returns the number of entries released."""
+    n = 0
+    for cache, sf_of in _REGISTRY:
+        for key in [k for k in cache if sf_dir is None or sf_of(k) == sf_dir]:
+            val = cache.pop(key)
+            try:
+                val.unpersist()
+            except Exception:
+                pass  # non-frame value, or an already-stopped SparkSession
+            n += 1
+    return n

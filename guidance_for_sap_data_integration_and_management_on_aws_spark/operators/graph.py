@@ -41,6 +41,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caches import register_cache
 from ..catalog import load
 from ..registry import QuerySpec, spec
 
@@ -74,7 +75,7 @@ edges AS (
 # what a 100 TB pipeline does.  Same memoization precedent as similarity's
 # _SEED_CACHE; keyed by applicationId so a new session never sees a dead
 # frame.
-_EDGE_CACHE: dict[tuple[str, str], DataFrame] = {}
+_EDGE_CACHE: dict[tuple[str, str], DataFrame] = register_cache({})
 
 
 def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:

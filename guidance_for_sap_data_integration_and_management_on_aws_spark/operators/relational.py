@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..caches import register_cache
 from ..catalog import load, parallelize_small_scan
 from ..functions.exprs import (
     SQL_CHARGE,
@@ -478,8 +479,8 @@ KLL_TOL = 0.05  # k=200 -> ~1.65% rank error; value tol 5% on a dense range
 
 # bounded per-(session, sf_dir) caches for the rollup-merge sketch fact
 # tables (dedup._cached_persisted is the one shared memoizer implementation)
-_HLL_CELL_CACHE: dict = {}
-_KLL_CELL_CACHE: dict = {}
+_HLL_CELL_CACHE: dict = register_cache({})
+_KLL_CELL_CACHE: dict = register_cache({})
 
 
 def _kll_merge_fold() -> Column:

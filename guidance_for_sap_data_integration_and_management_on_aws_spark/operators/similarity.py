@@ -23,6 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..caches import register_cache
 from ..catalog import load, parallelize_small_scan
 from ..functions.vector import (
     as_double,
@@ -274,7 +275,7 @@ def seed_vectors(v: DataFrame, k: int) -> DataFrame:
 # job per query (measured ~1-3 s of cold job overhead per collect).  Same
 # precedent as dedup's _TOKEN_CACHE; entries are plain Rows, no executor
 # storage pinned, so no eviction is needed.
-_SEED_CACHE: dict[tuple[str, str, int], list] = {}
+_SEED_CACHE: dict[tuple[str, str, int], list] = register_cache({})
 
 
 def seed_rows(spark: SparkSession, v: DataFrame, k: int, sf_dir: str) -> list:

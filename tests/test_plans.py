@@ -965,3 +965,18 @@ def test_numericalize_distributed_rank_no_vocab_broadcast(spark, sf_dir):
     # only hinted broadcast = the bounded offsets frame; vocab joins by hash
     assert plan.count("BroadcastExchange") == 1
     assert "Exchange hashpartitioning(word" in plan
+
+
+def test_lsh_pairs_routes_through_locked_constructor():
+    """The banded-exchange lock above inspects the LAZY constructor
+    (_lsh_band_candidates) because minhash_lsh_pairs materializes it behind
+    a localCheckpoint, which hides the executed exchanges.  Tie the two
+    together at the source level so the lock can never silently test dead
+    code: the pairs builder must take its candidates from the memoizing
+    wrapper, and the wrapper must build them with the locked constructor."""
+    import inspect
+
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.operators import dedup
+
+    assert "_lsh_candidates_cached(" in inspect.getsource(dedup.minhash_lsh_pairs)
+    assert "_lsh_band_candidates(" in inspect.getsource(dedup._lsh_candidates_cached)
