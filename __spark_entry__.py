@@ -36,86 +36,33 @@ from guidance_for_sap_data_integration_and_management_on_aws_spark.registry impo
 #      for the following round, then module order (freshest last).
 _PRIORITY = [
     # ------------------------------------------------------------------
-    # ROUND-9 WINDOW LEDGER (~50 driver slots; see rotation invariant
-    # above).  Entering r9 the age profile was: never hash-checked 5
-    # (2 new + the 3 retired rows-only entries, first oracle this round),
-    # changed-since-green 4, r3-era greens 21 (the final r3 block),
-    # r4 greens 41, r5+ within the last 4 rounds.  Budget:
-    #    5 never hash-checked                            -> slots  1-5
-    #    5 changed-since-green (grouping_id rollup join;
-    #      the cents-kernel finiteness guard; the LSH
-    #      pairs-pipeline extraction; the pair-frame
-    #      verify rework: union-size identity + eager
-    #      candidate checkpoint)                         -> slots  6-10
-    #   21 r3-era greens (the block drains — after this
-    #      round no green is older than r4)              -> slots 11-31
-    #   19 oldest r4 greens (relational/fn core)         -> slots 32-50
-    # fn_map, fn_json and the remaining r4 greens queue FIRST for round
-    # 10; steady-state rotation at 246 queries / 50 slots re-greens every
+    # ROUND-10 WINDOW LEDGER (~50 driver slots; see rotation invariant
+    # above).  Entering r10 the age profile was: never hash-checked 2
+    # (both new this round), changed-since-green 3, r4 greens 22 (the
+    # final r4 block — the r9 verdict's named rotation tail), r5 greens
+    # 40, r6+ within the last 4 rounds.  Budget:
+    #    2 never hash-checked                            -> slots  1-2
+    #    3 changed-since-green (numericalize distributed
+    #      rank; the LSH candidate memoization — value-
+    #      identical, re-greened defensively)            -> slots  3-5
+    #   22 r4 greens (the block drains — after this
+    #      round no green is older than r5)              -> slots  6-27
+    #   23 oldest r5 greens (alphabetical prefix of the
+    #      40; the remaining 17 queue first for r11)     -> slots 28-50
+    # Steady-state rotation at 248 queries / 50 slots re-greens every
     # ~5 rounds.
     # ------------------------------------------------------------------
     # --- 1. never hash-checked (first driver oracle this round) --------
-    "stream_sketch_maintenance",  # NEW r9: foreachBatch HLL cell merge
-    "stream_kll_maintenance",  # NEW r9: the KLL quantile twin
-    "agg_approx_distinct",  # converted: grouped tolerance form (r8 item 5)
-    "dedup_minhash_lsh",  # converted: recall-mass certification
-    "ann_ivf_train_kmeans",  # converted: certified seed-argmin + invariants
+    "stream_sketch_compaction",  # NEW r10: delta-log compaction + expiry
+    "saprfc_limit_pushdown",  # NEW r10: ROWCOUNT bound at the page planner
     # --- 2. builder changed since last green ---------------------------
-    "agg_hll_rollup_merge",  # grouping_id join markers (ADVICE r8 item 2)
-    "agg_kll_rollup_merge",
-    "stream_cusum_alarms",  # cents-kernel finiteness guard (ADVICE r8 item 1)
-    "dedup_minhash_recall",  # now reads the extracted minhash_lsh_pairs
-    "dedup_jaccard_pairs",  # pair-frame verify rework (value-identical:
-    # |A∪B| = |A|+|B|-|A∩B| on distinct-token arrays; candidates
-    # checkpointed eagerly) — its downstream consumers cc/cluster_canonical
-    # read the same unchanged values and keep their r7 greens
-    # --- 3. staleness rotation: the 21 remaining r3-era greens (the
-    # --- whole block drains; join family first) ------------------------
-    "join_inner",
-    "join_broadcast",
-    "join_shuffle_hash",
-    "join_left_outer",
-    "join_full_outer",
-    "join_semi",
-    "join_anti",
-    "join_salted_skew",
-    "agg_grouping_sets",
-    "ingest_merge_upsert",
-    "rfc_parse_valid",
-    "text_repetition_filter",
-    "sample_stratified",
-    "pipeline_pack_sequences",
-    "stream_incremental_upsert",
-    "mm_video_frames",
-    "mm_wav_features",
-    "mm_bmp_ahash",
-    "mm_bmp_decode",
-    "mm_bmp_resize",
-    "mm_wav_decode",
-    # --- 3b. oldest r4 greens: the relational/scalar-fn core -----------
-    "filter_where",
-    "limit_offset",
-    "topk_orders",
-    "sort_global",
-    "union_all",
-    "intersect_custkeys",
-    "except_custkeys",
-    "distinct_flags",
-    "agg_count",
-    "agg_stats",
-    "agg_count_distinct",
-    "agg_rollup",
-    "agg_cube",
-    "agg_filtered",
-    "agg_collect",
-    "agg_statistical",
-    "fn_string",
-    "fn_datetime",
-    "fn_array",
+    "text_numericalize",  # r6 green; wid now via distributed_rank, hash join
+    "dedup_minhash_lsh",  # candidate frame memoized (value-identical)
+    "dedup_minhash_recall",  # same memoized candidate path
+    # --- 3. staleness rotation: the 22 remaining r4 greens (the whole
+    # --- block drains; the r9 verdict's item-2 list) --------------------
     "fn_map",
     "fn_json",
-    # --- 4. rotation ballast: the remaining 20 r4 greens queue FIRST
-    # --- for round 10 (the window line falls above here) ---------------
     "fn_conditional",
     "fn_math",
     "subquery_exists",
@@ -136,7 +83,50 @@ _PRIORITY = [
     "stream_windowed_topk",
     "text_entropy",
     "agg_approx_distinct_error",
-    # r5+ greens not listed trail in module order (every one re-earned
+    # --- 3b. oldest r5 greens (alphabetical prefix, 23 of 40) ----------
+    "agg_approx_percentile_error",
+    "agg_percentiles",
+    "ann_bruteforce_topk",
+    "ann_label_match",
+    "ann_lsh_topk",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_exact_bucketed",
+    "dedup_exact_survivors",
+    "dedup_incremental",
+    "embedding_quantize_int8",
+    "events_funnel",
+    "fn_bitwise",
+    "fn_regex",
+    "ingest_merge_into_route",
+    "ingest_scd2_snapshot",
+    "join_interval_overlap",
+    "mm_payload_hash",
+    "pipeline_curation",
+    "rfc_ingest_invariant",
+    "rfc_parse_errors",
+    "saprfc_projection",
+    "saprfc_pushdown",
+    # --- 4. rotation ballast: the remaining 17 r5 greens queue FIRST
+    # --- for round 11 (the window line falls above here) ---------------
+    "saprfc_scan_typed",
+    "saprfc_stream_scan",
+    "sink_roundtrip",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_pii_redact",
+    "text_quality",
+    "text_tfidf_topk",
+    "text_token_count",
+    "text_unigram_logprob",
+    "text_word_count",
+    "try_cast_best_effort",
+    "window_gap_fill",
+    "window_range_frame",
+    "window_running",
+    "window_sessionize",
+    "window_topk_per_group",
+    # r6+ greens not listed trail in module order (every one re-earned
     # green within the last four rounds; stream_stateful_v2 — r7-green —
     # trails too, with its conditional registration handled below)
 ]

@@ -295,6 +295,45 @@ def saprfc_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("TABNAME", "ASDATE")
 
 
+# deliberately NOT page-aligned: proves the final planned page truncates its
+# ROWCOUNT to the bound instead of fetching a full page and filtering after
+SAPRFC_LIMIT = 1234
+
+
+@spec(
+    f"""
+    WITH r AS ({SQL_MOCK_DD03L})
+    SELECT
+      CASE WHEN i%37=0 THEN NULL ELSE 'TAB'||CAST(i%7 AS VARCHAR) END AS TABNAME,
+      CASE WHEN i%37=0 OR i%13=0 THEN NULL ELSE i%500 END AS POSITION,
+      CASE WHEN i%37=0 OR i%11=0 THEN NULL
+           ELSE make_date(CAST(1995+i%25 AS INT), CAST(1+i%12 AS INT), CAST(1+i%28 AS INT))
+      END AS ASDATE,
+      i%37=0 AS is_corrupt
+    FROM r
+    WHERE i < {SAPRFC_LIMIT}
+    """,
+    doc="Limit pushdown through the saprfc DSv2 (the third pushdown leg "
+    "beside P7 OPTIONS / P8 FIELDS): the 'maxrows' option is the RFC "
+    "ROWCOUNT bound (pyrfc_read_table.py:71) applied at PLANNING time — "
+    "the source schedules ceil(1234/500) = 3 page tasks instead of the "
+    "full table's 5, and the last page fetches ROWCOUNT=234, so no wire "
+    "row past the bound is ever parsed (plan-locked in tests/test_plans "
+    "on the reader's partition count).  At a production table size the "
+    "difference is 'three RFC calls' vs 'extract everything, then LIMIT'.",
+)
+def saprfc_limit_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _saprfc_df(
+        spark, mockrows=str(MOCK_ROWS), maxrows=str(SAPRFC_LIMIT), pagesize="500"
+    )
+    return df.select(
+        "TABNAME",
+        "POSITION",
+        "ASDATE",
+        F.col("_corrupt_record").isNotNull().alias("is_corrupt"),
+    )
+
+
 @spec(
     f"""
     WITH src AS ({SQL_WA}),
@@ -1392,6 +1431,7 @@ QUERIES: dict[str, QuerySpec] = {
     "xml_scan_roundtrip": xml_scan_roundtrip,
     "saprfc_pushdown": saprfc_pushdown,
     "saprfc_projection": saprfc_projection,
+    "saprfc_limit_pushdown": saprfc_limit_pushdown,
     "sink_roundtrip": sink_roundtrip,
     "lake_compact_roundtrip": lake_compact_roundtrip,
     "lake_bucketed_write": lake_bucketed_write,

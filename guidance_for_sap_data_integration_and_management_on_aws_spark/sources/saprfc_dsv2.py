@@ -19,6 +19,12 @@ as a first-class Spark source:
   ``FIELDS`` input parameter; only requested columns cross the wire.
   (Spark's Python DS API has no column-pruning hook yet, so projection is
   an explicit reader option rather than automatic.)
+* **limit pushdown** — the ``maxrows`` option caps the planned page range
+  (and truncates the final page's ``ROWCOUNT``), so a bounded extraction
+  schedules only ``ceil(maxrows / pagesize)`` tasks instead of scanning the
+  table and limiting afterwards — the ``ROWCOUNT`` bound the reference
+  pages with (`pyrfc_read_table.py:71`), surfaced as the third pushdown
+  leg beside OPTIONS/FIELDS (same explicit-option gap as P8).
 * **dead-letter channel** (S6) — rows whose delimited arity mismatches the
   field count surface with all data columns NULL and the raw line in
   ``_corrupt_record``, Spark's CSV convention for the reference's error
@@ -305,6 +311,13 @@ class SapRfcReader(DataSourceReader):
         self.table = options.get("table", "DD03L")  # reference default, :31
         self.delimiter = options.get("delimiter", DEFAULT_DELIMITER)
         self.page_size = int(options.get("pagesize", DEFAULT_PAGE_SIZE))
+        # limit pushdown (the ROWCOUNT bound the reference pages with,
+        # pyrfc_read_table.py:71): caps the PLANNED page range — the scan
+        # never schedules, fetches, or parses wire rows past the bound,
+        # which is the SupportsPushDownLimit posture expressed through a
+        # reader option (Spark's Python DS API has no limit hook yet, the
+        # same gap as P8's projection option).
+        self.limit = int(options.get("maxrows", 0)) or None
         self.accepted: list[Filter] = []
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
@@ -326,6 +339,8 @@ class SapRfcReader(DataSourceReader):
     def partitions(self) -> list[InputPartition]:
         transport = _transport_from_options(self.options)
         n = int(self.options.get("totalrows", 0)) or transport.row_count(self.table)
+        if self.limit is not None:
+            n = min(n, self.limit)  # fewer planned pages, not a post-scan limit
         return [_PagePartition(p) for p in range(max(1, math.ceil(n / self.page_size)))]
 
     # rows per emitted Arrow batch: bounds builder memory at production page
@@ -340,11 +355,17 @@ class SapRfcReader(DataSourceReader):
         import pyarrow as pa
 
         transport = _transport_from_options(self.options)
+        skip = partition.page * self.page_size
+        count = self.page_size
+        if self.limit is not None:
+            # the final planned page truncates its ROWCOUNT to the limit
+            # boundary, so the wire never carries a row past the bound
+            count = min(count, self.limit - skip)
         res = transport.call(
             self.table,
             self.delimiter,
-            partition.page * self.page_size,
-            self.page_size,
+            skip,
+            count,
             options=_render_options(self.accepted),
             fields=[f.name for f in self.fields],
         )

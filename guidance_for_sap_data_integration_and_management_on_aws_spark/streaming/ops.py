@@ -1226,8 +1226,150 @@ def stream_kll_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sketch_delta_log_run(
+    spark: SparkSession, sf_dir: str, stats: list | None = None
+) -> str:
+    """Drive the APPEND-ONLY leg of the sketch-table lifecycle and return
+    the increment-log path: each microbatch reduces to its own per-(event_
+    type, day) HLL increments and APPENDS them — per-tick work is O(batch)
+    and the fact table is never read at ingest time (vs the read-merge
+    loop of _sketch_maintenance_run).  That asymmetry is the LSM posture a
+    100 TB sketch store wants: ingest ticks stay write-only, and the
+    read-merge cost moves to the periodic compaction pass
+    (compact_sketch_log), which also applies retention.  ``stats`` records
+    (batch_rows, fact_cells_read) per tick — the second term is 0 by
+    construction, the literal write-only claim tests assert."""
+    base_dir = scratch_dir("sketch-delta")
+
+    def append(batch: DataFrame, bid: int) -> None:
+        delta = batch.groupBy("event_type", "day").agg(
+            F.hll_sketch_agg("user_id").alias("sk")
+        )
+        if stats is not None:
+            stats.append((batch.count(), 0))
+        delta.write.mode("append").parquet(base_dir)
+
+    s = read_events_stream(spark, build_replay(spark, sf_dir, "ordered"))
+    sel = s.select(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id"
+    )
+    with stream_shuffle(spark):
+        q = (
+            sel.writeStream.foreachBatch(append)
+            .option("checkpointLocation", scratch_dir("ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return base_dir
+
+
+def compact_sketch_log(
+    spark: SparkSession,
+    log_path: str,
+    horizon_day: str,
+    stats: list | None = None,
+) -> str:
+    """Compaction + expiry over a sketch increment log: merge every cell's
+    accumulated microbatch increments into ONE sketch row (hll_union_agg —
+    lossless, same mergeability contract as D34/D35) and DROP cells whose
+    day predates ``horizon_day``, publishing the result as a fresh
+    versioned dir (atomic swap, the stream_incremental_upsert pattern).
+    Work is O(increment rows), bounded by ticks x live cells — independent
+    of corpus row count — and the retention filter prunes BEFORE the merge
+    shuffle, so expired cells never cost a union.  ``stats`` records one
+    (increment_rows_read, cells_out) pair, extending the per-tick
+    work-bound trace across the compaction path."""
+    inc = spark.read.parquet(log_path).filter(F.col("day") >= horizon_day)
+    fact = inc.groupBy("event_type", "day").agg(F.hll_union_agg("sk").alias("sk"))
+    out = scratch_dir("sketch-compacted")
+    fact.write.mode("overwrite").parquet(out)
+    if stats is not None:
+        stats.append((inc.count(), fact.count()))
+    return out
+
+
+SKETCH_RETAIN_DAYS = 14  # the events fixture spans 30 days at every SF
+
+
+@spec(
+    f"""
+    WITH h AS (
+      SELECT strftime(CAST(MAX(ts) AS DATE) - {SKETCH_RETAIN_DAYS - 1},
+                      '%Y-%m-%d') AS h0
+      FROM events
+    )
+    SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_tol,
+           TRUE AS matches_batch_rebuild
+    FROM events, h
+    WHERE strftime(ts, '%Y-%m-%d') >= h.h0
+    GROUP BY 1, 2
+    """,
+    doc="SKETCH-TABLE COMPACTION + RETENTION EXPIRY (the D35 follow-on, r9 "
+    "verdict item 4): ingest runs the APPEND-ONLY delta-log loop (each "
+    "tick writes its own per-cell HLL increments, O(batch), the fact "
+    "table is never read), then ONE compaction pass merges each cell's "
+    "accumulated increments via hll_union_agg and drops cells older than "
+    "the 14-day retention horizon (16 of 30 fixture days expire at every "
+    "SF).  The LSM shape a 100 TB sketch store runs on a schedule: "
+    "write-only ticks, periodic O(ticks x cells) compaction, retention "
+    "enforced before the merge shuffle so dead cells never cost a union.  "
+    "Certified like D35, hash-checked: the result contains EXACTLY the "
+    "retained cells (expiry is checked by the row set itself), each "
+    "estimate within HLL_TOL of exact (within_tol) and register-equal to "
+    "a one-shot batch build over the retained window "
+    "(matches_batch_rebuild — Datasketches HLL union is lossless over "
+    "any increment partitioning).  Oracle = the exact batch rebuild over "
+    "the retained window with both booleans TRUE.",
+)
+def stream_sketch_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import HLL_TOL
+
+    log_path = _sketch_delta_log_run(spark, sf_dir)
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id"
+    )
+    # 1-row bounded collect: the retention horizon (max day - 13)
+    horizon = ev.agg(
+        F.date_format(
+            F.date_sub(F.max(F.to_date("day")), SKETCH_RETAIN_DAYS - 1),
+            "yyyy-MM-dd",
+        ).alias("h0")
+    ).collect()[0]["h0"]
+    fact_path = compact_sketch_log(spark, log_path, horizon)
+    maintained = spark.read.parquet(fact_path).select(
+        "event_type", "day", F.hll_sketch_estimate("sk").alias("__m")
+    )
+    kept = ev.filter(F.col("day") >= horizon)
+    rebuilt = kept.groupBy("event_type", "day").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("__b")
+    )
+    exact = kept.groupBy("event_type", "day").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_users")
+    )
+    # cell-count-sized certifier frames (types x retained days) — broadcast
+    return (
+        exact.join(F.broadcast(maintained), ["event_type", "day"])
+        .join(F.broadcast(rebuilt), ["event_type", "day"])
+        .select(
+            "event_type",
+            "day",
+            "exact_users",
+            (
+                F.abs(F.col("__m") - F.col("exact_users"))
+                / F.col("exact_users").cast("double")
+                <= HLL_TOL
+            ).alias("within_tol"),
+            (F.col("__m") == F.col("__b")).alias("matches_batch_rebuild"),
+        )
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "stream_cusum_alarms": stream_cusum_alarms,
+    "stream_sketch_compaction": stream_sketch_compaction,
     "stream_sketch_maintenance": stream_sketch_maintenance,
     "stream_kll_maintenance": stream_kll_maintenance,
     "stream_incremental_upsert": stream_incremental_upsert,

@@ -980,3 +980,27 @@ def test_lsh_pairs_routes_through_locked_constructor():
 
     assert "_lsh_candidates_cached(" in inspect.getsource(dedup.minhash_lsh_pairs)
     assert "_lsh_band_candidates(" in inspect.getsource(dedup._lsh_candidates_cached)
+
+
+def test_saprfc_limit_reaches_page_planner():
+    """The 'maxrows' limit must shrink the PLANNED page range (the RFC
+    ROWCOUNT posture: fewer scheduled fetch tasks), never survive as a
+    post-scan row filter.  1234 rows at pagesize 500 plans exactly 3 pages
+    (the full table would plan 5), and the final page's ROWCOUNT truncates
+    to the bound so no wire row past it is parsed."""
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.sources.rfc import (
+        MockRfcTransport,
+    )
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.sources.saprfc_dsv2 import (
+        SapRfcReader,
+    )
+
+    fields = list(MockRfcTransport.FIELDS)
+    opts = {"mockrows": "2500", "pagesize": "500"}
+    assert len(SapRfcReader(opts, fields).partitions()) == 5
+    limited = SapRfcReader({**opts, "maxrows": "1234"}, fields)
+    parts = limited.partitions()
+    assert len(parts) == 3
+    # last page parses exactly 234 wire rows: rows 1000..1233 inclusive
+    n_last = sum(b.num_rows for b in limited.read(parts[-1]))
+    assert n_last == 234

@@ -22,37 +22,30 @@ def test_registry_shape():
     # stream_stateful_v2 is gated off (no provisionable protobuf runtime)
     expected = [n for n in entrymod._PRIORITY if n in reg]
     assert names[: len(expected)] == expected
-    # round-9 window layout (criticality order): the 5 never hash-checked
-    # entries lead (the two new streaming sketch-maintenance queries + the
-    # 3 retired rows-only conversions earning their first oracle row),
-    # then the 5 changed-since-green builders (grouping_id rollup joins,
-    # the cents finiteness guard, the LSH pairs-pipeline extraction, the
-    # pair-frame verify rework), the final 21 r3-era greens (join family,
-    # ingest/text stragglers, mm codecs — the r3 block drains), and the 19
-    # oldest r4 greens (relational/fn core): 5+5+21+19 = 50 exactly;
-    # fn_map, fn_json and the remaining r4 greens queue FIRST for round 10.
+    # round-10 window layout (criticality order): the 2 never hash-checked
+    # entries lead (delta-log sketch compaction + the saprfc limit-pushdown
+    # leg), then the 3 changed-since-green builders (numericalize's
+    # distributed-rank rewrite; the two LSH consumers of the memoized
+    # candidate frame), the 22 remaining r4 greens (the block drains), and
+    # the 23 alphabetically-first r5 greens: 2+3+22+23 = 50 exactly; the
+    # other 17 r5 greens queue FIRST for round 11.
     never_checked = [
-        "stream_sketch_maintenance",
-        "stream_kll_maintenance",
-        "agg_approx_distinct",
-        "dedup_minhash_lsh",
-        "ann_ivf_train_kmeans",
+        "stream_sketch_compaction",
+        "saprfc_limit_pushdown",
     ]
-    assert names[:5] == never_checked
-    assert names[5:10] == [
-        "agg_hll_rollup_merge",  # grouping_id markers (ADVICE r8 item 2)
-        "agg_kll_rollup_merge",
-        "stream_cusum_alarms",  # cents finiteness guard (ADVICE r8 item 1)
-        "dedup_minhash_recall",  # reads the extracted minhash_lsh_pairs
-        "dedup_jaccard_pairs",  # pair-frame verify rework (value-identical)
+    assert names[:2] == never_checked
+    assert names[2:5] == [
+        "text_numericalize",  # wid via distributed_rank, vocab hash join
+        "dedup_minhash_lsh",  # memoized candidate checkpoint
+        "dedup_minhash_recall",
     ]
     for probe in (
-        # final r3-era rotation block
-        "join_inner", "join_salted_skew", "ingest_merge_upsert",
-        "stream_incremental_upsert", "mm_wav_decode",
-        # oldest r4 greens (relational/fn core; fn_map and fn_json are
-        # slots 51-52 — first past the line, leading the r10 ballast)
-        "filter_where", "agg_statistical", "fn_array",
+        # final r4 rotation block (the r9 verdict item-2 list)
+        "fn_map", "fn_json", "join_cross_theta", "window_rank",
+        "stream_windowed_topk", "agg_approx_distinct_error",
+        # alphabetical r5 prefix (saprfc_scan_typed is slot 51 — first
+        # past the line, leading the r11 ballast)
+        "agg_percentiles", "dedup_exact", "saprfc_pushdown",
     ):
         assert names.index(probe) < 50, probe
     # since r9 every registry query carries an oracle — the whole window

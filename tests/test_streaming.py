@@ -559,3 +559,61 @@ def test_kll_maintenance_loop_holds_the_same_o_batch_contract(spark, sf_dir):
     assert maintained.keys() == exact.keys() and len(exact) == n_types
     for t, p50 in exact.items():
         assert abs(maintained[t] - p50) / max(abs(p50), 1e-9) <= KLL_TOL, t
+
+
+def test_sketch_delta_log_ticks_are_write_only_and_compaction_is_bounded(spark, sf_dir):
+    """The compaction lifecycle's work-bound contract, asserted literally
+    from the instrumented traces: ingest ticks are WRITE-ONLY (every tick's
+    fact_cells_read is zero — stronger than the read-merge loop's bound),
+    each event row is sketched exactly once, and the compaction pass reads
+    at most ticks x cells increment rows (independent of corpus row count)
+    while emitting exactly the retained cell set.  End state: compacted
+    estimates are register-equal to a one-shot batch build over the
+    retained window, and every expired cell is gone."""
+    from pyspark.sql import functions as F
+
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.catalog import load
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.streaming.ops import (
+        SKETCH_RETAIN_DAYS,
+        _sketch_delta_log_run,
+        compact_sketch_log,
+    )
+
+    tick_stats: list[tuple[int, int]] = []
+    log_path = _sketch_delta_log_run(spark, sf_dir, stats=tick_stats)
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id"
+    )
+    n_events = ev.count()
+    n_cells = ev.select("event_type", "day").distinct().count()
+    assert len(tick_stats) == N_CHUNKS
+    assert sum(b for b, _ in tick_stats) == n_events  # every row sketched once
+    assert all(c == 0 for _, c in tick_stats)  # ticks never read the fact table
+
+    horizon = ev.agg(
+        F.date_format(
+            F.date_sub(F.max(F.to_date("day")), SKETCH_RETAIN_DAYS - 1), "yyyy-MM-dd"
+        ).alias("h")
+    ).collect()[0]["h"]
+    comp_stats: list[tuple[int, int]] = []
+    fact_path = compact_sketch_log(spark, log_path, horizon, stats=comp_stats)
+    retained = ev.filter(F.col("day") >= horizon)
+    n_retained_cells = retained.select("event_type", "day").distinct().count()
+    [(inc_read, cells_out)] = comp_stats
+    assert inc_read <= N_CHUNKS * n_cells  # bounded by ticks x cells, not rows
+    assert cells_out == n_retained_cells
+    assert n_retained_cells < n_cells  # expiry actually dropped something
+
+    compacted = {
+        (r["event_type"], r["day"]): r["e"]
+        for r in spark.read.parquet(fact_path)
+        .select("event_type", "day", F.hll_sketch_estimate("sk").alias("e"))
+        .collect()
+    }
+    rebuilt = {
+        (r["event_type"], r["day"]): r["e"]
+        for r in retained.groupBy("event_type", "day")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("e"))
+        .collect()
+    }
+    assert compacted == rebuilt and len(compacted) == n_retained_cells
