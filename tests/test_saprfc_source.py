@@ -86,3 +86,72 @@ def test_stream_reader_offsets_and_volume(spark):
     )
     out = run_to_table(s.select("TABNAME"), "mem_saprfc_stream_unit", "append")
     assert out.count() == 2500
+
+
+def test_limit_pushdown_planning_and_volume_laws():
+    """Property check (hypothesis-style sweep, pure Python — the reader and
+    mock transport need no Spark session): for every (maxrows, pagesize,
+    mockrows) combination, the planner schedules exactly
+    ceil(min(maxrows, n) / pagesize) pages (never a full-table plan plus a
+    post-scan limit) and the scan parses exactly the first min(maxrows, n)
+    wire rows — corrupt lines included, since ROWCOUNT bounds wire rows,
+    not valid rows."""
+    import math
+
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.sources.saprfc_dsv2 import (
+        SapRfcReader,
+    )
+
+    fields = list(MockRfcTransport.FIELDS)
+    for n in (1, 36, 37, 100, 2500):
+        for page in (7, 100, 500):
+            for limit in (1, page - 1, page, page + 1, n, n + 50):
+                opts = {
+                    "mockrows": str(n),
+                    "pagesize": str(page),
+                    "maxrows": str(limit),
+                }
+                r = SapRfcReader(opts, fields)
+                parts = r.partitions()
+                want = max(1, math.ceil(min(limit, n) / page))
+                assert len(parts) == want, (n, page, limit)
+                wire = 0
+                for p in parts:
+                    for batch in r.read(p):
+                        # every parsed line lands in exactly one output row
+                        # (valid or corrupt), so batch rows == wire rows
+                        wire += batch.num_rows
+                assert wire == min(limit, n), (n, page, limit)
+
+
+def test_limit_composes_with_filter_pushdown():
+    """maxrows bounds the wire rows BEFORE the pushed OPTIONS filter on the
+    server side paginates them (the transport filters, then pages — SAP's
+    open-SQL semantics), so limit+filter returns the first maxrows rows OF
+    THE FILTERED stream, never maxrows unfiltered rows re-filtered."""
+    from pyspark.sql.datasource import EqualTo
+
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.sources.saprfc_dsv2 import (
+        SapRfcReader,
+    )
+
+    fields = list(MockRfcTransport.FIELDS)
+    r = SapRfcReader(
+        {"mockrows": "2500", "pagesize": "100", "maxrows": "150"}, fields
+    )
+    leftover = list(r.pushFilters([EqualTo(("TABNAME",), "TAB3")]))
+    assert leftover == []  # accepted by the source
+    rows = 0
+    for p in r.partitions():
+        for batch in r.read(p):
+            col = batch.column(0).to_pylist()
+            assert all(v == "TAB3" for v in col)
+            rows += batch.num_rows
+    # expected from the generator law: the filtered wire stream is the ids
+    # with i%7==3 (server-side OPTIONS matches the RAW values); the limit
+    # keeps its first 150, and of those the i%37==0 ids arrive as
+    # arity-mismatched lines that the value-comparing pushed filter drops
+    # client-side (EqualTo on the all-NULL corrupt row is not True)
+    filtered_ids = [i for i in range(2500) if i % 7 == 3][:150]
+    expect = sum(1 for i in filtered_ids if i % 37 != 0)
+    assert rows == expect == 146
