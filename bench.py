@@ -122,18 +122,19 @@ documented position/C2-queue noise band, not a regression.  Plans
 re-audited unchanged (native rollup single Expand; q18 pre-agg + join +
 TakeOrdered, plan-locked).
 
-ROUND-10 PROTOCOL VALIDATION: three full runs, zero errors each —
-headline 13.452 / 15.723 / 14.403 s raw at calib 0.522 / 0.710 / 0.477 =
-0.91x / 0.78x / 1.06x of the frozen baseline normalized.  The bounded-
-jobs splits hold: `_shared_pair_frame_build[sf0.1]` read 8.627 / 7.337 /
-6.747 s — three consecutive same-code runs inside the documented 6-9s
-steady band (r9 in-bench band was 7.5-17.9s) — and
-`_lsh_pairs_pipeline[sf0.1]` dropped 15.65s (pre-split run 1) to 7.2 /
-8.2 s once its split landed (runs 2-3; steady standalone 5.0s plus the
-sf0.1 tokenize now charged to its stage 1).  Rows above 2x normalized
-per run: 8 / 0 / 4 (r9 band was 9-23), all sub-second absolutes or the
-pre-split run's LSH item; the repriced text_numericalize row (0.776 ->
-1.886, audit-mapped) prices its distributed-rank rewrite — standalone-
+ROUND-10 PROTOCOL VALIDATION: four full runs, zero errors each —
+headline 13.452 / 15.723 / 14.403 / 12.730 s raw at calib 0.522 / 0.710
+/ 0.477 / 0.383 = 0.91x / 0.78x / 1.06x / 1.17x of the frozen baseline
+normalized.  The bounded-jobs splits hold: `_shared_pair_frame_build
+[sf0.1]` read 8.627 / 7.337 / 6.747 / 7.096 s — four consecutive
+same-code runs inside the documented 6-9s steady band (r9 in-bench band
+was 7.5-17.9s) — and `_lsh_pairs_pipeline[sf0.1]` dropped 15.65s
+(pre-split run 1) to 7.2 / 8.2 / 8.5 s across three same-code runs once
+its split landed (steady standalone 5.0s plus the sf0.1 tokenize now
+charged to its stage 1).  Rows above 2x normalized per run: 8 / 0 / 4 /
+4 (r9 band was 9-23), all sub-second absolutes or the pre-split run's
+LSH item; the repriced text_numericalize row (0.776 -> 1.886,
+audit-mapped) prices its distributed-rank rewrite — standalone-
 corroborated 1.52-2.13s over five warm sf0.1 runs @ calib 0.548 — the
 single-task global vocab window it replaced was the r9 verdict's one
 scale-grade defect, and a frozen pre-rewrite row would compare two
