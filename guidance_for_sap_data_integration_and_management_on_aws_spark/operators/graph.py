@@ -352,12 +352,13 @@ def min_label_fixpoint(nodes: DataFrame, bi: DataFrame, max_rounds: int) -> Data
     Step 2 runs the pointer-doubling rounds on the quotient: neighbor-min
     equi-join + agg, label-shortcut equi-join (l(l(u)) — labels are
     monotone non-increasing node ids so it always resolves), one
-    localCheckpoint per round (eager; flat planning cost — caching alone
-    lets the plan grow a join per round and Catalyst re-optimizes the whole
-    chain, measured 1.6s -> 28s by round 6), and ONE aggregate action for
-    the convergence check — the changed flag is computed inside the
-    checkpointed projection, so no extra old-vs-new join job.  Raises past
-    the budget instead of returning an unconverged labeling."""
+    _round_boundary state-table materialization per round (flat planning
+    AND flat driver cost at any depth — see _round_boundary for why
+    caching and localCheckpoint both degrade on deep iteration), and ONE
+    aggregate action for the convergence check — the changed flag is
+    computed inside the materialized projection, so no extra old-vs-new
+    join job.  Raises past the budget instead of returning an unconverged
+    labeling."""
     # --- step 1: closed-neighborhood min + quotient contraction ---------
     nbr_min = bi.groupBy("a").agg(F.min("b").alias("nmin"))
     l0 = (
@@ -386,9 +387,41 @@ def min_label_fixpoint(nodes: DataFrame, bi: DataFrame, max_rounds: int) -> Data
     ).select("node", "lbl")
 
 
+def _round_boundary(df: DataFrame, prev_dir: str | None = None) -> tuple[DataFrame, str]:
+    """Materialize one iteration's state table to scratch parquet and
+    return a FRESH scan of it (plus the dir, so the caller can pass it
+    back next round for cleanup of the superseded table).
+
+    Why not localCheckpoint: the textbook per-round boundary keeps the
+    PLAN flat, but Spark 4.1's Dataset.localCheckpoint carries an origin
+    link across the boundary, and a round body that references the
+    previous state 3+ times (neighbor join + self-join shortcut + base)
+    gives that hidden provenance graph 3 parents per generation.  From
+    ~11 generations the DRIVER-side walk of it dominates wall time and
+    QUADRUPLES per round — measured flat 0.2 s/round through round 10,
+    then 1.2 / 4.5 / 22 / 118 s, with every stage sub-second and the
+    RDD debug string constant throughout (so it is neither lineage nor
+    executor work).  A parquet round-trip severs provenance entirely:
+    measured flat 0.35 s/round through any depth.  It is also the posture
+    a 1000-executor run wants anyway — iteration state as a real table
+    survives executor loss, unlike memory-only localCheckpoint blocks.
+    The superseded round's table is deleted once its successor is on disk.
+    """
+    from ..streaming.replay import scratch_dir
+
+    out = scratch_dir("iter-state")
+    df.write.mode("overwrite").parquet(out)
+    fresh = df.sparkSession.read.parquet(out)
+    if prev_dir is not None:
+        import shutil
+
+        shutil.rmtree(prev_dir, ignore_errors=True)
+    return fresh, out
+
+
 def _doubling_rounds(nodes: DataFrame, bi: DataFrame, max_rounds: int) -> DataFrame:
     labels = nodes.withColumn("lbl", F.col("node")).localCheckpoint(eager=True)
-    changed = -1
+    changed, state_dir = -1, None
     for _ in range(max_rounds):
         neighbor_min = (
             bi.join(labels.withColumnRenamed("node", "a"), "a")
@@ -403,11 +436,11 @@ def _doubling_rounds(nodes: DataFrame, bi: DataFrame, max_rounds: int) -> DataFr
         new = F.least(
             "lbl", F.coalesce("nmin", "lbl"), F.coalesce("smin", "lbl")
         )
-        stepped = (
+        stepped, state_dir = _round_boundary(
             labels.join(neighbor_min, "node", "left")
             .join(shortcut, "node", "left")
-            .select("node", new.alias("new_lbl"), (new < F.col("lbl")).alias("__chg"))
-            .localCheckpoint(eager=True)
+            .select("node", new.alias("new_lbl"), (new < F.col("lbl")).alias("__chg")),
+            state_dir,
         )
         changed = stepped.filter(F.col("__chg")).count()
         labels = stepped.select("node", F.col("new_lbl").alias("lbl"))
@@ -495,7 +528,8 @@ def _kcore_oracle() -> str:
     "dense-subgraph extraction a curation pipeline runs for spam/bot "
     "cluster detection and community seeding.  Each peel round is one "
     "degree aggregation + two semi-joins on the node id (shuffle-by-key "
-    "only), localCheckpoint'ed so planning cost stays flat (the CC "
+    "only), materialized through the shared _round_boundary state table "
+    "so planning AND driver cost stay flat at any peel depth (the CC "
     "precedent); one changed-count collect per round; raises past the "
     "round budget instead of returning a half-peeled subgraph.  The "
     "oracle unrolls the same peeling (idempotent at the fixpoint), so "
@@ -509,6 +543,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .toDF("a", "b")
         .localCheckpoint(eager=True)
     )
+    state_dir = None
     for _ in range(KCORE_MAX_ROUNDS):
         keep = (
             g.groupBy(F.col("a").alias("node"))
@@ -516,13 +551,17 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("d") >= KCORE_K)
             .select("node")
         )
-        pruned = (
+        n_old = g.count()
+        # per-round state-table boundary (_round_boundary): keep is
+        # referenced twice + g once per round, the 3-parent provenance
+        # shape that makes deep localCheckpoint chains blow up driver-side
+        pruned, state_dir = _round_boundary(
             g.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
             .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
-            .select("a", "b")
-            .localCheckpoint(eager=True)
+            .select("a", "b"),
+            state_dir,
         )
-        n_old, n_new = g.count(), pruned.count()
+        n_new = pruned.count()
         g = pruned
         if n_new == n_old:
             break
