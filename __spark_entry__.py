@@ -42,13 +42,14 @@ _PRIORITY = [
     # final r4 block — the r9 verdict's named rotation tail), r5 greens
     # 40, r6+ within the last 4 rounds.  Budget:
     #    2 never hash-checked                            -> slots  1-2
-    #    3 changed-since-green (numericalize distributed
+    #    7 changed-since-green (numericalize distributed
     #      rank; the LSH candidate memoization — value-
-    #      identical, re-greened defensively)            -> slots  3-5
+    #      identical, re-greened defensively; the CC/
+    #      kcore parquet round-boundary rewrite)         -> slots  3-9
     #   22 r4 greens (the block drains — after this
-    #      round no green is older than r5)              -> slots  6-27
-    #   23 oldest r5 greens (alphabetical prefix of the
-    #      40; the remaining 17 queue first for r11)     -> slots 28-50
+    #      round no green is older than r5)              -> slots 10-31
+    #   19 oldest r5 greens (alphabetical prefix of the
+    #      40; the remaining 21 queue first for r11)     -> slots 32-50
     # Steady-state rotation at 248 queries / 50 slots re-greens every
     # ~5 rounds.
     # ------------------------------------------------------------------
@@ -59,6 +60,10 @@ _PRIORITY = [
     "text_numericalize",  # r6 green; wid now via distributed_rank, hash join
     "dedup_minhash_lsh",  # candidate frame memoized (value-identical)
     "dedup_minhash_recall",  # same memoized candidate path
+    "graph_components",  # CC rounds now cross a parquet state-table boundary
+    "graph_kcore",  # same _round_boundary rewrite in the peel loop
+    "dedup_connected_components",  # consumes the rewritten fixpoint kernel
+    "dedup_cluster_canonical",  # same cc_labels consumer
     # --- 3. staleness rotation: the 22 remaining r4 greens (the whole
     # --- block drains; the r9 verdict's item-2 list) --------------------
     "fn_map",
@@ -83,7 +88,7 @@ _PRIORITY = [
     "stream_windowed_topk",
     "text_entropy",
     "agg_approx_distinct_error",
-    # --- 3b. oldest r5 greens (alphabetical prefix, 23 of 40) ----------
+    # --- 3b. oldest r5 greens (alphabetical prefix, 19 of 40) ----------
     "agg_approx_percentile_error",
     "agg_percentiles",
     "ann_bruteforce_topk",
@@ -103,12 +108,12 @@ _PRIORITY = [
     "join_interval_overlap",
     "mm_payload_hash",
     "pipeline_curation",
+    # --- 4. rotation ballast: the remaining 21 r5 greens queue FIRST
+    # --- for round 11 (the window line falls above here) ---------------
     "rfc_ingest_invariant",
     "rfc_parse_errors",
     "saprfc_projection",
     "saprfc_pushdown",
-    # --- 4. rotation ballast: the remaining 17 r5 greens queue FIRST
-    # --- for round 11 (the window line falls above here) ---------------
     "saprfc_scan_typed",
     "saprfc_stream_scan",
     "sink_roundtrip",

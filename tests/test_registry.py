@@ -24,28 +24,33 @@ def test_registry_shape():
     assert names[: len(expected)] == expected
     # round-10 window layout (criticality order): the 2 never hash-checked
     # entries lead (delta-log sketch compaction + the saprfc limit-pushdown
-    # leg), then the 3 changed-since-green builders (numericalize's
+    # leg), then the 7 changed-since-green builders (numericalize's
     # distributed-rank rewrite; the two LSH consumers of the memoized
-    # candidate frame), the 22 remaining r4 greens (the block drains), and
-    # the 23 alphabetically-first r5 greens: 2+3+22+23 = 50 exactly; the
-    # other 17 r5 greens queue FIRST for round 11.
+    # candidate frame; the four consumers of the CC/kcore parquet
+    # round-boundary rewrite), the 22 remaining r4 greens (the block
+    # drains), and the 19 alphabetically-first r5 greens: 2+7+22+19 = 50
+    # exactly; the other 21 r5 greens queue FIRST for round 11.
     never_checked = [
         "stream_sketch_compaction",
         "saprfc_limit_pushdown",
     ]
     assert names[:2] == never_checked
-    assert names[2:5] == [
+    assert names[2:9] == [
         "text_numericalize",  # wid via distributed_rank, vocab hash join
         "dedup_minhash_lsh",  # memoized candidate checkpoint
         "dedup_minhash_recall",
+        "graph_components",  # parquet round-boundary kernel rewrite
+        "graph_kcore",
+        "dedup_connected_components",
+        "dedup_cluster_canonical",
     ]
     for probe in (
         # final r4 rotation block (the r9 verdict item-2 list)
         "fn_map", "fn_json", "join_cross_theta", "window_rank",
         "stream_windowed_topk", "agg_approx_distinct_error",
-        # alphabetical r5 prefix (saprfc_scan_typed is slot 51 — first
+        # alphabetical r5 prefix (rfc_ingest_invariant is slot 51 — first
         # past the line, leading the r11 ballast)
-        "agg_percentiles", "dedup_exact", "saprfc_pushdown",
+        "agg_percentiles", "dedup_exact", "pipeline_curation",
     ):
         assert names.index(probe) < 50, probe
     # since r9 every registry query carries an oracle — the whole window
