@@ -29,11 +29,15 @@ Scale design (100 TB):
   (no driver-side collect of data); iterations are fixed (3), so the oracle
   unrolls to plain CTEs; rank mass is fixed-point integer, so the result is
   bit-exact with no rounding anywhere.
-* **Iterative fixpoints** (components, k-core) localCheckpoint every round
-  (flat planning cost) and RAISE past their round budget instead of
-  returning an unconverged answer.  BFS expands the FRONTIER only (never
-  re-joins the visited set), checkpoints per level, and early-exits when
-  the frontier drains.
+* **Iterative fixpoints** (components, k-core) cross the shared
+  _round_boundary each round — localCheckpoint on most rounds (flat
+  planning cost), a parquet state-table flush every 6th (caps the hidden
+  checkpoint-provenance ancestry that otherwise blows up driver-side past
+  ~11 generations; see _round_boundary) — and RAISE past their round
+  budget instead of returning an unconverged answer.  BFS expands the
+  FRONTIER only (never re-joins the visited set), checkpoints per level
+  (6-hop budget, under the flush cadence), and early-exits when the
+  frontier drains.
 """
 
 from __future__ import annotations
@@ -387,26 +391,41 @@ def min_label_fixpoint(nodes: DataFrame, bi: DataFrame, max_rounds: int) -> Data
     ).select("node", "lbl")
 
 
-def _round_boundary(df: DataFrame, prev_dir: str | None = None) -> tuple[DataFrame, str]:
-    """Materialize one iteration's state table to scratch parquet and
-    return a FRESH scan of it (plus the dir, so the caller can pass it
-    back next round for cleanup of the superseded table).
+# Flush cadence for iterative state (see _round_boundary): localCheckpoint
+# keeps per-round cost lowest, but its hidden cross-generation provenance
+# walk starts dominating from ~11 generations — flush to a parquet state
+# table every 6th round so ancestry depth stays inside the measured flat
+# zone at ANY total round count.
+ITER_FLUSH_EVERY = 6
 
-    Why not localCheckpoint: the textbook per-round boundary keeps the
-    PLAN flat, but Spark 4.1's Dataset.localCheckpoint carries an origin
-    link across the boundary, and a round body that references the
+
+def _round_boundary(
+    df: DataFrame, rnd: int, prev_dir: str | None = None
+) -> tuple[DataFrame, str | None]:
+    """Round boundary for iterative state: localCheckpoint on most rounds,
+    a parquet state-table flush every ITER_FLUSH_EVERY-th (returning a
+    FRESH scan and deleting the superseded table).
+
+    Why not localCheckpoint alone: the textbook per-round boundary keeps
+    the PLAN flat, but Spark 4.1's Dataset.localCheckpoint carries an
+    origin link across the boundary, and a round body that references the
     previous state 3+ times (neighbor join + self-join shortcut + base)
     gives that hidden provenance graph 3 parents per generation.  From
     ~11 generations the DRIVER-side walk of it dominates wall time and
     QUADRUPLES per round — measured flat 0.2 s/round through round 10,
-    then 1.2 / 4.5 / 22 / 118 s, with every stage sub-second and the
-    RDD debug string constant throughout (so it is neither lineage nor
-    executor work).  A parquet round-trip severs provenance entirely:
-    measured flat 0.35 s/round through any depth.  It is also the posture
-    a 1000-executor run wants anyway — iteration state as a real table
-    survives executor loss, unlike memory-only localCheckpoint blocks.
-    The superseded round's table is deleted once its successor is on disk.
+    then 1.2 / 4.5 / 22 / 118 s, with every stage sub-second and the RDD
+    debug string constant throughout (so it is neither lineage nor
+    executor work; it also survives constraint propagation off, ambiguous-
+    self-join detection off, and metadata stripping).  A parquet round
+    trip severs provenance entirely (measured flat 0.35 s/round through
+    any depth), so a flush every 6th round caps ancestry depth at 6 —
+    inside the flat zone — while the cheap checkpoint carries the other
+    rounds.  At cluster scale the periodic state table is also the
+    durability boundary: a flushed table survives executor loss, and at
+    most ITER_FLUSH_EVERY rounds replay after one.
     """
+    if (rnd + 1) % ITER_FLUSH_EVERY:
+        return df.localCheckpoint(eager=True), prev_dir
     from ..streaming.replay import scratch_dir
 
     out = scratch_dir("iter-state")
@@ -422,7 +441,7 @@ def _round_boundary(df: DataFrame, prev_dir: str | None = None) -> tuple[DataFra
 def _doubling_rounds(nodes: DataFrame, bi: DataFrame, max_rounds: int) -> DataFrame:
     labels = nodes.withColumn("lbl", F.col("node")).localCheckpoint(eager=True)
     changed, state_dir = -1, None
-    for _ in range(max_rounds):
+    for rnd in range(max_rounds):
         neighbor_min = (
             bi.join(labels.withColumnRenamed("node", "a"), "a")
             .groupBy(F.col("b").alias("node"))
@@ -440,6 +459,7 @@ def _doubling_rounds(nodes: DataFrame, bi: DataFrame, max_rounds: int) -> DataFr
             labels.join(neighbor_min, "node", "left")
             .join(shortcut, "node", "left")
             .select("node", new.alias("new_lbl"), (new < F.col("lbl")).alias("__chg")),
+            rnd,
             state_dir,
         )
         changed = stepped.filter(F.col("__chg")).count()
@@ -544,7 +564,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     state_dir = None
-    for _ in range(KCORE_MAX_ROUNDS):
+    for rnd in range(KCORE_MAX_ROUNDS):
         keep = (
             g.groupBy(F.col("a").alias("node"))
             .agg(F.count(F.lit(1)).alias("d"))
@@ -559,6 +579,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             g.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
             .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
             .select("a", "b"),
+            rnd,
             state_dir,
         )
         n_new = pruned.count()
