@@ -122,10 +122,14 @@ documented position/C2-queue noise band, not a regression.  Plans
 re-audited unchanged (native rollup single Expand; q18 pre-agg + join +
 TakeOrdered, plan-locked).
 
-ROUND-10 PROTOCOL VALIDATION: four full runs, zero errors each —
-headline 13.452 / 15.723 / 14.403 / 12.730 s raw at calib 0.522 / 0.710
-/ 0.477 / 0.383 = 0.91x / 0.78x / 1.06x / 1.17x of the frozen baseline
-normalized.  The bounded-jobs splits hold: `_shared_pair_frame_build
+ROUND-10 PROTOCOL VALIDATION: five full runs, zero errors each —
+headline 13.452 / 15.723 / 14.403 / 12.730 / 12.275 s raw at calib
+0.522 / 0.710 / 0.477 / 0.383 / 0.467 = 0.91x / 0.78x / 1.06x / 1.17x /
+0.92x of the frozen baseline normalized.  The fifth run followed the
+CC/kcore hybrid round-boundary rewrite and read the family AT baseline
+in-bench (graph_components 2.02s vs the 1.88 frozen row, graph_kcore
+0.80 vs 0.74, dedup CC rows well under theirs), with ONE >2x-normalized
+row total (subquery_scalar, 0.75s absolute — sub-second noise).  The bounded-jobs splits hold: `_shared_pair_frame_build
 [sf0.1]` read 8.627 / 7.337 / 6.747 / 7.096 s — four consecutive
 same-code runs inside the documented 6-9s steady band (r9 in-bench band
 was 7.5-17.9s) — and `_lsh_pairs_pipeline[sf0.1]` dropped 15.65s
