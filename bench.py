@@ -56,7 +56,9 @@ block (before the full loop, so it precedes every consumer; building it
 before the headline pins multi-million-row persisted frames through the
 headline measurements — observed +2x) and reports the cost as explicit
 `_shared_pair_frame_build[sfX]` entries in "queries", so every dedup
-consumer's time is its own marginal work regardless of order.  The four
+consumer's time is its own marginal work regardless of order.  Since r10
+the memoized banded-LSH candidate checkpoint gets the same treatment
+(`_shared_lsh_candidates[sfX]`).  The four
 consumers are timed immediately after, then the pair frames are RELEASED
 (leaving 7M-row persisted frames pinned evicted other queries' caches —
 measured 2.7-5x inflation on the ann family / dedup_minhash_lsh).  The
@@ -578,6 +580,29 @@ def main(check: bool = False) -> None:
                     errors[name] = f"shared pair-frame build failed [{leaf}]"
             continue
         timings[f"_shared_pair_frame_build[{leaf}]"] = round(t_build, 3)
+    # The banded-LSH candidate checkpoint is memoized too (r10): without a
+    # shared build, whichever of dedup_minhash_lsh / dedup_minhash_recall
+    # is timed first absorbs the one-time checkpoint job — the same
+    # order-dependent attribution this block exists to prevent.  Build it
+    # as its own line item per reduced dir.
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.operators.dedup import (
+        _lsh_candidates_cached,
+    )
+
+    lsh_consumers = ("dedup_minhash_lsh", "dedup_minhash_recall")
+    for pdir in sorted({reduced.get(n, sf_dir) for n in lsh_consumers if n in qs}):
+        leaf = os.path.basename(pdir.rstrip("/"))
+        t0 = time.perf_counter()
+        try:
+            _lsh_candidates_cached(spark, pdir)  # eager banded checkpoint
+            timings[f"_shared_lsh_candidates[{leaf}]"] = round(
+                time.perf_counter() - t0, 3
+            )
+        except Exception as e:
+            errors[f"_shared_lsh_candidates[{leaf}]"] = (
+                f"{type(e).__name__}: {e}"[:200]
+            )
+
     # ...then time the four consumers against the warm frames and RELEASE
     # the frames before the rest of the suite: nothing else reads them, and
     # leaving two multi-million-row persisted frames pinned measurably

@@ -2,12 +2,15 @@
 
 Several operator families memoize an expensive derived frame per corpus
 snapshot (dedup's token/pair tables, graph's edge frame, the sketch fact
-tables).  Each cache is bounded and self-evicting, but harness code — the
-bench's post-warmup cleanup in particular — needs to release EVERY entry
-pinned for a given sf_dir, not just the dicts it happens to know about
-(round-9 advice: the hard-coded two-dict sweep silently skipped
-graph._EDGE_CACHE and the sketch caches).  Modules register their dicts at
-definition time; ``clear_caches(sf_dir)`` is the one sweep point.
+tables).  Each cache is bounded — persisted frames through
+``dedup._cached_persisted`` (FIFO + unpersist), checkpointed frames through
+``bounded_put`` below (FIFO; dropping the reference lets the blocks GC) —
+but harness code — the bench's post-warmup cleanup in particular — needs to
+release EVERY entry pinned for a given sf_dir, not just the dicts it
+happens to know about (round-9 advice: the hard-coded two-dict sweep
+silently skipped graph._EDGE_CACHE and the sketch caches).  Modules
+register their dicts at definition time; ``clear_caches(sf_dir)`` is the
+one sweep point.
 
 Registration is a side effect of importing the owning module, so callers
 that want a FULL sweep should import the operator modules first (the bench
@@ -31,6 +34,26 @@ def register_cache(cache: dict, sf_of_key: Callable = lambda k: k[1]) -> dict:
     """
     _REGISTRY.append((cache, sf_of_key))
     return cache
+
+
+CACHE_MAX_ENTRIES = 4  # one live SF dir + headroom, matching dedup._CACHE_MAX
+
+
+def bounded_put(cache: dict, key, val):
+    """FIFO-bounded insert for the CHECKPOINT-backed memoizers (CC labels,
+    edge frames, LSH candidates): insertion order = oldest first; evicted
+    frames are unpersist'ed where supported, and dropping the dict
+    reference lets a localCheckpoint's blocks be GC-reclaimed.  One
+    implementation so the bound can't drift per cache (the persisted-frame
+    twin with an eager unpersist contract is dedup._cached_persisted)."""
+    while len(cache) >= CACHE_MAX_ENTRIES:
+        old = cache.pop(next(iter(cache)))
+        try:
+            old.unpersist()
+        except Exception:
+            pass  # non-persisted frame, or an already-stopped SparkSession
+    cache[key] = val
+    return val
 
 
 def clear_caches(sf_dir: str | None = None) -> int:

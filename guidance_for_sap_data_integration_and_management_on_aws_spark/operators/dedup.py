@@ -22,7 +22,7 @@ from fractions import Fraction
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..caches import register_cache
+from ..caches import bounded_put, register_cache
 from ..catalog import load, parallelize_small_scan
 from ..functions.vector import cosine, sign_bucket, sql_cosine, sql_sign_bucket
 from ..registry import QuerySpec, spec
@@ -495,10 +495,13 @@ def _lsh_candidates_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     hit = _LSH_CAND_CACHE.get(key)
     if hit is None:
-        hit = _lsh_band_candidates(_hashed_token_sets(spark, sf_dir)).localCheckpoint(
-            eager=True
+        hit = bounded_put(
+            _LSH_CAND_CACHE,
+            key,
+            _lsh_band_candidates(_hashed_token_sets(spark, sf_dir)).localCheckpoint(
+                eager=True
+            ),
         )
-        _LSH_CAND_CACHE[key] = hit
     return hit
 
 
@@ -631,8 +634,7 @@ def cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     hit = _CC_CACHE.get(key)
     if hit is None:
-        hit = _cc_labels_fixpoint(spark, sf_dir)
-        _CC_CACHE[key] = hit
+        hit = bounded_put(_CC_CACHE, key, _cc_labels_fixpoint(spark, sf_dir))
     return hit
 
 

@@ -45,7 +45,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..caches import register_cache
+from ..caches import bounded_put, register_cache
 from ..catalog import load
 from ..registry import QuerySpec, spec
 
@@ -86,8 +86,11 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     hit = _EDGE_CACHE.get(key)
     if hit is None:
-        hit = _copurchase_edges_plan(spark, sf_dir).localCheckpoint(eager=True)
-        _EDGE_CACHE[key] = hit
+        hit = bounded_put(
+            _EDGE_CACHE,
+            key,
+            _copurchase_edges_plan(spark, sf_dir).localCheckpoint(eager=True),
+        )
     return hit
 
 
@@ -356,13 +359,16 @@ def min_label_fixpoint(nodes: DataFrame, bi: DataFrame, max_rounds: int) -> Data
     Step 2 runs the pointer-doubling rounds on the quotient: neighbor-min
     equi-join + agg, label-shortcut equi-join (l(l(u)) — labels are
     monotone non-increasing node ids so it always resolves), one
-    _round_boundary state-table materialization per round (flat planning
-    AND flat driver cost at any depth — see _round_boundary for why
-    caching and localCheckpoint both degrade on deep iteration), and ONE
-    aggregate action for the convergence check — the changed flag is
-    computed inside the materialized projection, so no extra old-vs-new
-    join job.  Raises past the budget instead of returning an unconverged
-    labeling."""
+    _round_boundary per round — localCheckpoint on most rounds, a parquet
+    state-table flush every 6th so planning AND driver cost stay flat at
+    any depth (see _round_boundary for why caching and unbounded
+    checkpoint chains both degrade on deep iteration) — and ONE aggregate
+    action for the convergence check, computed inside the materialized
+    projection so there is no extra old-vs-new join job.  The final frame
+    is re-checkpointed and the last scratch table deleted
+    (_finalize_iter_state), so callers always receive a block-backed,
+    lineage-free result.  Raises past the budget instead of returning an
+    unconverged labeling."""
     # --- step 1: closed-neighborhood min + quotient contraction ---------
     nbr_min = bi.groupBy("a").agg(F.min("b").alias("nmin"))
     l0 = (
@@ -465,12 +471,28 @@ def _doubling_rounds(nodes: DataFrame, bi: DataFrame, max_rounds: int) -> DataFr
         changed = stepped.filter(F.col("__chg")).count()
         labels = stepped.select("node", F.col("new_lbl").alias("lbl"))
         if changed == 0:
-            return labels
+            return _finalize_iter_state(labels, state_dir)
+    _finalize_iter_state(labels, state_dir)  # clean scratch before raising
     raise RuntimeError(
         f"pointer-doubling components did not converge within "
         f"{max_rounds} rounds ({changed} labels still moving) — raise the "
         "round budget (each round doubles the reachable label horizon)"
     )
+
+
+def _finalize_iter_state(df: DataFrame, state_dir: str | None) -> DataFrame:
+    """Close an iterative loop: checkpoint the FINAL frame (depth-1 from a
+    block- or parquet-backed round boundary — no provenance concern) so
+    callers get the block-backed, lineage-free output the memoizing caches
+    (dedup._CC_CACHE) document, then delete the loop's last scratch
+    state-table dir — otherwise it leaks per call, and a lazily-scanning
+    final frame would break if scratch were cleaned between consumers."""
+    out = df.localCheckpoint(eager=True)
+    if state_dir is not None:
+        import shutil
+
+        shutil.rmtree(state_dir, ignore_errors=True)
+    return out
 
 
 @spec(
@@ -493,8 +515,10 @@ def _doubling_rounds(nodes: DataFrame, bi: DataFrame, max_rounds: int) -> DataFr
     "O(diameter) one-hop propagation used on the (diameter-bounded) "
     "near-dup graph in dedup_connected_components — the variant that "
     "survives deep-chain topologies at 100 TB.  Each round is two "
-    "node-keyed equi-joins + one min-agg, localCheckpoint'ed (flat "
-    "planning cost, the CC precedent), one changed-count collect; labels "
+    "node-keyed equi-joins + one min-agg crossing the shared "
+    "_round_boundary (checkpoint most rounds, parquet state-table flush "
+    "every 6th — flat driver cost at any depth), one changed-count "
+    "collect; labels "
     "are monotone non-increasing node ids so l(l(u)) always resolves.  "
     "Oracle: recursive-CTE transitive closure, component = MIN(reachable).",
 )
@@ -587,9 +611,11 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         if n_new == n_old:
             break
     else:
+        _finalize_iter_state(g, state_dir)  # clean scratch before raising
         raise RuntimeError(
             f"k-core peeling did not stabilize within {KCORE_MAX_ROUNDS} rounds"
         )
+    g = _finalize_iter_state(g, state_dir)
     return g.groupBy(F.col("a").alias("node")).agg(
         F.count(F.lit(1)).alias("core_degree")
     )

@@ -318,6 +318,11 @@ class SapRfcReader(DataSourceReader):
         # reader option (Spark's Python DS API has no limit hook yet, the
         # same gap as P8's projection option).
         self.limit = int(options.get("maxrows", 0)) or None
+        if self.limit is not None and self.limit < 0:
+            # a negative bound would reach the transport as ROWCOUNT < 0:
+            # Python-slice semantics on the mock silently return "all but
+            # the last N rows", and a live RFC call is undefined — fail loud
+            raise ValueError(f"maxrows must be positive, got {self.limit}")
         self.accepted: list[Filter] = []
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
@@ -437,6 +442,13 @@ class SapRfcStreamReader(DataSourceStreamReader):
 
     def __init__(self, options: dict, fields: list[RfcField]):
         self._delegate = SapRfcReader(options, fields)
+        # no pushdown in the stream path (streams land raw and filter
+        # downstream) — that includes the limit: the batch reader's read()
+        # truncates page ROWCOUNTs to the bound, which against this
+        # reader's limit-less page planning would send ROWCOUNT<=0 calls
+        # for pages past the bound (ROWCOUNT=0 means "no restriction" to a
+        # live RFC server — a silent full re-fetch into the stream)
+        self._delegate.limit = None
         transport = _transport_from_options(options)
         n = int(options.get("totalrows", 0)) or transport.row_count(
             self._delegate.table

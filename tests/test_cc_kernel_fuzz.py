@@ -4,7 +4,7 @@ kernel (graph.min_label_fixpoint) against a plain union-find reference.
 The kernel serves graph_components and the dedup CC/canonical family; all
 are oracle-checked at sf0.01, but only over the FIXTURE's dense near-dup
 graph.  Random graphs exercise the shapes the fixture lacks: long chains
-(the O(log diameter) shortcutting claim — a 600-node path converges only
+(the O(log diameter) shortcutting claim — a 400-node path converges only
 because doubling halves the pointer depth every round), stars, isolated
 vertices entering as singletons, and quotient contractions that collapse
 most of the edge set in step 1."""

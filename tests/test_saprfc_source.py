@@ -155,3 +155,38 @@ def test_limit_composes_with_filter_pushdown():
     filtered_ids = [i for i in range(2500) if i % 7 == 3][:150]
     expect = sum(1 for i in filtered_ids if i % 37 != 0)
     assert rows == expect == 146
+
+
+def test_stream_reader_ignores_maxrows():
+    """The stream path has NO pushdown — including the limit: the stream
+    reader strips maxrows from its batch delegate, because the delegate's
+    ROWCOUNT truncation against limit-less page planning would send
+    ROWCOUNT<=0 calls for later pages (ROWCOUNT=0 means 'no restriction'
+    to a live RFC server — a silent full re-fetch into the stream)."""
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.sources.saprfc_dsv2 import (
+        SapRfcStreamReader,
+    )
+
+    fields = list(MockRfcTransport.FIELDS)
+    r = SapRfcStreamReader(
+        {"mockrows": "2500", "pagesize": "500", "maxrows": "1000"}, fields
+    )
+    assert r._delegate.limit is None
+    parts = r.partitions(r.initialOffset(), r.latestOffset())
+    assert len(parts) == 5  # full table planned, not the limited 2 pages
+    wire = sum(b.num_rows for p in parts for b in r.read(p))
+    assert wire == 2500  # every wire row lands exactly once
+
+
+def test_negative_maxrows_rejected():
+    """A negative bound must fail loud at reader construction: passed
+    through, Python-slice semantics on the mock silently return 'all but
+    the last N rows', and a live RFC ROWCOUNT<0 is undefined."""
+    import pytest
+
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.sources.saprfc_dsv2 import (
+        SapRfcReader,
+    )
+
+    with pytest.raises(ValueError, match="maxrows must be positive"):
+        SapRfcReader({"mockrows": "100", "maxrows": "-5"}, list(MockRfcTransport.FIELDS))
