@@ -2096,20 +2096,38 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return checks.unionByName(orph)
 
 
-SKEW_RANK_PARTS = 8  # range partitions for the distributed rank phase
+SKEW_RANK_PARTS = 8  # FLOOR for the distributed rank phase's range partitions
+_RANK_PARTS_CAP = 2048  # offsets are collected driver-side: O(parts) rows
 
 
-def distributed_rank(df: DataFrame, order_cols: list, out: str = "i") -> DataFrame:
+def _rank_parts(spark: SparkSession) -> int:
+    """Range-partition count for :func:`distributed_rank`: scales with the
+    cluster (``defaultParallelism`` = total executor cores) between a floor
+    of ``SKEW_RANK_PARTS`` (tiny local sessions still exercise the multi-
+    partition path) and a cap of ``_RANK_PARTS_CAP`` (the per-partition
+    prefix offsets round-trip through the driver, so the collect stays
+    bounded at <= 2048 tiny rows even on a 10k-core cluster)."""
+    return min(max(SKEW_RANK_PARTS, spark.sparkContext.defaultParallelism), _RANK_PARTS_CAP)
+
+
+def distributed_rank(
+    df: DataFrame, order_cols: list, out: str = "i", parts: int | None = None
+) -> DataFrame:
     """Exact global 1-based row_number under the TOTAL order ``order_cols``,
     computed distributed: range-partition on the order columns (materialized
     once so partition ids are stable across the two consumers), local
     row_numbers per partition, and the constant per-partition prefix
-    offsets (<= SKEW_RANK_PARTS rows driver-side — the replay.py offset
-    precedent) broadcast back.  Never a single-task global window; the
-    caller must pass a tie-free column list or ranks are nondeterministic.
+    offsets (<= ``parts`` <= 2048 rows driver-side — the replay.py offset
+    precedent; see :func:`_rank_parts` for the bound) broadcast back.
+    Never a single-task global window; the caller must pass a tie-free
+    column list or ranks are nondeterministic.  ``parts`` defaults to the
+    session's ``defaultParallelism`` (floor 8, cap 2048) so the rank phase
+    keeps every core busy at cluster scale instead of a fixed-8 ceiling.
     """
+    if parts is None:
+        parts = _rank_parts(df.sparkSession)
     rp = (
-        df.repartitionByRange(SKEW_RANK_PARTS, *[F.asc(c) for c in order_cols])
+        df.repartitionByRange(parts, *[F.asc(c) for c in order_cols])
         .withColumn("__pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
@@ -2155,7 +2173,7 @@ def distributed_rank(df: DataFrame, order_cols: list, out: str = "i") -> DataFra
     "distributed, not with a single-task window: counts repartitionByRange "
     "on (count, key) (materialized once so the partition ids are stable), "
     "per-partition row_numbers, and the constant partition-size prefix "
-    "offsets (<= 8 rows driver-side, the replay.py offset precedent) "
+    "offsets (<= 2048 rows driver-side, the replay.py offset precedent) "
     "broadcast back to form exact global ranks.  The rank-weighted sum "
     "accumulates in DECIMAL(38,0) so the formula G = (2*sum(i*c) - "
     "(D+1)*T) / (D*T) stays exact far past bigint scale; the three final "

@@ -411,11 +411,14 @@ def _docs(spark, sf_dir, copies: int = 1):
 
 def test_distributed_rank_driver_state_constant_across_scale(spark, sf_dir):
     """The rank kernel's only driver-side state is the per-partition offset
-    list — bounded by SKEW_RANK_PARTS at ANY input size (the r5 fixed-k
+    list — bounded by _rank_parts(spark) at ANY input size (the r5 fixed-k
     lesson applied to ranking): at 10x the rows the broadcast frame is the
-    same <= 8 rows, and ranks stay an exact permutation of 1..n."""
+    same <= min(max(8, defaultParallelism), 2048) rows, and ranks stay an
+    exact permutation of 1..n."""
     from guidance_for_sap_data_integration_and_management_on_aws_spark.operators.relational import (
+        _RANK_PARTS_CAP,
         SKEW_RANK_PARTS,
+        _rank_parts,
         distributed_rank,
     )
 
@@ -434,8 +437,13 @@ def test_distributed_rank_driver_state_constant_across_scale(spark, sf_dir):
         ).first()
         assert tuple(stats) == (1, n, n, n)
         # the driver collect inside the kernel is the offset list only:
-        # structurally bounded by the partition constant, not the data
-        assert SKEW_RANK_PARTS == 8
+        # structurally bounded by the parallelism-derived constant (floor 8,
+        # cap 2048), not the data
+        parts = _rank_parts(spark)
+        assert SKEW_RANK_PARTS <= parts <= _RANK_PARTS_CAP
+        assert parts == min(
+            max(8, spark.sparkContext.defaultParallelism), _RANK_PARTS_CAP
+        )
 
 
 def test_oov_vocab_broadcast_constant_across_corpus_scale(spark, sf_dir):
