@@ -336,6 +336,34 @@ def saprfc_limit_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @spec(
     f"""
+    WITH r AS ({SQL_MOCK_DD03L})
+    SELECT 'TAB'||CAST(i%7 AS VARCHAR) AS TABNAME,
+           'FLD_'||lpad(CAST(i AS VARCHAR),5,'0') AS FIELDNAME,
+           'ROLL'||CAST(i%11 AS VARCHAR) AS ROLLNAME,
+           CASE WHEN i%13=0 THEN NULL ELSE i%500 END AS POSITION
+    FROM r
+    WHERE i%37<>0 AND i%11 IN (2, 5) AND i >= 1000 AND i < 2000
+    """,
+    doc="P7 filter pushdown, IN / LIKE leg: isin() renders into an OPTIONS "
+    "`NAME IN ('a', 'b')` value list and startswith() into `NAME LIKE "
+    "'prefix%'` (string-typed columns only), so membership and prefix "
+    "predicates filter SERVER-side before the wire — the round-10 "
+    "whitelist handled them client-side only.  Both are re-verified on "
+    "the typed values after parsing (rendering is an optimization, never "
+    "a semantics change), the plan carries no residual Filter node, and "
+    "corrupt rows fail the value predicates' null evaluation exactly like "
+    "the EQ/LT leg (saprfc_pushdown).",
+)
+def saprfc_pushdown_in_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _saprfc_df(spark, mockrows=str(MOCK_ROWS))
+    return df.filter(
+        F.col("ROLLNAME").isin("ROLL2", "ROLL5")
+        & F.col("FIELDNAME").startswith("FLD_01")
+    ).select("TABNAME", "FIELDNAME", "ROLLNAME", "POSITION")
+
+
+@spec(
+    f"""
     WITH src AS ({SQL_WA}),
     a AS (SELECT len(string_split(trim(wa), chr(96))) = 7 AS ok FROM src),
     c AS (SELECT COUNT(*) FILTER (WHERE ok) AS v,
@@ -1432,6 +1460,7 @@ QUERIES: dict[str, QuerySpec] = {
     "saprfc_pushdown": saprfc_pushdown,
     "saprfc_projection": saprfc_projection,
     "saprfc_limit_pushdown": saprfc_limit_pushdown,
+    "saprfc_pushdown_in_like": saprfc_pushdown_in_like,
     "sink_roundtrip": sink_roundtrip,
     "lake_compact_roundtrip": lake_compact_roundtrip,
     "lake_bucketed_write": lake_bucketed_write,

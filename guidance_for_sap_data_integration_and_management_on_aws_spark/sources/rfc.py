@@ -188,20 +188,58 @@ class MockRfcTransport(RfcTransport):
     def row_count(self, query_table: str) -> int:
         return self.n_rows
 
-    _OPT_RE = __import__("re").compile(r"^(\w+)\s+(EQ|NE|GT|GE|LT|LE)\s+'(.*)'$")
+    _OPT_RE = re.compile(r"^(\w+)\s+(EQ|NE|GT|GE|LT|LE)\s+'(.*)'$")
+    _OPT_IN_RE = re.compile(r"^(\w+)\s+IN\s+\((.*)\)$")
+    _OPT_LIKE_RE = re.compile(r"^(\w+)\s+LIKE\s+'(.*)'$")
+    _IN_LIT_RE = re.compile(r"'((?:[^']|'')*)'")
+
+    @staticmethod
+    def _unq(lit: str) -> str:
+        """SQL quote unescape: the client doubles single quotes inside a
+        quoted literal; the server reads them back as one."""
+        return lit.replace("''", "'")
+
+    @staticmethod
+    def _coerced_eq(v: str, lit: str) -> bool:
+        """NUMC-style equality: numeric when both sides parse as ints."""
+        try:
+            return int(v) == int(lit)
+        except ValueError:
+            return v == lit
 
     def _matches(self, i: int, options: Sequence[str]) -> bool:
         """Server-side OPTIONS evaluation (what SAP's open-SQL WHERE does):
         NUMC-style numeric coercion when both sides parse as ints, else
-        trimmed-string comparison."""
+        trimmed-string comparison.  Supports comparison lines
+        (``NAME OP 'lit'``), ``NAME IN ('a', 'b')`` value lists, and
+        ``NAME LIKE 'pat'`` with SQL ``%``/``_`` wildcards — the three
+        shapes the DSv2 client renders (saprfc_dsv2._render_options)."""
         names = [f.name for f in self.FIELDS]
         raw = dict(zip(names, (v.strip() for v in self._vals(i))))
         for opt in options:
+            if m := self._OPT_IN_RE.match(opt):
+                name, body = m.groups()
+                v = raw[name]
+                lits = [self._unq(x) for x in self._IN_LIT_RE.findall(body)]
+                if not any(self._coerced_eq(v, lit) for lit in lits):
+                    return False
+                continue
+            if m := self._OPT_LIKE_RE.match(opt):
+                name, pat = m.groups()
+                # SQL LIKE -> anchored regex: % = any run, _ = any char,
+                # everything else literal (after quote-unescape)
+                rx = "".join(
+                    ".*" if ch == "%" else "." if ch == "_" else re.escape(ch)
+                    for ch in self._unq(pat)
+                )
+                if not re.fullmatch(rx, raw[name]):
+                    return False
+                continue
             m = self._OPT_RE.match(opt)
             if not m:
                 raise ValueError(f"unparseable OPTIONS line: {opt!r}")
             name, op, lit = m.groups()
-            v = raw[name]
+            v, lit = raw[name], self._unq(lit)
             try:
                 a, b = int(v), int(lit)
             except ValueError:

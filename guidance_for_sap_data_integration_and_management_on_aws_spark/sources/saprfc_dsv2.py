@@ -233,7 +233,7 @@ def _eval_filter(flt: Filter, row: dict) -> bool | None:
         c = _cmp(v, flt.value)
         return None if c is None else c <= 0
     if isinstance(flt, In):
-        return v in flt.values
+        return v in flt.value  # .value IS the tuple (the dataclass field name)
     if isinstance(flt, StringStartsWith):
         return isinstance(v, str) and v.startswith(flt.value)
     if isinstance(flt, StringEndsWith):
@@ -287,11 +287,43 @@ def _sap_literal(v: Any) -> str | None:
     return None
 
 
-def _render_options(filters: Sequence[Filter]) -> list[str]:
+def _render_options(
+    filters: Sequence[Filter], string_fields: frozenset[str] = frozenset()
+) -> list[str]:
     """ABAP-ish OPTIONS where-clause lines for the pushable subset
-    (RFC_READ_TABLE2's OPTIONS parameter, public BAPI interface)."""
+    (RFC_READ_TABLE2's OPTIONS parameter, public BAPI interface).
+
+    Rendering is an optimization, never a semantics change: every accepted
+    predicate is re-verified on the typed values after parsing, so a filter
+    that does NOT render here (unknown literal type, wildcard characters in
+    a prefix, non-string LIKE target) still filters correctly — it just
+    rides the wire unfiltered.  Three shapes render:
+
+    * comparisons -> ``NAME EQ|GT|GE|LT|LE 'lit'``
+    * ``In`` -> ``NAME IN ('a', 'b', ...)`` when every value renders
+    * ``StringStartsWith`` -> ``NAME LIKE 'prefix%'`` — only for
+      string-typed fields (``string_fields``; a LIKE against a NUMC/DATS
+      column would match raw text the typed re-verification then rejects).
+      A ``%``/``_`` inside the prefix is NOT escaped (the OPTIONS grammar
+      kept ESCAPE-free): the server reads it as a wildcard, which only
+      ever WIDENS the match — every string with the literal prefix still
+      matches the pattern char-for-char — so extra rows ride the wire and
+      the typed re-verification drops them; the match never narrows.
+    """
     out = []
     for flt in filters:
+        if isinstance(flt, In):
+            lits = [_sap_literal(v) for v in flt.value]
+            if lits and all(lit is not None for lit in lits):
+                vals = ", ".join(f"'{lit}'" for lit in lits)
+                out.append(f"{flt.attribute[-1]} IN ({vals})")
+            continue
+        if isinstance(flt, StringStartsWith):
+            name = flt.attribute[-1]
+            v = flt.value
+            if name in string_fields and isinstance(v, str):
+                out.append(f"{name} LIKE '{v.replace(chr(39), chr(39) * 2)}%'")
+            continue
         op = _OPTIONS_OPS.get(type(flt))
         lit = _sap_literal(getattr(flt, "value", None))
         if op and lit is not None:
@@ -316,7 +348,10 @@ class SapRfcReader(DataSourceReader):
         # never schedules, fetches, or parses wire rows past the bound,
         # which is the SupportsPushDownLimit posture expressed through a
         # reader option (Spark's Python DS API has no limit hook yet, the
-        # same gap as P8's projection option).
+        # same gap as P8's projection option).  maxrows='0' means
+        # UNBOUNDED, deliberately matching RFC ROWCOUNT semantics
+        # (ROWCOUNT=0 is "no restriction" to the BAPI) rather than SQL's
+        # LIMIT 0; negative values fail loud below.
         self.limit = int(options.get("maxrows", 0)) or None
         if self.limit is not None and self.limit < 0:
             # a negative bound would reach the transport as ROWCOUNT < 0:
@@ -324,6 +359,13 @@ class SapRfcReader(DataSourceReader):
             # the last N rows", and a live RFC call is undefined — fail loud
             raise ValueError(f"maxrows must be positive, got {self.limit}")
         self.accepted: list[Filter] = []
+
+    def _string_fields(self) -> frozenset[str]:
+        """Names of string-typed columns — the only legal LIKE targets for
+        OPTIONS rendering (see :func:`_render_options`)."""
+        return frozenset(
+            f.name for f in self.fields if isinstance(_spark_type(f), StringType)
+        )
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
         known = {f.name for f in self.fields}
@@ -371,7 +413,7 @@ class SapRfcReader(DataSourceReader):
             self.delimiter,
             skip,
             count,
-            options=_render_options(self.accepted),
+            options=_render_options(self.accepted, self._string_fields()),
             fields=[f.name for f in self.fields],
         )
         fields = self.fields
@@ -441,14 +483,21 @@ class SapRfcStreamReader(DataSourceStreamReader):
     — streams land raw and filter downstream)."""
 
     def __init__(self, options: dict, fields: list[RfcField]):
-        self._delegate = SapRfcReader(options, fields)
         # no pushdown in the stream path (streams land raw and filter
         # downstream) — that includes the limit: the batch reader's read()
         # truncates page ROWCOUNTs to the bound, which against this
         # reader's limit-less page planning would send ROWCOUNT<=0 calls
         # for pages past the bound (ROWCOUNT=0 means "no restriction" to a
-        # live RFC server — a silent full re-fetch into the stream)
-        self._delegate.limit = None
+        # live RFC server — a silent full re-fetch into the stream).
+        # Silently stripping the option would hand a user who asked for a
+        # bounded stream a full-table stream with no signal, so fail loud.
+        if "maxrows" in options:
+            raise ValueError(
+                "maxrows is not supported on the saprfc stream path (the "
+                "stream drains the whole page range incrementally); bound "
+                "the stream downstream or use the batch reader"
+            )
+        self._delegate = SapRfcReader(options, fields)
         transport = _transport_from_options(options)
         n = int(options.get("totalrows", 0)) or transport.row_count(
             self._delegate.table

@@ -157,25 +157,175 @@ def test_limit_composes_with_filter_pushdown():
     assert rows == expect == 146
 
 
-def test_stream_reader_ignores_maxrows():
-    """The stream path has NO pushdown — including the limit: the stream
-    reader strips maxrows from its batch delegate, because the delegate's
+def test_stream_reader_rejects_maxrows():
+    """The stream path has NO pushdown — including the limit: the delegate's
     ROWCOUNT truncation against limit-less page planning would send
     ROWCOUNT<=0 calls for later pages (ROWCOUNT=0 means 'no restriction'
-    to a live RFC server — a silent full re-fetch into the stream)."""
+    to a live RFC server — a silent full re-fetch into the stream).
+    Silently stripping the option would hand the user a full-table stream
+    with no signal, so the reader fails loud instead (round-10 advice)."""
+    import pytest
+
     from guidance_for_sap_data_integration_and_management_on_aws_spark.sources.saprfc_dsv2 import (
         SapRfcStreamReader,
     )
 
     fields = list(MockRfcTransport.FIELDS)
-    r = SapRfcStreamReader(
-        {"mockrows": "2500", "pagesize": "500", "maxrows": "1000"}, fields
-    )
-    assert r._delegate.limit is None
+    with pytest.raises(ValueError, match="maxrows is not supported"):
+        SapRfcStreamReader(
+            {"mockrows": "2500", "pagesize": "500", "maxrows": "1000"}, fields
+        )
+    # without the option the stream plans and drains the full table
+    r = SapRfcStreamReader({"mockrows": "2500", "pagesize": "500"}, fields)
     parts = r.partitions(r.initialOffset(), r.latestOffset())
-    assert len(parts) == 5  # full table planned, not the limited 2 pages
+    assert len(parts) == 5
     wire = sum(b.num_rows for p in parts for b in r.read(p))
     assert wire == 2500  # every wire row lands exactly once
+
+
+def test_in_like_options_render_and_guards():
+    """P7 whitelist growth (round-11): In renders to an OPTIONS value list
+    and StringStartsWith to a LIKE prefix — with the guards that keep
+    rendering a pure optimization: LIKE only against string-typed columns
+    (wildcards in the prefix ride through unescaped — they only WIDEN the
+    server match, and the typed re-verification restores exact startswith
+    semantics); In only when every literal renders; quotes escape by
+    doubling."""
+    import datetime
+
+    from pyspark.sql.datasource import In, StringStartsWith
+
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.sources.saprfc_dsv2 import (
+        SapRfcReader,
+        _render_options,
+    )
+
+    fields = list(MockRfcTransport.FIELDS)
+    r = SapRfcReader({"mockrows": "100"}, fields)
+    sf = r._string_fields()
+    assert "ROLLNAME" in sf and "TABNAME" in sf
+    assert "POSITION" not in sf and "ASDATE" not in sf  # N / D typed
+
+    assert _render_options(
+        [In(("ROLLNAME",), ("ROLL2", "ROLL5"))], sf
+    ) == ["ROLLNAME IN ('ROLL2', 'ROLL5')"]
+    assert _render_options(
+        [StringStartsWith(("FIELDNAME",), "FLD_01")], frozenset({"FIELDNAME"})
+    ) == ["FIELDNAME LIKE 'FLD_01%'"]
+    # date literals render in the RFC wire format inside IN lists
+    assert _render_options(
+        [In(("ASDATE",), (datetime.date(2001, 2, 3),))], sf
+    ) == ["ASDATE IN ('20010203')"]
+    # a wildcard prefix renders as-is (server match widens, never narrows)
+    assert _render_options([StringStartsWith(("ROLLNAME",), "RO%")], sf) == [
+        "ROLLNAME LIKE 'RO%%'"
+    ]
+    # guards: non-string LIKE target, unrenderable literal, empty IN
+    assert _render_options([StringStartsWith(("POSITION",), "04")], sf) == []
+    assert _render_options([In(("ROLLNAME",), ("a", 1.5))], sf) == []
+    assert _render_options([In(("ROLLNAME",), ())], sf) == []
+    # quote escaping round-trips through the mock's unescape
+    assert _render_options([In(("ROLLNAME",), ("O'Brien",))], sf) == [
+        "ROLLNAME IN ('O''Brien')"
+    ]
+    assert MockRfcTransport._unq("O''Brien") == "O'Brien"
+
+
+def test_in_like_options_reduce_wire_rows_exactly():
+    """Exact wire-row volume law for the two new OPTIONS shapes (the
+    limit-leg sweep precedent): for every (options, skip, count) cell the
+    server returns precisely the generator-law matching ids, filtered THEN
+    paged — SAP's open-SQL semantics."""
+    t = MockRfcTransport(n_rows=2500)
+    cases = [
+        (["ROLLNAME IN ('ROLL2', 'ROLL5')"], lambda i: i % 11 in (2, 5)),
+        (["FIELDNAME LIKE 'FLD_01%'"], lambda i: 1000 <= i < 2000),
+        (["TABNAME LIKE 'TAB_'"], lambda i: True),  # _ = exactly one char
+        (["ROLLNAME LIKE 'ROLL1'"], lambda i: i % 11 == 1),  # no wildcard
+        (
+            ["ROLLNAME IN ('ROLL2', 'ROLL5')", "FIELDNAME LIKE 'FLD_01%'"],
+            lambda i: i % 11 in (2, 5) and 1000 <= i < 2000,
+        ),
+        # numeric coercion inside IN: '0004' matches literal '4'
+        (["POSITION IN ('4', '17')"], lambda i: i % 13 != 0 and i % 500 in (4, 17)),
+    ]
+    for options, law in cases:
+        matching = [i for i in range(2500) if law(i)]
+        for skip, count in ((0, 10**6), (0, 50), (25, 100), (len(matching), 10)):
+            got = t.call("DD03L", "`", skip, count, options=options)["DATA"]
+            assert len(got) == len(matching[skip : skip + count]), (options, skip)
+        full = t.call("DD03L", "`", 0, 10**6, options=options)["DATA"]
+        assert len(full) == len(matching), options
+
+
+def test_in_like_compose_with_limit_and_projection():
+    """filter(In+StartsWith) x maxrows x fields through the full reader:
+    the wire carries the first maxrows rows OF THE FILTERED stream with
+    only the projected columns, and the client's typed re-verification
+    drops exactly the corrupt (arity-mismatched) survivors."""
+    from pyspark.sql.datasource import In, StringStartsWith
+
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.sources.saprfc_dsv2 import (
+        SapRfcReader,
+    )
+
+    names = [f.name for f in MockRfcTransport.FIELDS]
+    keep = ["TABNAME", "FIELDNAME", "ROLLNAME"]
+    fields = [f for f in MockRfcTransport.FIELDS if f.name in keep]
+    r = SapRfcReader(
+        {"mockrows": "2500", "pagesize": "40", "maxrows": "120"}, fields
+    )
+    leftover = list(
+        r.pushFilters(
+            [
+                In(("ROLLNAME",), ("ROLL2", "ROLL5")),
+                StringStartsWith(("FIELDNAME",), "FLD_01"),
+            ]
+        )
+    )
+    assert leftover == []  # both accepted by the source
+    assert len(r.partitions()) == 3  # ceil(120/40)
+    rows = 0
+    for p in r.partitions():
+        for batch in r.read(p):
+            assert batch.num_columns == len(keep) + 1  # + _corrupt_record
+            assert all(v.startswith("FLD_01") for v in batch.column(1).to_pylist())
+            assert all(
+                v in ("ROLL2", "ROLL5") for v in batch.column(2).to_pylist()
+            )
+            rows += batch.num_rows
+    filtered_ids = [
+        i for i in range(2500) if i % 11 in (2, 5) and 1000 <= i < 2000
+    ][:120]
+    # corruption lives in ROLLNAME — kept by this projection — so the
+    # i%37==0 survivors of the filtered+limited stream arrive as
+    # arity-mismatched lines the value-comparing pushed filters drop
+    # client-side (In over the all-NULL corrupt row is not True)
+    expect = sum(1 for i in filtered_ids if i % 37 != 0)
+    assert rows == expect == 117
+    assert "ROLLNAME" in names  # the corrupted source column, for the record
+
+
+def test_in_like_plan_lock(spark):
+    """Plan lock for the new rendering legs: isin + startswith are fully
+    consumed by the source (no residual FilterExec) and the rendered
+    OPTIONS lines reach the transport call."""
+    df = _df(spark).filter(
+        F.col("ROLLNAME").isin("ROLL2", "ROLL5")
+        & F.col("FIELDNAME").startswith("FLD_01")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchScan saprfc" in plan
+    assert "Filter (" not in plan
+    # wire volume confirms server-side filtering actually happened: the
+    # transport returns only matching (plus corrupt-source) rows
+    n = df.count()
+    expect = sum(
+        1
+        for i in range(2500)
+        if i % 11 in (2, 5) and 1000 <= i < 2000 and i % 37 != 0
+    )
+    assert n == expect
 
 
 def test_negative_maxrows_rejected():
