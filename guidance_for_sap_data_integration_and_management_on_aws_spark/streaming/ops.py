@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
@@ -1227,31 +1227,41 @@ def stream_kll_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sketch_delta_log_run(
-    spark: SparkSession, sf_dir: str, stats: list | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    stats: list | None = None,
+    value_col: str = "user_id",
+    sketch_agg: Column | None = None,
 ) -> str:
     """Drive the APPEND-ONLY leg of the sketch-table lifecycle and return
     the increment-log path: each microbatch reduces to its own per-(event_
-    type, day) HLL increments and APPENDS them — per-tick work is O(batch)
-    and the fact table is never read at ingest time (vs the read-merge
-    loop of _sketch_maintenance_run).  That asymmetry is the LSM posture a
-    100 TB sketch store wants: ingest ticks stay write-only, and the
-    read-merge cost moves to the periodic compaction pass
-    (compact_sketch_log), which also applies retention.  ``stats`` records
-    (batch_rows, fact_cells_read) per tick — the second term is 0 by
-    construction, the literal write-only claim tests assert."""
+    type, day) sketch increments and APPENDS them — per-tick work is
+    O(batch) and the fact table is never read at ingest time (vs the
+    read-merge loop of _sketch_maintenance_run).  That asymmetry is the
+    LSM posture a 100 TB sketch store wants: ingest ticks stay write-only,
+    and the read-merge cost moves to the periodic compaction pass
+    (compact_sketch_log / compact_kll_log), which also applies retention.
+    ``sketch_agg`` picks the per-cell sketch (default: the HLL
+    distinct-user sketch; the KLL twin passes a value-quantile sketch over
+    ``value_col``).  ``stats`` records (batch_rows, fact_cells_read) per
+    tick — the second term is 0 by construction, the literal write-only
+    claim tests assert."""
     base_dir = scratch_dir("sketch-delta")
+    agg = (
+        sketch_agg
+        if sketch_agg is not None
+        else F.hll_sketch_agg("user_id").alias("sk")
+    )
 
     def append(batch: DataFrame, bid: int) -> None:
-        delta = batch.groupBy("event_type", "day").agg(
-            F.hll_sketch_agg("user_id").alias("sk")
-        )
+        delta = batch.groupBy("event_type", "day").agg(agg)
         if stats is not None:
             stats.append((batch.count(), 0))
         delta.write.mode("append").parquet(base_dir)
 
     s = read_events_stream(spark, build_replay(spark, sf_dir, "ordered"))
     sel = s.select(
-        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id"
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day"), value_col
     )
     with stream_shuffle(spark):
         q = (
@@ -1367,9 +1377,135 @@ def stream_sketch_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def compact_kll_log(
+    spark: SparkSession,
+    log_path: str,
+    horizon_day: str,
+    stats: list | None = None,
+) -> str:
+    """KLL twin of :func:`compact_sketch_log`: same scan-level retention
+    prune (``day >= horizon`` reaches the parquet scan as a pushed filter,
+    BEFORE the merge shuffle) and same single per-cell merge exchange, but
+    each cell's accumulated microbatch increments fold pairwise through
+    ``kll_sketch_merge_double`` (KLL has no union aggregate — the fold is
+    the shared D34 reduction, one definition so merge semantics cannot
+    drift).  Work is O(increment rows), bounded by ticks x live cells.
+    ``stats`` records one (increment_rows_read, cells_out) pair, extending
+    the write-only-tick instrumentation across the KLL compaction path."""
+    from ..operators.relational import _kll_merge_fold
+
+    inc = spark.read.parquet(log_path).filter(F.col("day") >= horizon_day)
+    fact = (
+        inc.groupBy("event_type", "day")
+        .agg(F.collect_list("sk").alias("sks"))
+        .select("event_type", "day", _kll_merge_fold().alias("sk"))
+    )
+    out = scratch_dir("kll-compacted")
+    fact.write.mode("overwrite").parquet(out)
+    if stats is not None:
+        stats.append((inc.count(), fact.count()))
+    return out
+
+
+@spec(
+    f"""
+    WITH h AS (
+      SELECT strftime(CAST(MAX(ts) AS DATE) - {SKETCH_RETAIN_DAYS - 1},
+                      '%Y-%m-%d') AS h0
+      FROM events
+    ),
+    k AS (
+      SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+             CAST(value AS DOUBLE) AS v
+      FROM events, h
+      WHERE strftime(ts, '%Y-%m-%d') >= h.h0
+    )
+    SELECT event_type,
+           CAST(COUNT(DISTINCT day) AS BIGINT) AS retained_days,
+           round(quantile_cont(v, 0.5), 6) AS exact_p50,
+           TRUE AS p50_within_tol
+    FROM k GROUP BY 1
+    """,
+    doc="KLL SKETCH-LOG COMPACTION + RETENTION EXPIRY (the value-median "
+    "twin of stream_sketch_compaction, r10 verdict item 4): ingest runs "
+    "the same APPEND-ONLY delta-log loop with per-(event_type, day) KLL "
+    "value sketches (write-only ticks, O(batch), the fact table never "
+    "read), then ONE compaction pass folds each cell's accumulated "
+    "increments through kll_sketch_merge_double and drops cells older "
+    "than the 14-day horizon — retention prunes at the increment-log "
+    "scan, before the merge shuffle.  Serving then rolls the retained "
+    "day cells up per type (the D34 fold again), so expiry is pinned "
+    "hash-checked by retained_days (the compacted fact's surviving cell "
+    "count per type == the exact distinct retained days) and the value "
+    "by the KLL rank-error certification: merged-sketch p50 within "
+    "KLL_TOL of the exact batch quantile over the retained window "
+    "(within-tolerance boolean, not register equality — KLL compaction "
+    "is merge-order-dependent, the stream_kll_maintenance precedent).  "
+    "Oracle = the exact rebuild over the retained window, boolean TRUE.",
+)
+def stream_kll_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import KLL_TOL, _kll_merge_fold
+
+    log_path = _sketch_delta_log_run(
+        spark,
+        sf_dir,
+        value_col="value",
+        sketch_agg=F.expr("kll_sketch_agg_double(CAST(value AS DOUBLE))").alias(
+            "sk"
+        ),
+    )
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.col("value").cast("double").alias("v"),
+    )
+    # 1-row bounded collect: the retention horizon (max day - 13)
+    horizon = ev.agg(
+        F.date_format(
+            F.date_sub(F.max(F.to_date("day")), SKETCH_RETAIN_DAYS - 1),
+            "yyyy-MM-dd",
+        ).alias("h0")
+    ).collect()[0]["h0"]
+    fact_path = compact_kll_log(spark, log_path, horizon)
+    # serve per type: roll the retained day-cell sketches up (bounded
+    # collect_list — one sketch per retained day) and read the median
+    served = (
+        spark.read.parquet(fact_path)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("retained_days"),
+            F.collect_list("sk").alias("sks"),
+        )
+        .select("event_type", "retained_days", _kll_merge_fold().alias("sk"))
+        .select(
+            "event_type",
+            "retained_days",
+            F.expr("kll_sketch_get_quantile_double(sk, 0.5)").alias("__m50"),
+        )
+    )
+    exact = (
+        ev.filter(F.col("day") >= horizon)
+        .groupBy("event_type")
+        .agg(F.round(F.percentile(F.col("v"), F.lit(0.5)), 6).alias("exact_p50"))
+    )
+    # type-count-sized certifier frame — broadcast; relative tolerance with
+    # the absolute floor (the stream_kll_maintenance zero-median guard)
+    return exact.join(F.broadcast(served), ["event_type"]).select(
+        "event_type",
+        "retained_days",
+        "exact_p50",
+        (
+            F.abs(F.col("__m50") - F.col("exact_p50"))
+            / F.greatest(F.abs(F.col("exact_p50")), F.lit(1e-9))
+            <= KLL_TOL
+        ).alias("p50_within_tol"),
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "stream_cusum_alarms": stream_cusum_alarms,
     "stream_sketch_compaction": stream_sketch_compaction,
+    "stream_kll_compaction": stream_kll_compaction,
     "stream_sketch_maintenance": stream_sketch_maintenance,
     "stream_kll_maintenance": stream_kll_maintenance,
     "stream_incremental_upsert": stream_incremental_upsert,

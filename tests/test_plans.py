@@ -1035,3 +1035,12 @@ def test_sketch_compaction_retention_filter_reaches_increment_scan(spark, sf_dir
     src = inspect.getsource(compact_sketch_log)
     assert 'filter(F.col("day") >= horizon_day)' in src
     assert src.index("filter") < src.index("groupBy")
+    # the KLL twin wires the identical prune-then-merge shape
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.streaming.ops import (
+        compact_kll_log,
+    )
+
+    ksrc = inspect.getsource(compact_kll_log)
+    assert 'filter(F.col("day") >= horizon_day)' in ksrc
+    assert ksrc.index("filter") < ksrc.index("groupBy")
+    assert "_kll_merge_fold" in ksrc  # the one shared merge definition

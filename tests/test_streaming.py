@@ -617,3 +617,89 @@ def test_sketch_delta_log_ticks_are_write_only_and_compaction_is_bounded(spark, 
         .collect()
     }
     assert compacted == rebuilt and len(compacted) == n_retained_cells
+
+
+def test_kll_delta_log_ticks_are_write_only_and_compaction_is_bounded(spark, sf_dir):
+    """The KLL twin of the compaction lifecycle contract: the same
+    instrumented traces prove write-only ingest ticks (fact_cells_read is
+    zero every tick, each event row sketched exactly once) and a bounded
+    compaction read (<= ticks x cells), with expiry emitting exactly the
+    retained cell set.  End-state certification is rank-error, not
+    register equality (KLL compaction is merge-order-dependent): each
+    retained cell's compacted p50 lands within KLL_TOL of the exact cell
+    quantile."""
+    from pyspark.sql import functions as F
+
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.catalog import load
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.operators.relational import (
+        KLL_TOL,
+    )
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.streaming.ops import (
+        SKETCH_RETAIN_DAYS,
+        _sketch_delta_log_run,
+        compact_kll_log,
+    )
+
+    tick_stats: list[tuple[int, int]] = []
+    log_path = _sketch_delta_log_run(
+        spark,
+        sf_dir,
+        stats=tick_stats,
+        value_col="value",
+        sketch_agg=F.expr("kll_sketch_agg_double(CAST(value AS DOUBLE))").alias("sk"),
+    )
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.col("value").cast("double").alias("v"),
+    )
+    n_events = ev.count()
+    n_cells = ev.select("event_type", "day").distinct().count()
+    assert len(tick_stats) == N_CHUNKS
+    assert sum(b for b, _ in tick_stats) == n_events  # every row sketched once
+    assert all(c == 0 for _, c in tick_stats)  # ticks never read the fact table
+
+    horizon = ev.agg(
+        F.date_format(
+            F.date_sub(F.max(F.to_date("day")), SKETCH_RETAIN_DAYS - 1), "yyyy-MM-dd"
+        ).alias("h")
+    ).collect()[0]["h"]
+    comp_stats: list[tuple[int, int]] = []
+    fact_path = compact_kll_log(spark, log_path, horizon, stats=comp_stats)
+    retained = ev.filter(F.col("day") >= horizon)
+    n_retained_cells = retained.select("event_type", "day").distinct().count()
+    [(inc_read, cells_out)] = comp_stats
+    assert inc_read <= N_CHUNKS * n_cells  # bounded by ticks x cells, not rows
+    assert cells_out == n_retained_cells
+    assert n_retained_cells < n_cells  # expiry actually dropped something
+
+    compacted = {
+        (r["event_type"], r["day"]): r["p"]
+        for r in spark.read.parquet(fact_path)
+        .select(
+            "event_type",
+            "day",
+            F.expr("kll_sketch_get_quantile_double(sk, 0.5)").alias("p"),
+        )
+        .collect()
+    }
+    exact = {
+        (r["event_type"], r["day"]): r["p"]
+        for r in retained.groupBy("event_type", "day")
+        .agg(F.percentile(F.col("v"), F.lit(0.5)).alias("p"))
+        .collect()
+    }
+    assert compacted.keys() == exact.keys()
+    # per-cell rank tolerance: tiny day cells make value-relative tolerance
+    # unsound (the stream_kll_maintenance lesson), so accept a small rank
+    # neighborhood around the exact quantile instead.  One collect of the
+    # retained window (test-only; the cells are tiny at the test SF).
+    by_cell: dict[tuple[str, str], list[float]] = {}
+    for r in retained.collect():
+        by_cell.setdefault((r["event_type"], r["day"]), []).append(r["v"])
+    for cell, p50 in exact.items():
+        vals = sorted(by_cell[cell])
+        slack = max(2, int(KLL_TOL * len(vals)))
+        lo = max(0, int(0.5 * len(vals)) - slack - 1)
+        hi = min(len(vals) - 1, int(0.5 * len(vals)) + slack)
+        assert vals[lo] <= compacted[cell] <= vals[hi], (cell, p50)
