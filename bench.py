@@ -622,6 +622,19 @@ def main(check: bool = False) -> None:
     for frame in _PAIRS_CACHE.values():
         frame.unpersist()
     _PAIRS_CACHE.clear()
+    # ...and the reduced-dir candidate checkpoints built for
+    # _shared_lsh_candidates above: the two LSH consumers are timed, so
+    # the frames are dead weight from here — the same cache-inflation
+    # class this release block exists to prevent (round-10 advice; the
+    # full-SF entry is popped by the pipeline block below).  Dropping the
+    # dict reference lets the checkpoint blocks GC.
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.operators.dedup import (
+        _LSH_CAND_CACHE as _cand_cache,
+    )
+
+    for pdir in {reduced.get(n, sf_dir) for n in lsh_consumers if n in qs}:
+        for key in [k for k in _cand_cache if k[1] == pdir and pdir != sf_dir]:
+            _cand_cache.pop(key)
 
     # The production banded-LSH pair pipeline, timed at the FULL bench SF:
     # the registry's dedup_minhash_lsh row is since r9 the recall-mass

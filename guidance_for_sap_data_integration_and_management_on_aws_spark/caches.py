@@ -62,6 +62,16 @@ def clear_caches(sf_dir: str | None = None) -> int:
     Returns the number of entries released."""
     n = 0
     for cache, sf_of in _REGISTRY:
+        # the extractor convention (key -> sf_dir string) is unchecked at
+        # registration; a cache keyed differently would be silently skipped
+        # or wrongly swept — fail loud instead (round-10 advice)
+        for k in cache:
+            if not isinstance(sf_of(k), str):
+                raise TypeError(
+                    f"registered cache key {k!r}: sf_of_key returned "
+                    f"{sf_of(k)!r} (expected an sf_dir string) — pass an "
+                    "explicit sf_of_key to register_cache for this keying"
+                )
         for key in [k for k in cache if sf_dir is None or sf_of(k) == sf_dir]:
             val = cache.pop(key)
             try:

@@ -447,37 +447,59 @@ def _round_boundary(
 def _doubling_rounds(nodes: DataFrame, bi: DataFrame, max_rounds: int) -> DataFrame:
     labels = nodes.withColumn("lbl", F.col("node")).localCheckpoint(eager=True)
     changed, state_dir = -1, None
-    for rnd in range(max_rounds):
-        neighbor_min = (
-            bi.join(labels.withColumnRenamed("node", "a"), "a")
-            .groupBy(F.col("b").alias("node"))
-            .agg(F.min("lbl").alias("nmin"))
+    # try/finally so a mid-round failure (a Spark job error inside a round)
+    # cannot leak the live state-table dir under .scratch; on the success
+    # and convergence-failure paths _finalize_iter_state already deleted it
+    # and the sweep is a no-op (round-10 advice)
+    try:
+        for rnd in range(max_rounds):
+            neighbor_min = (
+                bi.join(labels.withColumnRenamed("node", "a"), "a")
+                .groupBy(F.col("b").alias("node"))
+                .agg(F.min("lbl").alias("nmin"))
+            )
+            shortcut = (
+                labels.alias("l1")
+                .join(labels.alias("l2"), F.col("l1.lbl") == F.col("l2.node"))
+                .select(F.col("l1.node").alias("node"), F.col("l2.lbl").alias("smin"))
+            )
+            new = F.least(
+                "lbl", F.coalesce("nmin", "lbl"), F.coalesce("smin", "lbl")
+            )
+            stepped, state_dir = _round_boundary(
+                labels.join(neighbor_min, "node", "left")
+                .join(shortcut, "node", "left")
+                .select(
+                    "node", new.alias("new_lbl"), (new < F.col("lbl")).alias("__chg")
+                ),
+                rnd,
+                state_dir,
+            )
+            changed = stepped.filter(F.col("__chg")).count()
+            labels = stepped.select("node", F.col("new_lbl").alias("lbl"))
+            if changed == 0:
+                return _finalize_iter_state(labels, state_dir)
+        _finalize_iter_state(labels, state_dir)  # clean scratch before raising
+        raise RuntimeError(
+            f"pointer-doubling components did not converge within "
+            f"{max_rounds} rounds ({changed} labels still moving) — raise the "
+            "round budget (each round doubles the reachable label horizon)"
         )
-        shortcut = (
-            labels.alias("l1")
-            .join(labels.alias("l2"), F.col("l1.lbl") == F.col("l2.node"))
-            .select(F.col("l1.node").alias("node"), F.col("l2.lbl").alias("smin"))
-        )
-        new = F.least(
-            "lbl", F.coalesce("nmin", "lbl"), F.coalesce("smin", "lbl")
-        )
-        stepped, state_dir = _round_boundary(
-            labels.join(neighbor_min, "node", "left")
-            .join(shortcut, "node", "left")
-            .select("node", new.alias("new_lbl"), (new < F.col("lbl")).alias("__chg")),
-            rnd,
-            state_dir,
-        )
-        changed = stepped.filter(F.col("__chg")).count()
-        labels = stepped.select("node", F.col("new_lbl").alias("lbl"))
-        if changed == 0:
-            return _finalize_iter_state(labels, state_dir)
-    _finalize_iter_state(labels, state_dir)  # clean scratch before raising
-    raise RuntimeError(
-        f"pointer-doubling components did not converge within "
-        f"{max_rounds} rounds ({changed} labels still moving) — raise the "
-        "round budget (each round doubles the reachable label horizon)"
-    )
+    finally:
+        _sweep_iter_state(state_dir)
+
+
+def _sweep_iter_state(state_dir: str | None) -> None:
+    """Best-effort scratch sweep for iterative loops' exception paths.
+    Safe to run after :func:`_finalize_iter_state` (deleting an
+    already-deleted dir is a no-op), so callers wrap their round loop in
+    ``try/finally: _sweep_iter_state(state_dir)`` and any exit — normal,
+    convergence-failure, or a mid-round Spark job error — leaves no
+    state-table dir behind."""
+    if state_dir is not None:
+        import shutil
+
+        shutil.rmtree(state_dir, ignore_errors=True)
 
 
 def _finalize_iter_state(df: DataFrame, state_dir: str | None) -> DataFrame:
@@ -488,10 +510,7 @@ def _finalize_iter_state(df: DataFrame, state_dir: str | None) -> DataFrame:
     state-table dir — otherwise it leaks per call, and a lazily-scanning
     final frame would break if scratch were cleaned between consumers."""
     out = df.localCheckpoint(eager=True)
-    if state_dir is not None:
-        import shutil
-
-        shutil.rmtree(state_dir, ignore_errors=True)
+    _sweep_iter_state(state_dir)
     return out
 
 
@@ -588,34 +607,39 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     state_dir = None
-    for rnd in range(KCORE_MAX_ROUNDS):
-        keep = (
-            g.groupBy(F.col("a").alias("node"))
-            .agg(F.count(F.lit(1)).alias("d"))
-            .filter(F.col("d") >= KCORE_K)
-            .select("node")
-        )
-        n_old = g.count()
-        # per-round state-table boundary (_round_boundary): keep is
-        # referenced twice + g once per round, the 3-parent provenance
-        # shape that makes deep localCheckpoint chains blow up driver-side
-        pruned, state_dir = _round_boundary(
-            g.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
-            .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
-            .select("a", "b"),
-            rnd,
-            state_dir,
-        )
-        n_new = pruned.count()
-        g = pruned
-        if n_new == n_old:
-            break
-    else:
-        _finalize_iter_state(g, state_dir)  # clean scratch before raising
-        raise RuntimeError(
-            f"k-core peeling did not stabilize within {KCORE_MAX_ROUNDS} rounds"
-        )
-    g = _finalize_iter_state(g, state_dir)
+    # try/finally: a mid-round Spark failure must not leak the live
+    # state-table dir (round-10 advice; sweep is a no-op on clean exits)
+    try:
+        for rnd in range(KCORE_MAX_ROUNDS):
+            keep = (
+                g.groupBy(F.col("a").alias("node"))
+                .agg(F.count(F.lit(1)).alias("d"))
+                .filter(F.col("d") >= KCORE_K)
+                .select("node")
+            )
+            n_old = g.count()
+            # per-round state-table boundary (_round_boundary): keep is
+            # referenced twice + g once per round, the 3-parent provenance
+            # shape that makes deep localCheckpoint chains blow up driver-side
+            pruned, state_dir = _round_boundary(
+                g.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
+                .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
+                .select("a", "b"),
+                rnd,
+                state_dir,
+            )
+            n_new = pruned.count()
+            g = pruned
+            if n_new == n_old:
+                break
+        else:
+            _finalize_iter_state(g, state_dir)  # clean scratch before raising
+            raise RuntimeError(
+                f"k-core peeling did not stabilize within {KCORE_MAX_ROUNDS} rounds"
+            )
+        g = _finalize_iter_state(g, state_dir)
+    finally:
+        _sweep_iter_state(state_dir)
     return g.groupBy(F.col("a").alias("node")).agg(
         F.count(F.lit(1)).alias("core_degree")
     )
