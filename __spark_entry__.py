@@ -36,86 +36,47 @@ from guidance_for_sap_data_integration_and_management_on_aws_spark.registry impo
 #      for the following round, then module order (freshest last).
 _PRIORITY = [
     # ------------------------------------------------------------------
-    # ROUND-10 WINDOW LEDGER (~50 driver slots; see rotation invariant
-    # above).  Entering r10 the age profile was: never hash-checked 2
-    # (both new this round), changed-since-green 3, r4 greens 22 (the
-    # final r4 block — the r9 verdict's named rotation tail), r5 greens
-    # 40, r6+ within the last 4 rounds.  Budget:
+    # ROUND-11 WINDOW LEDGER (~50 driver slots; see rotation invariant
+    # above).  Entering r11 the age profile is: never hash-checked 2
+    # (both new this round), changed-since-green 10, r5 greens 21 (the
+    # final r5 block — the r10 verdict's named rotation tail), r6 greens
+    # 37, r7+ within the last 4 rounds.  Budget:
     #    2 never hash-checked                            -> slots  1-2
-    #    7 changed-since-green (numericalize distributed
-    #      rank; the LSH candidate memoization — value-
-    #      identical, re-greened defensively; the CC/
-    #      kcore parquet round-boundary rewrite)         -> slots  3-9
-    #   22 r4 greens (the block drains — after this
-    #      round no green is older than r5)              -> slots 10-31
-    #   19 oldest r5 greens (alphabetical prefix of the
-    #      40; the remaining 21 queue first for r11)     -> slots 32-50
-    # Steady-state rotation at 248 queries / 50 slots re-greens every
+    #   10 changed-since-green (the 5 distributed_rank
+    #      consumers — partition count now scales with
+    #      defaultParallelism; the parametrized sketch
+    #      delta-log loop; the graph round loops' new
+    #      try/finally scratch sweep — value-identical,
+    #      re-greened defensively)                       -> slots  3-12
+    #   21 r5 greens (the block drains — after this
+    #      round no green is older than r6)              -> slots 13-33
+    #   17 oldest r6 greens (alphabetical prefix of the
+    #      37; the remaining 20 queue first for r12)     -> slots 34-50
+    # Steady-state rotation at 250 queries / 50 slots re-greens every
     # ~5 rounds.
     # ------------------------------------------------------------------
     # --- 1. never hash-checked (first driver oracle this round) --------
-    "stream_sketch_compaction",  # NEW r10: delta-log compaction + expiry
-    "saprfc_limit_pushdown",  # NEW r10: ROWCOUNT bound at the page planner
+    "stream_kll_compaction",  # NEW r11: KLL delta-log compaction + expiry
+    "saprfc_pushdown_in_like",  # NEW r11: In/LIKE OPTIONS rendering leg
     # --- 2. builder changed since last green ---------------------------
-    "text_numericalize",  # r6 green; wid now via distributed_rank, hash join
-    "dedup_minhash_lsh",  # candidate frame memoized (value-identical)
-    "dedup_minhash_recall",  # same memoized candidate path
-    "graph_components",  # CC rounds now cross a parquet state-table boundary
-    "graph_kcore",  # same _round_boundary rewrite in the peel loop
-    "dedup_connected_components",  # consumes the rewritten fixpoint kernel
+    "text_numericalize",  # distributed_rank parts now parallelism-derived
+    "data_skew_report",  # same kernel change
+    "events_rfm_segments",  # same kernel change (3 ranks)
+    "agg_equidepth_histogram",  # same kernel change
+    "ml_score_calibration",  # same kernel change
+    "stream_sketch_compaction",  # delta-log run parametrized (value-identical)
+    "graph_components",  # round loop wrapped in try/finally scratch sweep
+    "graph_kcore",  # same sweep wrap in the peel loop
+    "dedup_connected_components",  # consumes the swept fixpoint kernel
     "dedup_cluster_canonical",  # same cc_labels consumer
-    # --- 3. staleness rotation: the 22 remaining r4 greens (the whole
-    # --- block drains; the r9 verdict's item-2 list) --------------------
-    "fn_map",
-    "fn_json",
-    "fn_conditional",
-    "fn_math",
-    "subquery_exists",
-    "subquery_scalar",
-    "pivot_linestatus",
-    "unpivot_measures",
-    "join_cross_theta",
-    "window_rank",
-    "window_lag_lead",
-    "text_simhash",
-    "join_range_bands",
-    "join_asof",
-    "dedup_simhash_buckets",
-    "q12_late_shipments",
-    "pipeline_domain_mix",
-    "pipeline_length_buckets",
-    "ingest_scd2_history",
-    "stream_windowed_topk",
-    "text_entropy",
-    "agg_approx_distinct_error",
-    # --- 3b. oldest r5 greens (alphabetical prefix, 19 of 40) ----------
-    "agg_approx_percentile_error",
-    "agg_percentiles",
-    "ann_bruteforce_topk",
-    "ann_label_match",
-    "ann_lsh_topk",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_exact_bucketed",
-    "dedup_exact_survivors",
-    "dedup_incremental",
-    "embedding_quantize_int8",
-    "events_funnel",
-    "fn_bitwise",
-    "fn_regex",
-    "ingest_merge_into_route",
-    "ingest_scd2_snapshot",
-    "join_interval_overlap",
-    "mm_payload_hash",
-    "pipeline_curation",
-    # --- 4. rotation ballast: the remaining 21 r5 greens queue FIRST
-    # --- for round 11 (the window line falls above here) ---------------
+    # --- 3. staleness rotation: the 21 remaining r5 greens (the whole
+    # --- block drains; the r10 verdict's item-2 list) -------------------
     "rfc_ingest_invariant",
     "rfc_parse_errors",
     "saprfc_projection",
-    "saprfc_pushdown",
+    "saprfc_pushdown",  # ALSO changed-since-green: In/LIKE rendering path
     "saprfc_scan_typed",
-    "saprfc_stream_scan",
+    "saprfc_stream_scan",  # ALSO changed: stream reader rejects maxrows
     "sink_roundtrip",
     "text_fingerprint",
     "text_lang_id",
@@ -131,7 +92,47 @@ _PRIORITY = [
     "window_running",
     "window_sessionize",
     "window_topk_per_group",
-    # r6+ greens not listed trail in module order (every one re-earned
+    # --- 3b. oldest r6 greens (alphabetical prefix, 17 of 37) ----------
+    "agg_boolean",
+    "agg_histogram",
+    "ann_incremental_topk",
+    "ann_ivf_pq_topk",
+    "ann_ivf_topk",
+    "ann_kmeans_assign",
+    "ann_matryoshka_recall",
+    "ann_pq_adc_topk",
+    "ann_pq_encode",
+    "ann_two_stage",
+    "data_profile",
+    "dedup_incremental_jaccard",
+    "fn_variant",
+    "graph_copurchase_edges",
+    "graph_degree_distribution",
+    "graph_pagerank",
+    "graph_triangle_count",
+    # --- 4. rotation ballast: the remaining 20 r6 greens queue FIRST
+    # --- for round 12 (the window line falls above here) ---------------
+    "ingest_cdc_apply",
+    "join_bloom_prefilter",
+    "join_fuzzy_neighbors",
+    "lake_compact_roundtrip",
+    "pipeline_chunk_documents",
+    "pipeline_decontaminate",
+    "sample_weighted_priority",
+    "skyline_orders",
+    "skyline_per_segment",
+    "sql_recursive_chain",
+    "stream_chained_windows",
+    "stream_sliding_window",
+    "stream_stream_full_join",
+    "stream_stream_left_join",
+    "stream_tumbling_agg",
+    "text_ngram_topk",
+    "time_bucket_rollup",
+    "ts_interpolate_linear",
+    "udf_pandas_grouped_agg",
+    "window_distribution",
+    # r7+ greens not listed trail in module order (every one re-earned
     # green within the last four rounds; stream_stateful_v2 — r7-green —
     # trails too, with its conditional registration handled below)
 ]
