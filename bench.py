@@ -145,6 +145,21 @@ corroborated 1.52-2.13s over five warm sf0.1 runs @ calib 0.548 — the
 single-task global vocab window it replaced was the r9 verdict's one
 scale-grade defect, and a frozen pre-rewrite row would compare two
 different programs.
+
+ROUND-11 STANDALONE CORROBORATION (r10 verdict item 1:
+agg_approx_distinct_error was the only registry row >2x raw vs the frozen
+baseline, 1.235s in-bench vs the 0.592 frozen row = 2.09x): warm-standalone
+at sf0.1 per this protocol, five consecutive runs —
+  agg_approx_distinct_error  1.354 / 1.298 / 1.060 / 0.749 / 0.698 s
+                             (median 1.06) @ calib 0.536 = 1.98 units
+                             vs the frozen 0.592 @ 0.446 = 1.33 units
+                             -> 1.49x normalized (1.79x raw)
+Under the 2x gate standalone; the trailing runs settle at 0.70-0.75s
+(~0.9x normalized) once the three pruned single-column scans are
+page-cache-hot, so the in-bench 2.09x read was position noise on a
+~1-second absolute row.  The three-agg split (Expand avoidance,
+relational.py) re-confirmed as the right plan on this build — the split
+rows time at baseline once warm.
 """
 
 from __future__ import annotations
