@@ -22,35 +22,38 @@ def test_registry_shape():
     # stream_stateful_v2 is gated off (no provisionable protobuf runtime)
     expected = [n for n in entrymod._PRIORITY if n in reg]
     assert names[: len(expected)] == expected
-    # round-10 window layout (criticality order): the 2 never hash-checked
-    # entries lead (delta-log sketch compaction + the saprfc limit-pushdown
-    # leg), then the 7 changed-since-green builders (numericalize's
-    # distributed-rank rewrite; the two LSH consumers of the memoized
-    # candidate frame; the four consumers of the CC/kcore parquet
-    # round-boundary rewrite), the 22 remaining r4 greens (the block
-    # drains), and the 19 alphabetically-first r5 greens: 2+7+22+19 = 50
-    # exactly; the other 21 r5 greens queue FIRST for round 11.
+    # round-11 window layout (criticality order): the 2 never hash-checked
+    # entries lead (KLL delta-log compaction + the saprfc In/LIKE rendering
+    # leg), then the 10 changed-since-green builders (the 5 distributed_rank
+    # consumers — parallelism-derived partition count; the parametrized
+    # sketch delta-log loop; the 4 graph-loop try/finally-sweep consumers),
+    # the 21 remaining r5 greens (the block drains), and the 17
+    # alphabetically-first r6 greens: 2+10+21+17 = 50 exactly; the other
+    # 20 r6 greens queue FIRST for round 12.
     never_checked = [
-        "stream_sketch_compaction",
-        "saprfc_limit_pushdown",
+        "stream_kll_compaction",
+        "saprfc_pushdown_in_like",
     ]
     assert names[:2] == never_checked
-    assert names[2:9] == [
-        "text_numericalize",  # wid via distributed_rank, vocab hash join
-        "dedup_minhash_lsh",  # memoized candidate checkpoint
-        "dedup_minhash_recall",
-        "graph_components",  # parquet round-boundary kernel rewrite
+    assert names[2:12] == [
+        "text_numericalize",  # distributed_rank parts now parallelism-derived
+        "data_skew_report",
+        "events_rfm_segments",
+        "agg_equidepth_histogram",
+        "ml_score_calibration",
+        "stream_sketch_compaction",  # delta-log run parametrized
+        "graph_components",  # try/finally scratch sweep
         "graph_kcore",
         "dedup_connected_components",
         "dedup_cluster_canonical",
     ]
     for probe in (
-        # final r4 rotation block (the r9 verdict item-2 list)
-        "fn_map", "fn_json", "join_cross_theta", "window_rank",
-        "stream_windowed_topk", "agg_approx_distinct_error",
-        # alphabetical r5 prefix (rfc_ingest_invariant is slot 51 — first
-        # past the line, leading the r11 ballast)
-        "agg_percentiles", "dedup_exact", "pipeline_curation",
+        # final r5 rotation block (the r10 verdict item-2 list)
+        "rfc_ingest_invariant", "saprfc_pushdown", "text_lang_id",
+        "try_cast_best_effort", "window_topk_per_group",
+        # alphabetical r6 prefix (ingest_cdc_apply is slot 51 — first
+        # past the line, leading the r12 ballast)
+        "agg_boolean", "ann_two_stage", "graph_triangle_count",
     ):
         assert names.index(probe) < 50, probe
     # since r9 every registry query carries an oracle — the whole window
