@@ -1287,7 +1287,9 @@ def compact_sketch_log(
     versioned dir (atomic swap, the stream_incremental_upsert pattern).
     Work is O(increment rows), bounded by ticks x live cells — independent
     of corpus row count — and the retention filter prunes BEFORE the merge
-    shuffle, so expired cells never cost a union.  ``stats`` records one
+    shuffle, so expired cells never cost a union.  The consumed increment
+    log is RETIRED after the publish (``_retire_log`` — the LSM segment-
+    retirement leg; round 11).  ``stats`` records one
     (increment_rows_read, cells_out) pair, extending the per-tick
     work-bound trace across the compaction path."""
     inc = spark.read.parquet(log_path).filter(F.col("day") >= horizon_day)
@@ -1296,7 +1298,20 @@ def compact_sketch_log(
     fact.write.mode("overwrite").parquet(out)
     if stats is not None:
         stats.append((inc.count(), fact.count()))
+    _retire_log(log_path)
     return out
+
+
+def _retire_log(log_path: str) -> None:
+    """Retire a consumed increment log: compaction published everything
+    live in it to the fresh versioned fact dir, so the segments are dead —
+    the LSM contract's final leg (write-only ticks, periodic merge,
+    retention, SEGMENT RETIREMENT).  Without this every compaction call
+    leaks its whole input log under .scratch.  Must run after the stats
+    count (the last reader of the log files)."""
+    import shutil
+
+    shutil.rmtree(log_path, ignore_errors=True)
 
 
 SKETCH_RETAIN_DAYS = 14  # the events fixture spans 30 days at every SF
@@ -1389,7 +1404,8 @@ def compact_kll_log(
     each cell's accumulated microbatch increments fold pairwise through
     ``kll_sketch_merge_double`` (KLL has no union aggregate — the fold is
     the shared D34 reduction, one definition so merge semantics cannot
-    drift).  Work is O(increment rows), bounded by ticks x live cells.
+    drift).  Work is O(increment rows), bounded by ticks x live cells;
+    the consumed log is retired after the publish (``_retire_log``).
     ``stats`` records one (increment_rows_read, cells_out) pair, extending
     the write-only-tick instrumentation across the KLL compaction path."""
     from ..operators.relational import _kll_merge_fold
@@ -1404,6 +1420,7 @@ def compact_kll_log(
     fact.write.mode("overwrite").parquet(out)
     if stats is not None:
         stats.append((inc.count(), fact.count()))
+    _retire_log(log_path)
     return out
 
 

@@ -617,6 +617,11 @@ def test_sketch_delta_log_ticks_are_write_only_and_compaction_is_bounded(spark, 
         .collect()
     }
     assert compacted == rebuilt and len(compacted) == n_retained_cells
+    # segment retirement: the consumed increment log is gone after the
+    # publish — without it every compaction call leaks its input log
+    import os
+
+    assert not os.path.exists(log_path)
 
 
 def test_kll_delta_log_ticks_are_write_only_and_compaction_is_bounded(spark, sf_dir):
@@ -703,3 +708,7 @@ def test_kll_delta_log_ticks_are_write_only_and_compaction_is_bounded(spark, sf_
         lo = max(0, int(0.5 * len(vals)) - slack - 1)
         hi = min(len(vals) - 1, int(0.5 * len(vals)) + slack)
         assert vals[lo] <= compacted[cell] <= vals[hi], (cell, p50)
+    # segment retirement, same contract as the HLL twin
+    import os
+
+    assert not os.path.exists(log_path)
