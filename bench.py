@@ -368,6 +368,13 @@ def main(check: bool = False) -> None:
 
     import __spark_entry__ as entrymod
     from guidance_for_sap_data_integration_and_management_on_aws_spark.session import get_spark
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.streaming.replay import (
+        sweep_scratch,
+    )
+
+    # start-of-run scratch sweep (harness-side hygiene): clears the previous
+    # run's drained checkpoints / replay fixtures before any state is built
+    sweep_scratch()
 
     spark = get_spark("bench")
     qs = entrymod.queries()

@@ -62,6 +62,32 @@ def scratch_dir(kind: str) -> str:
     return d
 
 
+def sweep_scratch() -> None:
+    """Delete everything under ``.scratch`` — called by the HARNESSES
+    (bench startup, the pytest session fixture) at the start of a run,
+    never by query builders.  Scratch is strictly per-process state
+    (uuid-keyed dirs; the in-process caches that point into it are empty
+    at process start), but one bench run leaves hundreds of drained
+    streaming checkpoints and replay fixtures behind (~300-500 MB
+    measured), so without a start-of-run sweep a multi-run round grows
+    scratch monotonically.  Assumes no CONCURRENT harness run is using
+    scratch (the driver and this repo's protocols run them
+    sequentially).
+
+    ``pb_vendor`` is exempt: the provisioned protobuf runtime zip
+    (pb_runtime._scratch_zip_path) is durable cross-run state that the
+    transformWithState gate may have already handed to the JVM's worker
+    PYTHONPATH by the time a harness sweeps — deleting it mid-session
+    crashes the streaming Python runner (observed: XXKST worker crash)."""
+    import shutil
+
+    if os.path.isdir(_SCRATCH):
+        for entry in os.listdir(_SCRATCH):
+            if entry == "pb_vendor":
+                continue
+            shutil.rmtree(os.path.join(_SCRATCH, entry), ignore_errors=True)
+
+
 _REPLAY_CACHE: dict[tuple[str, str], str] = {}
 
 

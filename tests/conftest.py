@@ -15,6 +15,18 @@ SF_SMOKE = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 SF_ORACLE = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
 
 
+@pytest.fixture(scope="session", autouse=True)
+def _sweep_scratch():
+    # start-of-session scratch sweep (harness-side hygiene, mirrors
+    # bench.main): clears prior runs' drained streaming checkpoints and
+    # replay fixtures before this session builds its own
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.streaming.replay import (
+        sweep_scratch,
+    )
+
+    sweep_scratch()
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark("tests", master="local[4]")

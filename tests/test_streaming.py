@@ -624,6 +624,24 @@ def test_sketch_delta_log_ticks_are_write_only_and_compaction_is_bounded(spark, 
     assert not os.path.exists(log_path)
 
 
+def test_sweep_scratch_spares_pb_vendor(tmp_path, monkeypatch):
+    """The start-of-run scratch sweep must delete per-run debris but spare
+    pb_vendor: the provisioned protobuf runtime zip is durable cross-run
+    state already referenced by worker PYTHONPATHs — deleting it
+    mid-session crashes the transformWithState Python runner."""
+    import os
+
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.streaming import replay
+
+    scratch = tmp_path / "scratch"
+    for kind in ("ckpt", "sketch-delta", "pb_vendor"):
+        (scratch / kind / "x").mkdir(parents=True)
+    monkeypatch.setattr(replay, "_SCRATCH", str(scratch))
+    replay.sweep_scratch()
+    assert sorted(os.listdir(scratch)) == ["pb_vendor"]
+    assert (scratch / "pb_vendor" / "x").is_dir()
+
+
 def test_kll_delta_log_ticks_are_write_only_and_compaction_is_bounded(spark, sf_dir):
     """The KLL twin of the compaction lifecycle contract: the same
     instrumented traces prove write-only ingest ticks (fact_cells_read is
