@@ -196,9 +196,14 @@ def _py_cast(v: str, f: RfcField) -> Any:
 def _cmp(v, w) -> int | None:
     if v is None or w is None:
         return None
-    if isinstance(w, (int, float, Decimal)) and isinstance(v, str):
-        return None  # type confusion: be conservative, fail the row
-    return (v > w) - (v < w)
+    try:
+        return (v > w) - (v < w)
+    except TypeError:
+        # type confusion in EITHER direction (string literal against a
+        # numeric/date column, or vice versa): be conservative, fail the
+        # row — never crash the scan.  The one-sided str-vs-numeric guard
+        # this replaces missed the mirrored case (fuzz-found, round 11).
+        return None
 
 
 def _eval_filter(flt: Filter, row: dict) -> bool | None:

@@ -1,0 +1,158 @@
+"""Hypothesis fuzz of the saprfc pushdown SAFETY INVARIANT.
+
+The P7 contract (pkg/sources/saprfc_dsv2.py): accepting a filter for
+pushdown is an OPTIMIZATION, never a semantics change — the source renders
+what it can into server-side OPTIONS text (EQ/GT/GE/LT/LE, IN lists, LIKE
+prefixes) and re-verifies EVERY accepted predicate on the typed parsed
+values, so for any filter set the pushed scan must return exactly the rows
+of an unpushed full scan filtered by the same predicates (three-valued SQL
+semantics: a row survives iff every predicate is True; a corrupt row's
+predicates evaluate against its all-NULL data columns).
+
+This is the invariant a hand-written sweep can only spot-check; the fuzz
+walks random filter combinations over every column type (C strings, N
+ints, D dates), random literal types (including mismatched ones, where the
+conservative _cmp returns None and the row drops), Not-wrapping, IN value
+lists, and LIKE prefixes with live SQL wildcards — the exact composition
+space where the round-11 In.value AttributeError hid.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql.datasource import (
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    IsNotNull,
+    IsNull,
+    LessThan,
+    LessThanOrEqual,
+    Not,
+    StringStartsWith,
+)
+
+from guidance_for_sap_data_integration_and_management_on_aws_spark.sources.rfc import MockRfcTransport
+from guidance_for_sap_data_integration_and_management_on_aws_spark.sources.saprfc_dsv2 import (
+    SapRfcReader,
+    _eval_filter,
+)
+
+FIELDS = list(MockRfcTransport.FIELDS)
+COLS = [f.name for f in FIELDS]
+
+# literals that both hit and miss the generator's value space, per type
+_STR_LITS = st.sampled_from(
+    ["TAB3", "ROLL5", "X", "", "FLD_00100", "CHAR", "NUMC", "nope", "O'x"]
+)
+_INT_LITS = st.integers(min_value=-2, max_value=510)
+_DATE_LITS = st.dates(
+    min_value=datetime.date(1994, 12, 30), max_value=datetime.date(2020, 2, 2)
+)
+_ANY_LIT = st.one_of(_STR_LITS, _INT_LITS, _DATE_LITS)
+
+_CMP = st.sampled_from([EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual])
+
+
+def _filters():
+    col = st.sampled_from(COLS)
+    cmp_f = st.builds(lambda c, op, v: op((c,), v), col, _CMP, _ANY_LIT)
+    in_f = st.builds(
+        lambda c, vs: In((c,), tuple(vs)),
+        col,
+        st.lists(_ANY_LIT, min_size=0, max_size=4),
+    )
+    sw_f = st.builds(
+        lambda c, v: StringStartsWith((c,), v),
+        col,
+        st.sampled_from(["TAB", "FLD_01", "ROLL", "X", "%", "_", "TAB_", "RO%L"]),
+    )
+    null_f = st.builds(lambda c, k: k((c,)), col, st.sampled_from([IsNull, IsNotNull]))
+    base = st.one_of(cmp_f, in_f, sw_f, null_f)
+    return st.one_of(base, base.map(Not))
+
+
+def _scan_rows(reader: SapRfcReader) -> list[tuple]:
+    rows = []
+    for p in reader.partitions():
+        for batch in reader.read(p):
+            cols = [batch.column(i).to_pylist() for i in range(batch.num_columns)]
+            rows.extend(zip(*cols))
+    return rows
+
+
+def _rkey(row: tuple):
+    # total order over rows mixing None/str/int/date (corrupt rows carry
+    # NULL data columns)
+    return tuple((x is None, str(type(x)), str(x)) for x in row)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(_filters(), min_size=1, max_size=3), st.sampled_from([7, 100]))
+def test_pushdown_never_changes_semantics(filters, pagesize):
+    """pushed scan == unpushed scan + the same predicates applied to the
+    typed rows (True-only survival, NULL data columns for corrupt rows)."""
+    opts = {"mockrows": "500", "pagesize": str(pagesize)}
+    pushed = SapRfcReader(opts, FIELDS)
+    leftover = list(pushed.pushFilters(list(filters)))
+    assert leftover == []  # every generated shape is in _HANDLED_FILTERS
+    got = sorted(_scan_rows(pushed), key=_rkey)
+
+    plain = SapRfcReader(opts, FIELDS)
+    expect = []
+    for row in _scan_rows(plain):
+        vals = dict(zip(COLS, row[: len(COLS)]))
+        if all(_eval_filter(f, vals) is True for f in filters):
+            expect.append(row)
+    assert got == sorted(expect, key=_rkey)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(_filters(), min_size=1, max_size=2),
+    st.integers(min_value=1, max_value=520),
+)
+def test_pushdown_composes_with_limit(filters, maxrows):
+    """With maxrows, the pushed scan returns the True-surviving subset of
+    the first maxrows rows OF THE SERVER-FILTERED WIRE STREAM — the
+    transport filters (by its approximate OPTIONS reading) then pages, and
+    the client re-verifies.  Model the server side with the transport
+    itself so the law holds for ANY OPTIONS rendering strictness."""
+    opts = {"mockrows": "500", "pagesize": "64", "maxrows": str(maxrows)}
+    pushed = SapRfcReader(opts, FIELDS)
+    list(pushed.pushFilters(list(filters)))
+    got = sorted(_scan_rows(pushed), key=_rkey)
+
+    # expected: replay the reader's own rendered OPTIONS through the
+    # transport (server semantics), cap at maxrows wire rows, then apply
+    # the typed re-verification
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.sources.saprfc_dsv2 import (
+        _render_options,
+    )
+
+    t = MockRfcTransport(n_rows=500)
+    options = _render_options(pushed.accepted, pushed._string_fields())
+    res = t.call("DD03L", "`", 0, maxrows, options=options)
+    expect = []
+    for line in res["DATA"]:
+        row = _parse_like_reader(line["WA"])
+        vals = dict(zip(COLS, row[: len(COLS)]))
+        if all(_eval_filter(f, vals) is True for f in pushed.accepted):
+            expect.append(row)
+    assert got == sorted(expect, key=_rkey)
+
+
+def _parse_like_reader(wa: str):
+    """Typed parse of one wire line, mirroring SapRfcReader.read's branch:
+    arity mismatch -> all-NULL data columns + the raw line in the corrupt
+    channel; else per-field _py_cast."""
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.sources.saprfc_dsv2 import _py_cast
+
+    parts = wa.strip().split("`")
+    if len(parts) != len(FIELDS):
+        return tuple([None] * len(FIELDS) + [wa])
+    return tuple([_py_cast(p, f) for f, p in zip(FIELDS, parts)] + [None])
