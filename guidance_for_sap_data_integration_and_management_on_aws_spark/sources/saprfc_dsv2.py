@@ -45,8 +45,9 @@ from __future__ import annotations
 
 import datetime
 import math
+import re
 from collections.abc import Iterator, Sequence
-from decimal import Decimal, InvalidOperation
+from decimal import ROUND_HALF_UP, Decimal, InvalidOperation
 from typing import Any
 
 from pyspark.sql.datasource import (
@@ -163,28 +164,83 @@ def _pa_type(f: RfcField):
     return pa.string()
 
 
+_INT_RE = re.compile(r"[+-]?[0-9]+")
+_DATE8_RE = re.compile(r"[0-9]{8}")
+_HEX_RE = re.compile(r"[0-9a-fA-F]*")
+# \d (unicode): Spark's DECIMAL string cast accepts unicode digits (its
+# integral/double casts do not — both verified by the differential fuzz)
+_DEC_RE = re.compile(r"[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?")
+
+
+def _try_int(v: str, lo: int, hi: int) -> int | None:
+    """Spark try_cast-to-integral twin: optional sign + ASCII digits only
+    (Python's int() also accepts underscores and unicode digits — Spark
+    does not), NULL outside the target type's range (Python ints are
+    unbounded; an overflowing value would crash the int64/int32 Arrow
+    column build instead of nulling)."""
+    if not _INT_RE.fullmatch(v):
+        return None
+    x = int(v)
+    return x if lo <= x <= hi else None
+
+
 def _py_cast(v: str, f: RfcField) -> Any:
     """Executor-side twin of functions.ddic.ddic_cast (try-cast semantics:
-    malformed -> None, '00000000' date -> None)."""
+    malformed -> None, '00000000' date -> None).
+
+    The twin claim is tested literally (tests/test_ddic_cast_diff.py runs
+    both over an adversarial corpus and diffs every value), which is what
+    keeps the DSv2 scan and the rfc.py parse path value-identical on the
+    same wire text.  Notable Spark behaviors mirrored here: integral casts
+    reject underscores/unicode digits and NULL on overflow; dates are
+    strict 8-ASCII-digit yyyyMMdd; decimals round HALF_UP to the declared
+    scale, NULL on NaN/Infinity/precision overflow; doubles accept a Java
+    trailing f/F/d/D suffix; binary follows unhex (odd length left-pads a
+    zero nibble, whitespace is not hex)."""
     v = v.strip()
     code = f.type_code
     try:
         if code == "N":
-            return int(v)
+            return _try_int(v, -(2**63), 2**63 - 1)
         if code == "D":
-            if v == "00000000" or not v:
+            if v == "00000000" or not _DATE8_RE.fullmatch(v):
                 return None
             return datetime.date(int(v[0:4]), int(v[4:6]), int(v[6:8]))
         if code == "T":
-            return int(v[0:2]) * 3600 + int(v[2:4]) * 60 + int(v[4:6])
+            # each slice trims before the cast, like Spark's try_cast
+            h = _try_int(v[0:2].strip(), -(2**31), 2**31 - 1)
+            m = _try_int(v[2:4].strip(), -(2**31), 2**31 - 1)
+            s = _try_int(v[4:6].strip(), -(2**31), 2**31 - 1)
+            if h is None or m is None or s is None:
+                return None
+            return h * 3600 + m * 60 + s
         if code == "P":
-            return Decimal(v)
+            if not _DEC_RE.fullmatch(v):
+                return None
+            d = Decimal(v).quantize(
+                Decimal(1).scaleb(-f.decimal_scale), rounding=ROUND_HALF_UP
+            )
+            # decimal(38, scale) overflow -> NULL, like Spark's try_cast
+            if len(d.as_tuple().digits) > 38:
+                return None
+            return d
         if code == "F":
-            return float(v)
+            if "_" in v or not v.isascii():
+                return None  # Python float() is laxer than Spark's cast
+            try:
+                return float(v)
+            except ValueError:
+                # Java-style literal suffix, accepted by Spark's cast only
+                # when flush against the number (no inner whitespace)
+                if len(v) > 1 and v[-1] in "fFdD" and not v[-2].isspace():
+                    return float(v[:-1])
+                raise
         if code in ("I", "s", "b"):
-            return int(v)
+            return _try_int(v, -(2**31), 2**31 - 1)
         if code in ("X", "y"):
-            return bytes.fromhex(v)
+            if not _HEX_RE.fullmatch(v):
+                return None
+            return bytes.fromhex("0" + v if len(v) % 2 else v)
     except (ValueError, InvalidOperation):
         return None
     return v
