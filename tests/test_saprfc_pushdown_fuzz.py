@@ -24,6 +24,7 @@ import datetime
 from hypothesis import given, settings
 from hypothesis import strategies as st
 from pyspark.sql.datasource import (
+    EqualNullSafe,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
@@ -33,6 +34,8 @@ from pyspark.sql.datasource import (
     LessThan,
     LessThanOrEqual,
     Not,
+    StringContains,
+    StringEndsWith,
     StringStartsWith,
 )
 
@@ -55,7 +58,9 @@ _DATE_LITS = st.dates(
 )
 _ANY_LIT = st.one_of(_STR_LITS, _INT_LITS, _DATE_LITS)
 
-_CMP = st.sampled_from([EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual])
+_CMP = st.sampled_from(
+    [EqualTo, EqualNullSafe, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual]
+)
 
 
 def _filters():
@@ -67,9 +72,10 @@ def _filters():
         st.lists(_ANY_LIT, min_size=0, max_size=4),
     )
     sw_f = st.builds(
-        lambda c, v: StringStartsWith((c,), v),
+        lambda c, k, v: k((c,), v),
         col,
-        st.sampled_from(["TAB", "FLD_01", "ROLL", "X", "%", "_", "TAB_", "RO%L"]),
+        st.sampled_from([StringStartsWith, StringEndsWith, StringContains]),
+        st.sampled_from(["TAB", "FLD_01", "ROLL", "X", "%", "_", "TAB_", "RO%L", "3"]),
     )
     null_f = st.builds(lambda c, k: k((c,)), col, st.sampled_from([IsNull, IsNotNull]))
     base = st.one_of(cmp_f, in_f, sw_f, null_f)
