@@ -11,10 +11,15 @@ as a first-class Spark source:
   per the DDIC mapping of SURVEY §1.2 (`pyrfc_read_table.py:124-133`).
 * **filter pushdown** (P7) — ``pushFilters`` renders supported predicates
   into the BAPI's ``OPTIONS`` where-clause text, the parameter the
-  reference never passes (absence at `pyrfc_read_table.py:71`).  The source
-  re-verifies every accepted predicate on the typed values after parsing,
-  so pushdown is an optimization, never a semantics change; transports are
-  free to apply OPTIONS only approximately.
+  reference never passes (absence at `pyrfc_read_table.py:71`): comparison
+  lines (``EQ/GT/GE/LT/LE``), ``In`` value lists (``NAME IN ('a', 'b')``),
+  and ``StringStartsWith`` prefixes (``NAME LIKE 'x%'``, string-typed
+  columns only).  The source re-verifies every accepted predicate on the
+  typed values after parsing, so pushdown is an optimization, never a
+  semantics change; transports are free to apply OPTIONS only
+  approximately.  The whole contract is hypothesis-fuzzed
+  (tests/test_saprfc_pushdown_fuzz.py): pushed scan == unpushed scan +
+  predicates, for random filter/limit compositions.
 * **projection pushdown** (P8) — the ``fields`` option → the BAPI's
   ``FIELDS`` input parameter; only requested columns cross the wire.
   (Spark's Python DS API has no column-pruning hook yet, so projection is
