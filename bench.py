@@ -180,6 +180,16 @@ the environment's shuffle+checkpoint path (pure-CPU calib inflates
 377 MB/s), not a code regression.  NO reprice: the frozen row stands,
 next same-class host should read the old band; the item remains the
 documented in-bench noise magnet (r9 band 7.5-17.9s on a faster box).
+
+A FOURTH same-code run later in the session CONFIRMS the transient-host
+read: calib back at 0.435 (r10-class), headline 11.320 s raw = 0.92x
+of the frozen baseline normalized — the fastest raw headline of any
+round — with `_shared_pair_frame_build[sf0.1]` at 9.92 s, back at its
+band edge.  `_lsh_pairs_pipeline[sf0.1]` spiked to 51.5 s on that run
+instead (6.3-10.0 s on runs 1-3, same code): the two big fused items
+trade one-off spikes across runs, the r9-documented noise-magnet
+behavior — standalone-warm remains the only honest read for both.
+Zero errors on all four runs (255 rows each).
 """
 
 from __future__ import annotations
