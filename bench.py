@@ -189,7 +189,9 @@ band edge.  `_lsh_pairs_pipeline[sf0.1]` spiked to 51.5 s on that run
 instead (6.3-10.0 s on runs 1-3, same code): the two big fused items
 trade one-off spikes across runs, the r9-documented noise-magnet
 behavior — standalone-warm remains the only honest read for both.
-Zero errors on all four runs (255 rows each).
+Immediately-following standalone-warm corroboration of the spiked item:
+6.51 s total (0.48 / 2.20 / 3.83 per stage) @ calib 0.390 — squarely in
+its band.  Zero errors on all four runs (255 rows each).
 """
 
 from __future__ import annotations
