@@ -62,17 +62,34 @@ def clear_caches(sf_dir: str | None = None) -> int:
     Returns the number of entries released."""
     n = 0
     for cache, sf_of in _REGISTRY:
-        # the extractor convention (key -> sf_dir string) is unchecked at
+        # The extractor convention (key -> sf_dir string) is unchecked at
         # registration; a cache keyed differently would be silently skipped
-        # or wrongly swept — fail loud instead (round-10 advice)
+        # or wrongly swept — fail loud instead (round-10 advice).  Each key's
+        # extraction runs ONCE (validation + match share the value) and an
+        # extractor that RAISES on an unexpected key shape (IndexError from
+        # the default lambda on a short tuple) surfaces as the same
+        # diagnostic TypeError instead of escaping raw (round-11 advice).
+        keyed = []
         for k in cache:
-            if not isinstance(sf_of(k), str):
+            try:
+                s = sf_of(k)
+            except Exception as e:
+                raise TypeError(
+                    f"registered cache key {k!r}: sf_of_key raised "
+                    f"{type(e).__name__}: {e} (expected an sf_dir string) — "
+                    "pass an explicit sf_of_key to register_cache for this "
+                    "keying"
+                ) from e
+            if not isinstance(s, str):
                 raise TypeError(
                     f"registered cache key {k!r}: sf_of_key returned "
-                    f"{sf_of(k)!r} (expected an sf_dir string) — pass an "
+                    f"{s!r} (expected an sf_dir string) — pass an "
                     "explicit sf_of_key to register_cache for this keying"
                 )
-        for key in [k for k in cache if sf_dir is None or sf_of(k) == sf_dir]:
+            keyed.append((k, s))
+        for key, s in keyed:
+            if sf_dir is not None and s != sf_dir:
+                continue
             val = cache.pop(key)
             try:
                 val.unpersist()

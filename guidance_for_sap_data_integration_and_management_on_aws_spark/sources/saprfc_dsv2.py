@@ -52,7 +52,7 @@ import datetime
 import math
 import re
 from collections.abc import Iterator, Sequence
-from decimal import ROUND_HALF_UP, Decimal, InvalidOperation
+from decimal import ROUND_HALF_UP, Decimal, InvalidOperation, localcontext
 from typing import Any
 
 from pyspark.sql.datasource import (
@@ -222,9 +222,21 @@ def _py_cast(v: str, f: RfcField) -> Any:
         if code == "P":
             if not _DEC_RE.fullmatch(v):
                 return None
-            d = Decimal(v).quantize(
-                Decimal(1).scaleb(-f.decimal_scale), rounding=ROUND_HALF_UP
-            )
+            # Widened precision context: the default Decimal context
+            # (prec=28) raises InvalidOperation for quantize results
+            # needing 29+ digits, but Spark's try_cast to decimal(38,s)
+            # keeps values up to 38 total digits — the r11 advice found
+            # the twin invariant broken in the 29-38-digit band (and the
+            # >38 overflow check below dead).  prec=42 lets quantize
+            # succeed through the whole legal band plus rounding-carry
+            # headroom; anything needing MORE than 42 digits still raises
+            # InvalidOperation -> None, which agrees with Spark (>38
+            # digits overflows to NULL either way).
+            with localcontext() as ctx:
+                ctx.prec = 42
+                d = Decimal(v).quantize(
+                    Decimal(1).scaleb(-f.decimal_scale), rounding=ROUND_HALF_UP
+                )
             # decimal(38, scale) overflow -> NULL, like Spark's try_cast
             if len(d.as_tuple().digits) > 38:
                 return None
@@ -299,7 +311,21 @@ def _eval_filter(flt: Filter, row: dict) -> bool | None:
         c = _cmp(v, flt.value)
         return None if c is None else c <= 0
     if isinstance(flt, In):
-        return v in flt.value  # .value IS the tuple (the dataclass field name)
+        # SQL three-valued IN: v IN (a, b, ...) is an OR of equalities —
+        # True on any match; when nothing matches, the result is NULL (not
+        # False) if the list holds a NULL or an incomparable literal
+        # (mirroring _cmp's conservatism).  The Python-membership version
+        # returned False there, which diverged from Spark under Not():
+        # Not(False)=True kept rows the unpushed plan drops (r11 advice) —
+        # and accepted filters are consumed, so Spark never re-applied them.
+        saw_null = False
+        for x in flt.value:  # .value IS the tuple (the dataclass field name)
+            c = None if x is None else _cmp(v, x)
+            if c is None:
+                saw_null = True
+            elif c == 0:
+                return True
+        return None if saw_null else False
     if isinstance(flt, StringStartsWith):
         return isinstance(v, str) and v.startswith(flt.value)
     if isinstance(flt, StringEndsWith):

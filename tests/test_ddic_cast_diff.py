@@ -38,6 +38,14 @@ HAND_PICKED = [
     "123456", "12", "1234", "12345678", "+12345", "1x3456", "+19 284Eb",
     "1.5", "1.2345", "-0.001", "1e5", "NaN", "nan", "Infinity", "inf", "-inf",
     "1" * 40, "1.999", "2.0005", "2.5", "-2.5", "3.5", "0.0005", "-0.0005",
+    # the 29-38-significant-digit band (r11 advice): quantize under the
+    # default prec=28 context raised InvalidOperation here while Spark's
+    # try_cast to decimal(38,3) keeps up to 38 total digits — _py_cast now
+    # widens the context so the band agrees (and the >38 overflow check is
+    # live again).  '9'*35+'.9995' pins the rounding-carry edge: HALF_UP
+    # carries to 10^35, 39 total digits -> NULL on both sides.
+    "1" * 26, "1" * 30, "-" + "1" * 30, "1" * 30 + ".5", "1" * 35,
+    "9" * 35, "9" * 35 + ".9995", "9" * 35 + ".9994", "1" * 36,
     "1E-10", "1e37", "1e40", "abcd", "AB", "ab cd", "f", "0f", "8 d",
     "ABCDEF", "xyz", "tab", "  pad  ", "1.٥", "٥.2", "1e٥", "٥e2", "-٥", "+٥",
 ]

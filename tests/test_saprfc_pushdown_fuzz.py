@@ -69,7 +69,9 @@ def _filters():
     in_f = st.builds(
         lambda c, vs: In((c,), tuple(vs)),
         col,
-        st.lists(_ANY_LIT, min_size=0, max_size=4),
+        # None in the list: SQL three-valued IN yields NULL (not False)
+        # when nothing matches — the r11-advice band, live under Not()
+        st.lists(st.one_of(_ANY_LIT, st.none()), min_size=0, max_size=4),
     )
     sw_f = st.builds(
         lambda c, k, v: k((c,), v),

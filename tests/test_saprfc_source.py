@@ -328,6 +328,68 @@ def test_in_like_plan_lock(spark):
     assert n == expect
 
 
+def test_in_three_valued_semantics_match_spark(spark):
+    """_eval_filter's In must follow SQL three-valued logic, pinned against
+    live Spark: v IN (a, b, ...) is an OR of equalities — True on a match,
+    NULL (not False) when nothing matches and the list contains NULL.  The
+    divergence is only observable under Not(): Not(False)=True would keep
+    rows Spark's NOT IN drops, and accepted filters are consumed, so Spark
+    never re-applies them (round-11 advice)."""
+    from pyspark.sql.datasource import In, Not
+
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.sources.saprfc_dsv2 import (
+        _eval_filter,
+    )
+
+    vals = ["a", "b", None]
+    df = spark.createDataFrame([(v,) for v in vals], "c STRING")
+    for lst in [("a",), ("a", None), ("z", None), ("z",)]:
+        cond = F.col("c").isin(*lst)
+        spark_in = {r["c"] for r in df.filter(cond).collect()}
+        spark_not_in = {r["c"] for r in df.filter(~cond).collect()}
+        for v in vals:
+            ev = _eval_filter(In(("c",), lst), {"c": v})
+            assert (ev is True) == (v in spark_in), (lst, v, ev)
+            nv = _eval_filter(Not(In(("c",), lst)), {"c": v})
+            assert (nv is True) == (v in spark_not_in), (lst, v, nv)
+    # incomparable literal types mirror _cmp's conservatism: NULL, not False
+    assert _eval_filter(In(("c",), (7,)), {"c": "a"}) is None
+    assert _eval_filter(In(("c",), (7, "a")), {"c": "a"}) is True
+
+
+def test_clear_caches_extractor_guards():
+    """clear_caches fail-loud convention (r10 advice + r11 refinement): a
+    non-string sf_of_key result AND a raising extractor both surface as the
+    diagnostic TypeError; the extractor runs once per key."""
+    import pytest
+
+    from guidance_for_sap_data_integration_and_management_on_aws_spark import caches
+
+    calls = []
+
+    def sf_of(k):
+        calls.append(k)
+        return k[1]
+
+    n_before = len(caches._REGISTRY)
+    try:
+        caches.register_cache({("app", "/sf/dir"): object()}, sf_of)
+        assert caches.clear_caches("/sf/dir") == 1
+        assert calls == [("app", "/sf/dir")]  # single extraction per key
+        bad_type = caches.register_cache({("app", 42): object()})
+        with pytest.raises(TypeError, match="sf_of_key returned"):
+            caches.clear_caches("/sf/dir")
+        bad_type.clear()
+        bad_raise = caches.register_cache({("short",): object()})
+        with pytest.raises(TypeError, match="sf_of_key raised"):
+            caches.clear_caches("/sf/dir")
+        bad_raise.clear()
+        caches.clear_caches(None)  # emptied test dicts sweep clean
+    finally:
+        # deregister the test dicts so later sweeps don't re-validate them
+        del caches._REGISTRY[n_before:]
+
+
 def test_negative_maxrows_rejected():
     """A negative bound must fail loud at reader construction: passed
     through, Python-slice semantics on the mock silently return 'all but
