@@ -36,82 +36,37 @@ from guidance_for_sap_data_integration_and_management_on_aws_spark.registry impo
 #      for the following round, then module order (freshest last).
 _PRIORITY = [
     # ------------------------------------------------------------------
-    # ROUND-11 WINDOW LEDGER (~50 driver slots; see rotation invariant
-    # above).  Entering r11 the age profile is: never hash-checked 2
-    # (both new this round), changed-since-green 10, r5 greens 21 (the
-    # final r5 block — the r10 verdict's named rotation tail), r6 greens
-    # 37, r7+ within the last 4 rounds.  Budget:
+    # ROUND-12 WINDOW LEDGER (~50 driver slots; see rotation invariant
+    # above).  Entering r12 the age profile is: r6:20, r7:43, r8:45,
+    # r9:48, r10:44, r11:50 (judge-audited, VERDICT r11).  This round adds
+    # 2 queries (the suffix/contains OPTIONS rendering leg and the saprfc
+    # STREAM pushdown) and changes the saprfc DSv2 read path (the _py_cast
+    # decimal-band fix, the three-valued In evaluator, the LIKE-shape
+    # rendering table and the pushdown-spec seeding of `accepted`), so
+    # every query routed through SapRfcReader.read re-greens.  Budget:
     #    2 never hash-checked                            -> slots  1-2
-    #   10 changed-since-green (the 5 distributed_rank
-    #      consumers — partition count now scales with
-    #      defaultParallelism; the parametrized sketch
-    #      delta-log loop; the graph round loops' new
-    #      try/finally scratch sweep — value-identical,
-    #      re-greened defensively)                       -> slots  3-12
-    #   21 r5 greens (the block drains — after this
-    #      round no green is older than r6)              -> slots 13-33
-    #   17 oldest r6 greens (alphabetical prefix of the
-    #      37; the remaining 20 queue first for r12)     -> slots 34-50
-    # Steady-state rotation at 250 queries / 50 slots re-greens every
+    #    6 changed-since-green (the saprfc DSv2 family)  -> slots  3-8
+    #   20 r6 greens (the block drains — after this
+    #      round no green is older than r7)              -> slots  9-28
+    #   22 oldest r7 greens (alphabetical prefix of the
+    #      43; the remaining 21 queue first for r13)     -> slots 29-50
+    # Steady-state rotation at 252 queries / 50 slots re-greens every
     # ~5 rounds.
     # ------------------------------------------------------------------
     # --- 1. never hash-checked (first driver oracle this round) --------
-    "stream_kll_compaction",  # NEW r11: KLL delta-log compaction + expiry
-    "saprfc_pushdown_in_like",  # NEW r11: In/LIKE OPTIONS rendering leg
-    # --- 2. builder changed since last green ---------------------------
-    "text_numericalize",  # distributed_rank parts now parallelism-derived
-    "data_skew_report",  # same kernel change
-    "events_rfm_segments",  # same kernel change (3 ranks)
-    "agg_equidepth_histogram",  # same kernel change
-    "ml_score_calibration",  # same kernel change
-    "stream_sketch_compaction",  # delta-log run parametrized (value-identical)
-    "graph_components",  # round loop wrapped in try/finally scratch sweep
-    "graph_kcore",  # same sweep wrap in the peel loop
-    "dedup_connected_components",  # consumes the swept fixpoint kernel
-    "dedup_cluster_canonical",  # same cc_labels consumer
-    # --- 3. staleness rotation: the 21 remaining r5 greens (the whole
-    # --- block drains; the r10 verdict's item-2 list) -------------------
-    "rfc_ingest_invariant",
-    "rfc_parse_errors",
-    "saprfc_projection",
-    "saprfc_pushdown",  # ALSO changed-since-green: In/LIKE rendering path
+    "saprfc_pushdown_suffix_contains",  # NEW r12: %suffix / %sub% rendering
+    "saprfc_stream_pushdown",  # NEW r12: OPTIONS pushdown on the stream path
+    # --- 2. builder changed since last green (saprfc DSv2 read path:
+    # --- decimal-band cast fix, three-valued In, LIKE rendering table,
+    # --- pushdown-spec seeding — all shared by these readers) -----------
+    "saprfc_pushdown",
+    "saprfc_pushdown_in_like",
     "saprfc_scan_typed",
-    "saprfc_stream_scan",  # ALSO changed: stream reader rejects maxrows
-    "sink_roundtrip",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_pii_redact",
-    "text_quality",
-    "text_tfidf_topk",
-    "text_token_count",
-    "text_unigram_logprob",
-    "text_word_count",
-    "try_cast_best_effort",
-    "window_gap_fill",
-    "window_range_frame",
-    "window_running",
-    "window_sessionize",
-    "window_topk_per_group",
-    # --- 3b. oldest r6 greens (alphabetical prefix, 17 of 37) ----------
-    "agg_boolean",
-    "agg_histogram",
-    "ann_incremental_topk",
-    "ann_ivf_pq_topk",
-    "ann_ivf_topk",
-    "ann_kmeans_assign",
-    "ann_matryoshka_recall",
-    "ann_pq_adc_topk",
-    "ann_pq_encode",
-    "ann_two_stage",
-    "data_profile",
-    "dedup_incremental_jaccard",
-    "fn_variant",
-    "graph_copurchase_edges",
-    "graph_degree_distribution",
-    "graph_pagerank",
-    "graph_triangle_count",
-    # --- 4. rotation ballast: the remaining 20 r6 greens queue FIRST
-    # --- for round 12 (the window line falls above here) ---------------
+    "saprfc_projection",
+    "saprfc_limit_pushdown",
+    "saprfc_stream_scan",
+    # --- 3. staleness rotation: the 20 remaining r6 greens (the whole
+    # --- block drains; the r11 verdict's item-2 list) -------------------
     "ingest_cdc_apply",
     "join_bloom_prefilter",
     "join_fuzzy_neighbors",
@@ -132,9 +87,55 @@ _PRIORITY = [
     "ts_interpolate_linear",
     "udf_pandas_grouped_agg",
     "window_distribution",
-    # r7+ greens not listed trail in module order (every one re-earned
-    # green within the last four rounds; stream_stateful_v2 — r7-green —
-    # trails too, with its conditional registration handled below)
+    # --- 3b. oldest r7 greens (alphabetical prefix, 22 of 43) ----------
+    "agg_heavy_hitters",
+    "agg_hll_sketch_union",
+    "agg_kll_quantile_merge",
+    "agg_mode_per_group",
+    "agg_theta_set_ops",
+    "agg_trimmed_stats",
+    "ann_centroid_outliers",
+    "ann_negative_sampling",
+    "ann_radius_search",
+    "anomaly_zscore",
+    "basket_association_rules",
+    "dedup_containment_pairs",
+    "dq_constraint_report",
+    "events_attribution",
+    "events_peak_concurrency",
+    "events_retention_cohorts",
+    "events_sliding_active_users",
+    "events_transitions",
+    "graph_bfs_hops",
+    "graph_jaccard_neighbors",
+    "ivm_incremental_agg",
+    "join_asof_tolerance",
+    # --- 4. rotation ballast: the remaining 21 r7 greens queue FIRST
+    # --- for round 13 (the window line falls above here) ---------------
+    "lake_bucketed_write",
+    "lake_schema_evolution",
+    "lake_snapshot_diff",
+    "lake_time_travel_read",
+    "lake_zorder_layout",
+    "ml_linear_score",
+    "ml_regression_trend",
+    "mm_ahash_neardup",
+    "pipeline_train_test_split",
+    "sql_lateral_topk",
+    "stream_deadletter_split",
+    "stream_dedup_within_watermark",
+    "stream_session_window",
+    "stream_stateful_v2",
+    "stream_watermark_late_drop",
+    "text_bigram_pmi",
+    "text_bm25_topk",
+    "text_dup_ngram_spans",
+    "text_sentiment_lexicon",
+    "ts_cusum_changepoint",
+    "ts_resample_ohlc",
+    # r8+ greens not listed trail in module order (every one re-earned
+    # green within the last four rounds; stream_stateful_v2 above keeps
+    # its conditional registration, handled below)
 ]
 
 

@@ -264,6 +264,43 @@ def saprfc_stream_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM r
     WHERE i%37<>0 AND i%7=3 AND i%13<>0 AND i%500 < 250
     """,
+    doc="P7 x S9 (round-12): filter pushdown on the saprfc STREAMING source. "
+    "The stream API has no pushFilters hook, so the `pushdown` option "
+    "carries a conjunctive clause spec that parses into the same Filter "
+    "objects the batch path accepts — OPTIONS rendered on the wire, typed "
+    "re-verification in read(), page offsets checkpointed as before.  "
+    "Without it a streaming consumer pulls every row of every page while "
+    "the batch reader filters server-side.  Drained with "
+    "Trigger.AvailableNow; the landed table must equal the BATCH pushdown "
+    "scan, whose oracle this reuses verbatim.",
+)
+def saprfc_stream_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.saprfc_dsv2 import register
+    from ..streaming.replay import run_to_table
+
+    register(spark)
+    s = (
+        spark.readStream.format("saprfc")
+        .option("table", "DD03L")
+        .option("mockrows", str(MOCK_ROWS))
+        .option("pagesize", "500")
+        .option("pushdown", "TABNAME EQ 'TAB3'; POSITION LT '250'")
+        .load()
+    )
+    out = s.select("TABNAME", "FIELDNAME", "POSITION", "LENG")
+    return run_to_table(out, "mem_saprfc_stream_pushdown", "append")
+
+
+@spec(
+    f"""
+    WITH r AS ({SQL_MOCK_DD03L})
+    SELECT 'TAB'||CAST(i%7 AS VARCHAR) AS TABNAME,
+           'FLD_'||lpad(CAST(i AS VARCHAR),5,'0') AS FIELDNAME,
+           i%500 AS POSITION,
+           (i*7)%120 AS LENG
+    FROM r
+    WHERE i%37<>0 AND i%7=3 AND i%13<>0 AND i%500 < 250
+    """,
     doc="P7 filter pushdown through the saprfc DSv2: predicates render into "
     "the BAPI OPTIONS where-clause (the parameter the reference never "
     "passes, pyrfc_read_table.py:71) and are re-verified on typed values "
@@ -359,6 +396,33 @@ def saprfc_pushdown_in_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.filter(
         F.col("ROLLNAME").isin("ROLL2", "ROLL5")
         & F.col("FIELDNAME").startswith("FLD_01")
+    ).select("TABNAME", "FIELDNAME", "ROLLNAME", "POSITION")
+
+
+@spec(
+    f"""
+    WITH r AS ({SQL_MOCK_DD03L})
+    SELECT 'TAB'||CAST(i%7 AS VARCHAR) AS TABNAME,
+           'FLD_'||lpad(CAST(i AS VARCHAR),5,'0') AS FIELDNAME,
+           'ROLL'||CAST(i%11 AS VARCHAR) AS ROLLNAME,
+           CASE WHEN i%13=0 THEN NULL ELSE i%500 END AS POSITION
+    FROM r
+    WHERE i%37<>0 AND i%10=7 AND i%11 IN (1, 10)
+    """,
+    doc="P7 filter pushdown, suffix/substring leg (round-12): endswith() "
+    "renders into an OPTIONS `NAME LIKE '%suffix'` and contains() into "
+    "`NAME LIKE '%sub%'` (string-typed columns only) — the two accepted "
+    "string predicates the round-11 whitelist re-verified client-side but "
+    "never rendered, so they rode the wire unfiltered.  Same widen-only "
+    "contract as the prefix leg: wildcards inside the literal ride "
+    "unescaped (the server match can only widen) and the typed "
+    "re-verification restores exact endswith/contains semantics; corrupt "
+    "rows fail the value predicates' null evaluation.",
+)
+def saprfc_pushdown_suffix_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _saprfc_df(spark, mockrows=str(MOCK_ROWS))
+    return df.filter(
+        F.col("FIELDNAME").endswith("7") & F.col("ROLLNAME").contains("L1")
     ).select("TABNAME", "FIELDNAME", "ROLLNAME", "POSITION")
 
 
@@ -1461,6 +1525,8 @@ QUERIES: dict[str, QuerySpec] = {
     "saprfc_projection": saprfc_projection,
     "saprfc_limit_pushdown": saprfc_limit_pushdown,
     "saprfc_pushdown_in_like": saprfc_pushdown_in_like,
+    "saprfc_pushdown_suffix_contains": saprfc_pushdown_suffix_contains,
+    "saprfc_stream_pushdown": saprfc_stream_pushdown,
     "sink_roundtrip": sink_roundtrip,
     "lake_compact_roundtrip": lake_compact_roundtrip,
     "lake_bucketed_write": lake_bucketed_write,

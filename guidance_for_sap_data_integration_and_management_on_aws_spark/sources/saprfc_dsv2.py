@@ -13,8 +13,10 @@ as a first-class Spark source:
   into the BAPI's ``OPTIONS`` where-clause text, the parameter the
   reference never passes (absence at `pyrfc_read_table.py:71`): comparison
   lines (``EQ/GT/GE/LT/LE``), ``In`` value lists (``NAME IN ('a', 'b')``),
-  and ``StringStartsWith`` prefixes (``NAME LIKE 'x%'``, string-typed
-  columns only).  The source re-verifies every accepted predicate on the
+  and the three string predicates as LIKE patterns — ``StringStartsWith``
+  -> ``NAME LIKE 'x%'``, ``StringEndsWith`` -> ``'%x'``,
+  ``StringContains`` -> ``'%x%'`` (string-typed columns only).  The
+  source re-verifies every accepted predicate on the
   typed values after parsing, so pushdown is an optimization, never a
   semantics change; transports are free to apply OPTIONS only
   approximately.  The whole contract is hypothesis-fuzzed
@@ -370,6 +372,13 @@ _OPTIONS_OPS = {
     LessThanOrEqual: "LE",
 }
 
+# string predicate -> the (prefix, suffix) wildcards of its LIKE pattern
+_LIKE_SHAPES = {
+    StringStartsWith: ("", "%"),
+    StringEndsWith: ("%", ""),
+    StringContains: ("%", "%"),
+}
+
 
 def _sap_literal(v: Any) -> str | None:
     if isinstance(v, datetime.date):
@@ -393,14 +402,16 @@ def _render_options(
 
     * comparisons -> ``NAME EQ|GT|GE|LT|LE 'lit'``
     * ``In`` -> ``NAME IN ('a', 'b', ...)`` when every value renders
-    * ``StringStartsWith`` -> ``NAME LIKE 'prefix%'`` — only for
-      string-typed fields (``string_fields``; a LIKE against a NUMC/DATS
-      column would match raw text the typed re-verification then rejects).
-      A ``%``/``_`` inside the prefix is NOT escaped (the OPTIONS grammar
-      kept ESCAPE-free): the server reads it as a wildcard, which only
-      ever WIDENS the match — every string with the literal prefix still
-      matches the pattern char-for-char — so extra rows ride the wire and
-      the typed re-verification drops them; the match never narrows.
+    * ``StringStartsWith`` / ``StringEndsWith`` / ``StringContains`` ->
+      ``NAME LIKE 'x%'`` / ``'%x'`` / ``'%x%'`` — only for string-typed
+      fields (``string_fields``; a LIKE against a NUMC/DATS column would
+      match raw text the typed re-verification then rejects).  A ``%``/
+      ``_`` inside the literal is NOT escaped (the OPTIONS grammar kept
+      ESCAPE-free): the server reads it as a wildcard, which only ever
+      WIDENS the match — every string containing the literal substring
+      still matches the pattern char-for-char — so extra rows ride the
+      wire and the typed re-verification drops them; the match never
+      narrows.
     """
     out = []
     for flt in filters:
@@ -410,16 +421,129 @@ def _render_options(
                 vals = ", ".join(f"'{lit}'" for lit in lits)
                 out.append(f"{flt.attribute[-1]} IN ({vals})")
             continue
-        if isinstance(flt, StringStartsWith):
+        shape = _LIKE_SHAPES.get(type(flt))
+        if shape is not None:
             name = flt.attribute[-1]
             v = flt.value
             if name in string_fields and isinstance(v, str):
-                out.append(f"{name} LIKE '{v.replace(chr(39), chr(39) * 2)}%'")
+                pre, post = shape
+                esc = v.replace(chr(39), chr(39) * 2)
+                out.append(f"{name} LIKE '{pre}{esc}{post}'")
             continue
         op = _OPTIONS_OPS.get(type(flt))
         lit = _sap_literal(getattr(flt, "value", None))
         if op and lit is not None:
             out.append(f"{flt.attribute[-1]} {op} '{lit}'")
+    return out
+
+
+# --- streaming pushdown spec ------------------------------------------------
+# Spark's Python DataSourceStreamReader has no pushFilters hook (the same API
+# gap as P8's projection and P9's limit on the batch side), so the stream
+# path accepts an explicit `pushdown` reader option: a semicolon-separated
+# conjunction of clauses in the OPTIONS-like grammar below, parsed into the
+# SAME Filter dataclasses the batch pushFilters path accepts — which buys the
+# whole batch contract verbatim: _render_options renders the wire OPTIONS
+# text, and read() re-verifies every predicate on the typed parsed values, so
+# the spec is an optimization the server may apply only approximately.
+
+_SPEC_CMP_RE = re.compile(r"^(\w+)\s+(EQ|GT|GE|LT|LE)\s+'((?:[^']|'')*)'$")
+_SPEC_IN_RE = re.compile(r"^(\w+)\s+IN\s+\((.*)\)$")
+_SPEC_STR_RE = re.compile(
+    r"^(\w+)\s+(STARTSWITH|ENDSWITH|CONTAINS)\s+'((?:[^']|'')*)'$"
+)
+_SPEC_LIT_RE = re.compile(r"'((?:[^']|'')*)'")
+
+_SPEC_CMP_FILTERS = {
+    "EQ": EqualTo,
+    "GT": GreaterThan,
+    "GE": GreaterThanOrEqual,
+    "LT": LessThan,
+    "LE": LessThanOrEqual,
+}
+_SPEC_STR_FILTERS = {
+    "STARTSWITH": StringStartsWith,
+    "ENDSWITH": StringEndsWith,
+    "CONTAINS": StringContains,
+}
+
+
+def _spec_unq(lit: str) -> str:
+    return lit.replace("''", "'")
+
+
+def _typed_literal(raw: str, f: RfcField) -> Any:
+    """Coerce a spec literal to the field's parsed type, so the re-verify
+    compares like against like (an EQ against a NUMC column must compare
+    ints, not the zero-padded wire text).  Fails loud on a literal the
+    field's cast rejects — a silently-None literal would make every
+    comparison NULL and the stream quietly empty."""
+    if isinstance(_spark_type(f), StringType):
+        return raw
+    v = _py_cast(raw, f)
+    if v is None:
+        raise ValueError(
+            f"pushdown literal {raw!r} does not parse as column "
+            f"{f.name}'s type (DDIC {f.type_code!r})"
+        )
+    return v
+
+
+def parse_pushdown_spec(spec: str, fields: Sequence[RfcField]) -> list[Filter]:
+    """Parse a `pushdown` option string into Filter dataclasses.
+
+    Grammar (clauses joined with ';', evaluated as a conjunction)::
+
+        NAME EQ|GT|GE|LT|LE 'lit'     comparison against a typed literal
+        NAME IN ('a', 'b', ...)       membership (typed literals)
+        NAME STARTSWITH|ENDSWITH|CONTAINS 'lit'   string predicates
+
+    Single quotes inside a literal escape by doubling, as in the OPTIONS
+    wire text.  Unknown columns, unknown operators, or literals the
+    column's type rejects fail loud — a stream that silently dropped a
+    misspelled clause would hand the user the wrong data forever.
+    """
+    by_name = {f.name: f for f in fields}
+
+    def field_of(name: str) -> RfcField:
+        if name not in by_name:
+            raise ValueError(
+                f"pushdown references unknown column {name!r}; "
+                f"available: {sorted(by_name)}"
+            )
+        return by_name[name]
+
+    out: list[Filter] = []
+    for clause in spec.split(";"):
+        clause = clause.strip()
+        if not clause:
+            continue
+        if m := _SPEC_CMP_RE.match(clause):
+            name, op, lit = m.groups()
+            f = field_of(name)
+            out.append(_SPEC_CMP_FILTERS[op]((name,), _typed_literal(_spec_unq(lit), f)))
+        elif m := _SPEC_IN_RE.match(clause):
+            name, body = m.groups()
+            f = field_of(name)
+            lits = [_spec_unq(x) for x in _SPEC_LIT_RE.findall(body)]
+            if not lits:
+                raise ValueError(f"empty IN list in pushdown clause {clause!r}")
+            out.append(In((name,), tuple(_typed_literal(x, f) for x in lits)))
+        elif m := _SPEC_STR_RE.match(clause):
+            name, op, lit = m.groups()
+            f = field_of(name)
+            if not isinstance(_spark_type(f), StringType):
+                raise ValueError(
+                    f"pushdown clause {clause!r}: {op} needs a string-typed "
+                    f"column, but {name} is DDIC {f.type_code!r}"
+                )
+            out.append(_SPEC_STR_FILTERS[op]((name,), _spec_unq(lit)))
+        else:
+            raise ValueError(
+                f"unparseable pushdown clause {clause!r}; expected "
+                "\"NAME EQ|GT|GE|LT|LE 'lit'\", \"NAME IN ('a', 'b')\" or "
+                "\"NAME STARTSWITH|ENDSWITH|CONTAINS 'lit'\""
+            )
     return out
 
 
@@ -450,7 +574,14 @@ class SapRfcReader(DataSourceReader):
             # Python-slice semantics on the mock silently return "all but
             # the last N rows", and a live RFC call is undefined — fail loud
             raise ValueError(f"maxrows must be positive, got {self.limit}")
-        self.accepted: list[Filter] = []
+        # explicit `pushdown` option (primarily for the stream path, which
+        # has no pushFilters hook; honored on batch too — ignoring it would
+        # hand back an unfiltered scan the user asked to filter).  Spark's
+        # pushFilters appends on top; read() re-verifies the conjunction.
+        spec = options.get("pushdown")
+        self.accepted: list[Filter] = (
+            parse_pushdown_spec(spec, fields) if spec else []
+        )
 
     def _string_fields(self) -> frozenset[str]:
         """Names of string-typed columns — the only legal LIKE targets for
@@ -571,12 +702,20 @@ class SapRfcStreamReader(DataSourceStreamReader):
     offset exactly like a Kafka offset.  This is the incremental-extraction
     posture: a live deployment replaces ``row_count`` with the table's
     current size and each trigger drains only newly appended pages.  Reuses
-    the batch reader's Arrow-batched parse (no pushdown in the stream path
-    — streams land raw and filter downstream)."""
+    the batch reader's Arrow-batched parse.
+
+    **Filter pushdown** (round-12): the ``pushdown`` reader option — a
+    conjunctive clause string, grammar in :func:`parse_pushdown_spec` —
+    becomes the delegate's accepted-filter list, so the stream reuses the
+    batch path verbatim: ``_render_options`` puts the predicates on the
+    wire as BAPI OPTIONS text and ``read()`` re-verifies them on the typed
+    values.  Without it, a streaming consumer of a big SAP table pulls
+    every row of every page while the batch reader pushes.  (Spark's
+    DataSourceStreamReader has no pushFilters hook, hence the explicit
+    option — the same API gap as P8/P9 on the batch side.)"""
 
     def __init__(self, options: dict, fields: list[RfcField]):
-        # no pushdown in the stream path (streams land raw and filter
-        # downstream) — that includes the limit: the batch reader's read()
+        # no LIMIT pushdown in the stream path: the batch reader's read()
         # truncates page ROWCOUNTs to the bound, which against this
         # reader's limit-less page planning would send ROWCOUNT<=0 calls
         # for pages past the bound (ROWCOUNT=0 means "no restriction" to a

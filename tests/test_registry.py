@@ -22,38 +22,33 @@ def test_registry_shape():
     # stream_stateful_v2 is gated off (no provisionable protobuf runtime)
     expected = [n for n in entrymod._PRIORITY if n in reg]
     assert names[: len(expected)] == expected
-    # round-11 window layout (criticality order): the 2 never hash-checked
-    # entries lead (KLL delta-log compaction + the saprfc In/LIKE rendering
-    # leg), then the 10 changed-since-green builders (the 5 distributed_rank
-    # consumers — parallelism-derived partition count; the parametrized
-    # sketch delta-log loop; the 4 graph-loop try/finally-sweep consumers),
-    # the 21 remaining r5 greens (the block drains), and the 17
-    # alphabetically-first r6 greens: 2+10+21+17 = 50 exactly; the other
-    # 20 r6 greens queue FIRST for round 12.
+    # round-12 window layout (criticality order): the 2 never hash-checked
+    # entries lead (the suffix/contains OPTIONS rendering leg + the saprfc
+    # STREAM pushdown), then the 6 changed-since-green saprfc DSv2 readers
+    # (the decimal-band cast fix, three-valued In, LIKE rendering table and
+    # pushdown-spec seeding share their read path), the 20 remaining r6
+    # greens (the block drains), and the 22 alphabetically-first r7 greens:
+    # 2+6+20+22 = 50 exactly; the other 21 r7 greens queue FIRST for r13.
     never_checked = [
-        "stream_kll_compaction",
-        "saprfc_pushdown_in_like",
+        "saprfc_pushdown_suffix_contains",
+        "saprfc_stream_pushdown",
     ]
     assert names[:2] == never_checked
-    assert names[2:12] == [
-        "text_numericalize",  # distributed_rank parts now parallelism-derived
-        "data_skew_report",
-        "events_rfm_segments",
-        "agg_equidepth_histogram",
-        "ml_score_calibration",
-        "stream_sketch_compaction",  # delta-log run parametrized
-        "graph_components",  # try/finally scratch sweep
-        "graph_kcore",
-        "dedup_connected_components",
-        "dedup_cluster_canonical",
+    assert names[2:8] == [
+        "saprfc_pushdown",
+        "saprfc_pushdown_in_like",
+        "saprfc_scan_typed",
+        "saprfc_projection",
+        "saprfc_limit_pushdown",
+        "saprfc_stream_scan",
     ]
     for probe in (
-        # final r5 rotation block (the r10 verdict item-2 list)
-        "rfc_ingest_invariant", "saprfc_pushdown", "text_lang_id",
-        "try_cast_best_effort", "window_topk_per_group",
-        # alphabetical r6 prefix (ingest_cdc_apply is slot 51 — first
-        # past the line, leading the r12 ballast)
-        "agg_boolean", "ann_two_stage", "graph_triangle_count",
+        # final r6 rotation block (the r11 verdict item-2 list)
+        "ingest_cdc_apply", "sql_recursive_chain", "stream_tumbling_agg",
+        "udf_pandas_grouped_agg", "window_distribution",
+        # alphabetical r7 prefix (lake_bucketed_write is slot 51 — first
+        # past the line, leading the r13 ballast)
+        "agg_heavy_hitters", "events_transitions", "join_asof_tolerance",
     ):
         assert names.index(probe) < 50, probe
     # since r9 every registry query carries an oracle — the whole window

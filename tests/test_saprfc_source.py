@@ -220,6 +220,21 @@ def test_in_like_options_render_and_guards():
     assert _render_options([StringStartsWith(("ROLLNAME",), "RO%")], sf) == [
         "ROLLNAME LIKE 'RO%%'"
     ]
+    # round-12: the remaining accepted string predicates render too —
+    # suffix and substring LIKE patterns, same string-typed guard
+    from pyspark.sql.datasource import StringContains, StringEndsWith
+
+    assert _render_options([StringEndsWith(("FIELDNAME",), "7")], sf) == [
+        "FIELDNAME LIKE '%7'"
+    ]
+    assert _render_options([StringContains(("ROLLNAME",), "L1")], sf) == [
+        "ROLLNAME LIKE '%L1%'"
+    ]
+    assert _render_options([StringEndsWith(("POSITION",), "4")], sf) == []
+    assert _render_options([StringContains(("ASDATE",), "2001")], sf) == []
+    assert _render_options([StringContains(("ROLLNAME",), "O'B")], sf) == [
+        "ROLLNAME LIKE '%O''B%'"
+    ]
     # guards: non-string LIKE target, unrenderable literal, empty IN
     assert _render_options([StringStartsWith(("POSITION",), "04")], sf) == []
     assert _render_options([In(("ROLLNAME",), ("a", 1.5))], sf) == []
@@ -248,6 +263,14 @@ def test_in_like_options_reduce_wire_rows_exactly():
         ),
         # numeric coercion inside IN: '0004' matches literal '4'
         (["POSITION IN ('4', '17')"], lambda i: i % 13 != 0 and i % 500 in (4, 17)),
+        # round-12 shapes: suffix and substring LIKE (FLD_%05d ends with
+        # '7' iff i%10==7; ROLL{i%11} contains 'L1' iff i%11 in (1, 10))
+        (["FIELDNAME LIKE '%7'"], lambda i: i % 10 == 7),
+        (["ROLLNAME LIKE '%L1%'"], lambda i: i % 11 in (1, 10)),
+        (
+            ["FIELDNAME LIKE '%7'", "ROLLNAME LIKE '%L1%'"],
+            lambda i: i % 10 == 7 and i % 11 in (1, 10),
+        ),
     ]
     for options, law in cases:
         matching = [i for i in range(2500) if law(i)]
@@ -326,6 +349,101 @@ def test_in_like_plan_lock(spark):
         if i % 11 in (2, 5) and 1000 <= i < 2000 and i % 37 != 0
     )
     assert n == expect
+
+
+def test_suffix_contains_plan_lock(spark):
+    """Plan lock for the round-12 rendering legs: endswith + contains are
+    fully consumed by the source (no residual FilterExec) and return
+    exactly the generator-law rows after typed re-verification."""
+    df = _df(spark).filter(
+        F.col("FIELDNAME").endswith("7") & F.col("ROLLNAME").contains("L1")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchScan saprfc" in plan
+    assert "Filter (" not in plan
+    expect = sum(
+        1
+        for i in range(2500)
+        if i % 10 == 7 and i % 11 in (1, 10) and i % 37 != 0
+    )
+    assert df.count() == expect
+
+
+def test_stream_pushdown_spec_parses_renders_and_reduces_wire_rows():
+    """The `pushdown` option (round-12): the clause spec parses into the
+    batch path's Filter objects, renders into wire OPTIONS, the server
+    filters BEFORE paging (wire volume shrinks), and the typed
+    re-verification narrows the widened server match back to exact
+    semantics — landed rows equal the generator law of the batch pushdown
+    oracle."""
+    from pyspark.sql.datasource import EqualTo, LessThan
+
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.sources.saprfc_dsv2 import (
+        SapRfcStreamReader,
+        _render_options,
+    )
+
+    fields = list(MockRfcTransport.FIELDS)
+    r = SapRfcStreamReader(
+        {
+            "mockrows": "2500",
+            "pagesize": "300",
+            "pushdown": "TABNAME EQ 'TAB3'; POSITION LT '250'",
+        },
+        fields,
+    )
+    acc = r._delegate.accepted
+    assert [type(f) for f in acc] == [EqualTo, LessThan]
+    assert acc[1].value == 250  # typed literal: int, not the wire text
+    opts = _render_options(acc, r._delegate._string_fields())
+    assert opts == ["TABNAME EQ 'TAB3'", "POSITION LT '250'"]
+
+    # wire volume: the server filters then pages, so far fewer rows cross
+    t = MockRfcTransport(n_rows=2500)
+    wire = len(t.call("DD03L", "`", 0, 10**6, options=opts)["DATA"])
+    assert wire < 2500
+
+    # landed rows across a full drain == the batch pushdown oracle law
+    parts = r.partitions(r.initialOffset(), r.latestOffset())
+    landed = sum(b.num_rows for p in parts for b in r.read(p))
+    expect = sum(
+        1
+        for i in range(2500)
+        if i % 37 != 0 and i % 7 == 3 and i % 13 != 0 and i % 500 < 250
+    )
+    assert landed == expect
+    assert landed <= wire  # re-verification only ever narrows
+
+
+def test_pushdown_spec_grammar_fails_loud():
+    """Misspelled clauses must raise, not silently stream the wrong data:
+    unknown column, unknown operator, bad literal for the column type,
+    string predicate on a non-string column, empty IN list."""
+    import pytest
+
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.sources.saprfc_dsv2 import (
+        parse_pushdown_spec,
+    )
+
+    fields = list(MockRfcTransport.FIELDS)
+    for bad, msg in [
+        ("NOPE EQ 'x'", "unknown column"),
+        ("TABNAME ~~ 'x'", "unparseable pushdown clause"),
+        ("POSITION LT 'abc'", "does not parse as column"),
+        ("POSITION CONTAINS '4'", "needs a string-typed column"),
+        ("ROLLNAME IN ()", "empty IN list"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            parse_pushdown_spec(bad, fields)
+    # quote escaping and typed IN literals round-trip
+    got = parse_pushdown_spec(
+        "ROLLNAME EQ 'O''Brien'; POSITION IN ('4', '17'); "
+        "FIELDNAME ENDSWITH '7'",
+        fields,
+    )
+    assert got[0].value == "O'Brien"
+    assert got[1].value == (4, 17)
+    assert got[2].value == "7"
 
 
 def test_in_three_valued_semantics_match_spark(spark):
