@@ -278,6 +278,17 @@ REDUCED_SF = {
 CHECK_FACTOR = 1.5
 CHECK_SLACK_SEC = 0.3
 
+# HOST-DRIFT VALIDITY GATE (round 12, r11 verdict item 1): the committed
+# BENCH_rN artifact chain is the only cross-round perf signal, and round 11
+# snapshotted a run taken on a degraded host (calib 1.105 vs the frozen
+# 0.446 — 52 rows read >2x normalized in-bench, every one at baseline
+# standalone).  A run whose start calibration exceeds this factor of the
+# frozen baseline's calib is stamped {"host_drift": true} in both the full
+# and compact JSON lines, and does NOT refresh bench_out_certified.json —
+# the committed copy of the most recent run whose calib was in the frozen
+# band, which drifted artifacts point readers to via "certified_results".
+CALIB_DRIFT_FACTOR = 1.5
+
 
 def baseline_add_new() -> None:
     """Merge rows for NEW queries from bench_out.json into
@@ -781,6 +792,18 @@ def main(check: bool = False) -> None:
     calib_end = run_calib()
     calib = calib_start
 
+    # Host-drift validity gate (see CALIB_DRIFT_FACTOR above): compare the
+    # start calibration against the FROZEN baseline's — a drifted host can
+    # only be detected against the fixed reference, not this run's own
+    # samples.
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "bench_baseline.json")) as fh:
+            base_calib = json.load(fh).get("calib_sec")
+    except (OSError, ValueError):
+        base_calib = None
+    host_drift = bool(base_calib) and calib_start > CALIB_DRIFT_FACTOR * base_calib
+
     # Calibration-normalized twins (VERDICT r03 item 8): divide by this run's
     # calib_sec so cross-round diffs separate host-load drift (1.3-6x swings
     # observed between runs on this box) from real engine regressions.  Unit:
@@ -801,17 +824,27 @@ def main(check: bool = False) -> None:
         "value_norm": round(total / calib, 3) if calib else None,
         "all_queries_total_norm": round(sum(timings.values()) / calib, 3) if calib else None,
         "norm_unit": "x_calib",
+        "host_drift": host_drift,
+        "calib_baseline": base_calib,
         "reduced_sf": {k: v for k, v in reduced.items() if k in timings},
     }
     if errors:
         out["errors"] = errors
+    if host_drift:
+        # point readers of a drifted artifact at the committed in-band run
+        out["certified_results"] = "bench_out_certified.json"
     payload = json.dumps(out)
     # Persist the FULL result beside the script FIRST: r02's driver capture
     # truncated the stdout tail and lost the headline block — the file can't
     # be lost that way and is what --check (and the judge) reads.
-    here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "bench_out.json"), "w") as fh:
         fh.write(payload + "\n")
+    # ...and refresh the certified snapshot ONLY from an in-band run: the
+    # round-end BENCH_rN artifact is whatever run the driver last took, so
+    # the certified file is the cross-round perf signal's drift-proof twin.
+    if not host_drift:
+        with open(os.path.join(here, "bench_out_certified.json"), "w") as fh:
+            fh.write(payload + "\n")
     # The driver's BENCH_rN artifact keeps only the LAST 2000 chars of
     # stdout and parses the result line out of that window — the full
     # 158-query line is ~6 KB, so no round's artifact ever got a non-null
@@ -832,10 +865,13 @@ def main(check: bool = False) -> None:
         "all_queries_total": out["all_queries_total"],
         "all_queries_total_norm": out["all_queries_total_norm"],
         "norm_unit": "x_calib",
+        "host_drift": host_drift,
         "n_queries": len(timings),
         "n_errors": len(errors),
         "full_results": "bench_out.json",
     }
+    if host_drift:
+        compact["certified_results"] = "bench_out_certified.json"
     compact_payload = json.dumps(compact)
     if len(compact_payload) > 1900:  # still too big -> drop the norm map
         compact.pop("queries_norm")
