@@ -501,7 +501,10 @@ def parse_pushdown_spec(spec: str, fields: Sequence[RfcField]) -> list[Filter]:
     Single quotes inside a literal escape by doubling, as in the OPTIONS
     wire text.  Unknown columns, unknown operators, or literals the
     column's type rejects fail loud — a stream that silently dropped a
-    misspelled clause would hand the user the wrong data forever.
+    misspelled clause would hand the user the wrong data forever.  One
+    grammar limit, also loud: ``;`` is the clause separator and cannot
+    appear inside a literal (the split runs before quote parsing, so both
+    halves of such a clause are unparseable and raise).
     """
     by_name = {f.name: f for f in fields}
 
