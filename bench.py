@@ -192,6 +192,25 @@ behavior — standalone-warm remains the only honest read for both.
 Immediately-following standalone-warm corroboration of the spiked item:
 6.51 s total (0.48 / 2.20 / 3.83 per stage) @ calib 0.390 — squarely in
 its band.  Zero errors on all four runs (255 rows each).
+
+ROUND-12 PROTOCOL VALIDATION: three same-code runs on a recovered host
+(calib 0.475 / 0.582 / 0.447 — r10-class, every run under the new
+host-drift gate's 0.669 threshold), zero errors each — headline 15.637 /
+12.474 / 11.404 s raw = 1.16x / 0.75x / 0.90x of the frozen baseline
+normalized.  Rows above 2x normalized per run: 2 / 2 / 1, every one a
+sub-3s absolute and a DIFFERENT set each run (run 1's stream_tumbling_agg
+4.7x read 0.895 s at baseline in run 2) — the moving-window noise
+signature, not regressions.  The two fused line items traded their usual
+one-off spikes (r11-documented behavior): `_shared_pair_frame_build
+[sf0.1]` 15.2 / 7.5 / 7.7 s and `_lsh_pairs_pipeline[sf0.1]` 6.0 / 13.0 /
+5.5 s — run 3 reads BOTH in their 6-9 s / 5.0-8.5 s bands simultaneously
+at exactly-baseline calib (0.447 vs the frozen 0.446), closing the r11
+verdict's band-watch item on a same-class host.  bench_out_certified.json
+holds run 3 (the gate's in-band refresh path, first exercised this
+round).  The round's two additions price at 0.51-1.65 s
+(saprfc_pushdown_suffix_contains) and 1.85-3.11 s (saprfc_stream_pushdown
+— a full AvailableNow drain through the microbatch engine; its batch twin
+saprfc_pushdown reads 0.5 s).
 """
 
 from __future__ import annotations
