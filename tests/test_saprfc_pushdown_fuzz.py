@@ -154,6 +154,89 @@ def test_pushdown_composes_with_limit(filters, maxrows):
     assert got == sorted(expect, key=_rkey)
 
 
+# --- stream pushdown equivalence (round 12) ---------------------------------
+# The stream path's `pushdown` clause spec must be EXACTLY the batch
+# contract in another syntax: for any expressible spec, a full stream drain
+# equals (1) the batch reader fed the same option and (2) the batch reader
+# fed the parsed Filter objects through pushFilters — Spark's own path.
+
+_STR_COLS = ["TABNAME", "FIELDNAME", "KEYFLAG", "ROLLNAME", "DATATYPE"]
+_NUM_COLS = ["POSITION", "LENG"]
+_CMP_OPS = st.sampled_from(["EQ", "GT", "GE", "LT", "LE"])
+
+
+def _q(lit: str) -> str:
+    return lit.replace("'", "''")
+
+
+def _spec_clauses():
+    str_cmp = st.builds(
+        lambda c, op, v: f"{c} {op} '{_q(v)}'",
+        st.sampled_from(_STR_COLS),
+        _CMP_OPS,
+        st.sampled_from(["TAB3", "ROLL5", "X", "", "CHAR", "O'x", "FLD_00100"]),
+    )
+    num_cmp = st.builds(
+        lambda c, op, v: f"{c} {op} '{v}'",
+        st.sampled_from(_NUM_COLS),
+        _CMP_OPS,
+        st.integers(min_value=-2, max_value=510),
+    )
+    date_cmp = st.builds(
+        lambda op, d: f"ASDATE {op} '{d:%Y%m%d}'", _CMP_OPS, _DATE_LITS
+    )
+    in_str = st.builds(
+        lambda c, vs: f"{c} IN ({', '.join(chr(39) + _q(v) + chr(39) for v in vs)})",
+        st.sampled_from(_STR_COLS),
+        st.lists(
+            st.sampled_from(["TAB3", "ROLL5", "X", "nope", "O'x"]),
+            min_size=1,
+            max_size=3,
+        ),
+    )
+    in_num = st.builds(
+        lambda c, vs: f"{c} IN ({', '.join(chr(39) + str(v) + chr(39) for v in vs)})",
+        st.sampled_from(_NUM_COLS),
+        st.lists(st.integers(min_value=0, max_value=510), min_size=1, max_size=3),
+    )
+    like = st.builds(
+        lambda c, op, v: f"{c} {op} '{_q(v)}'",
+        st.sampled_from(_STR_COLS),
+        st.sampled_from(["STARTSWITH", "ENDSWITH", "CONTAINS"]),
+        st.sampled_from(["TAB", "7", "L1", "FLD_01", "%", "_", "O'x", "3"]),
+    )
+    return st.one_of(str_cmp, num_cmp, date_cmp, in_str, in_num, like)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(_spec_clauses(), min_size=1, max_size=3), st.sampled_from([64, 300]))
+def test_stream_pushdown_equals_batch_pushdown(clauses, pagesize):
+    """stream drain with `pushdown` == batch scan with the same option ==
+    batch scan with the parsed Filters pushed through pushFilters."""
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.sources.saprfc_dsv2 import (
+        SapRfcStreamReader,
+        parse_pushdown_spec,
+    )
+
+    spec = "; ".join(clauses)
+    opts = {"mockrows": "500", "pagesize": str(pagesize), "pushdown": spec}
+    stream = SapRfcStreamReader(opts, FIELDS)
+    s_rows = []
+    for p in stream.partitions(stream.initialOffset(), stream.latestOffset()):
+        for batch in stream.read(p):
+            cols = [batch.column(i).to_pylist() for i in range(batch.num_columns)]
+            s_rows.extend(zip(*cols))
+    s_rows = sorted(s_rows, key=_rkey)
+
+    b_option = SapRfcReader(opts, FIELDS)
+    assert sorted(_scan_rows(b_option), key=_rkey) == s_rows
+
+    b_pushed = SapRfcReader({"mockrows": "500", "pagesize": str(pagesize)}, FIELDS)
+    leftover = list(b_pushed.pushFilters(parse_pushdown_spec(spec, FIELDS)))
+    assert leftover == []
+    assert sorted(_scan_rows(b_pushed), key=_rkey) == s_rows
+
+
 def _parse_like_reader(wa: str):
     """Typed parse of one wire line, mirroring SapRfcReader.read's branch:
     arity mismatch -> all-NULL data columns + the raw line in the corrupt
