@@ -446,6 +446,74 @@ def test_pushdown_spec_grammar_fails_loud():
     assert got[2].value == "7"
 
 
+def test_mock_like_evaluator_matches_sql_like():
+    """The mock transport's LIKE evaluator (regex-compiled, rfc.py) models
+    SAP open-SQL's LIKE; pin it against a real SQL engine's LIKE (DuckDB)
+    over the cross product of fixture-like values and every pattern shape
+    the renderer emits — prefix/suffix/substring wildcards, bare `_`,
+    mixed literals, quote-escaped literals.  Backslash patterns are out of
+    the modeled grammar (the OPTIONS text is ESCAPE-free and engines
+    disagree on default escapes), and the renderer never emits them."""
+    import re as _re
+
+    import duckdb
+
+    vals = [
+        "TAB3", "TAB", "TAB33", "ROLL1", "ROLL10", "ROLL", "FLD_00107",
+        "FLD_01007", "X", "", "CHAR", "NUMC", "O'Brien", "A_B", "A%B",
+        "TAB_", "aTAB3",
+    ]
+    pats = [
+        "TAB3", "TAB%", "%7", "%L1%", "TAB_", "RO%L", "%", "_", "%%",
+        "__", "%O''Brien%", "A_B", "%_%", "T%3", "%B", "A%",
+    ]
+    con = duckdb.connect()
+    diverged = []
+    for v in vals:
+        for p in pats:
+            unq = MockRfcTransport._unq(p)
+            # the mock's compiled form (rfc.py _matches LIKE branch)
+            rx = "".join(
+                ".*" if ch == "%" else "." if ch == "_" else _re.escape(ch)
+                for ch in unq
+            )
+            mock = bool(_re.fullmatch(rx, v))
+            sql = bool(con.execute("SELECT ? LIKE ?", [v, unq]).fetchone()[0])
+            if mock != sql:
+                diverged.append((v, p, mock, sql))
+    assert diverged == [], diverged[:10]
+
+
+def test_stream_pushdown_wire_volume_scales_with_matches():
+    """Scale law for the round-12 stream pushdown: the wire volume grows
+    with the MATCH count, not the table size — at 10x the table, an
+    equality predicate's wire rows grow ~10x the matches (still ~1/7th of
+    the table), while the unpushed stream pulls all 10x rows.  This is the
+    100 TB posture: a streaming extraction of a big SAP table must not
+    pull pages it filters away."""
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.sources.saprfc_dsv2 import (
+        SapRfcStreamReader,
+        _render_options,
+    )
+
+    fields = list(MockRfcTransport.FIELDS)
+    for n in (2500, 25000):
+        r = SapRfcStreamReader(
+            {
+                "mockrows": str(n),
+                "pagesize": "500",
+                "pushdown": "TABNAME EQ 'TAB3'",
+            },
+            fields,
+        )
+        opts = _render_options(r._delegate.accepted, r._delegate._string_fields())
+        t = MockRfcTransport(n_rows=n)
+        wire = len(t.call("DD03L", "`", 0, 10**9, options=opts)["DATA"])
+        expect_match = sum(1 for i in range(n) if i % 7 == 3)
+        assert wire == expect_match  # exactly the server-matching rows
+        assert wire < n / 6  # never the full table
+
+
 def test_in_three_valued_semantics_match_spark(spark):
     """_eval_filter's In must follow SQL three-valued logic, pinned against
     live Spark: v IN (a, b, ...) is an OR of equalities — True on a match,
