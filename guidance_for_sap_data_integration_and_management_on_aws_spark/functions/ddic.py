@@ -107,7 +107,7 @@ def ddic_sql_cast(expr: str, type_code: str, *, decimal_scale: int = 3) -> str:
         # unscaled value its own declared precision forbids — where Spark
         # overflows to NULL.  Bound the rounded result against the exact
         # max decimal(38,scale) value.
-        mx = "9" * (38 - decimal_scale) + "." + "9" * decimal_scale
+        mx = "9" * (38 - decimal_scale) + ("." + "9" * decimal_scale if decimal_scale else "")
         cast = f"TRY_CAST({c} AS DECIMAL(38,{decimal_scale}))"
         return (
             f"CASE WHEN regexp_full_match({c}, '{_SQL_DEC_RX}') "

@@ -65,23 +65,29 @@ def _corpus() -> list[str]:
 
 
 def test_py_cast_is_the_literal_twin_of_ddic_cast(spark):
+    # P runs at three scales (0 and 10 shift the quantize band and the
+    # overflow boundary the r11 advice found broken at the default prec)
+    cells = [(c, 3) for c in CODES] + [("P", 0), ("P", 10)]
     corpus = _corpus()
     df = spark.createDataFrame([(v,) for v in corpus], "v STRING")
     sel = df.select(
         "v",
-        *[ddic_cast(F.col("v"), c, decimal_scale=3).alias(f"c_{c}") for c in CODES],
+        *[
+            ddic_cast(F.col("v"), c, decimal_scale=s).alias(f"c_{c}_{s}")
+            for c, s in cells
+        ],
     )
     got = {r["v"]: r for r in sel.collect()}
     diverged = []
     for v in corpus:
-        for c in CODES:
-            py = _py_cast(v, RfcField("X", c, decimal_scale=3))
-            sp = got[v][f"c_{c}"]
+        for c, s in cells:
+            py = _py_cast(v, RfcField("X", c, decimal_scale=s))
+            sp = got[v][f"c_{c}_{s}"]
             if isinstance(sp, bytearray):
                 sp = bytes(sp)
             eq = (py == sp) or (py is None and sp is None)
             if isinstance(py, float) and isinstance(sp, float):
                 eq = (py == sp) or (py != py and sp != sp)  # NaN == NaN here
             if not eq:
-                diverged.append((c, v, py, sp))
+                diverged.append((c, s, v, py, sp))
     assert diverged == [], diverged[:10]

@@ -65,11 +65,17 @@ def _corpus() -> list[str]:
 
 
 def test_ddic_sql_cast_is_the_duckdb_twin_of_ddic_cast(spark):
+    # P runs at three scales (0 exercises the max-literal's no-fraction
+    # edge, 10 shifts the overflow band) — every other code is scale-free
+    cells = [(c, 3) for c in CODES] + [("P", 0), ("P", 10)]
     corpus = _corpus()
     df = spark.createDataFrame([(v,) for v in corpus], "v STRING")
     sel = df.select(
         "v",
-        *[ddic_cast(F.col("v"), c, decimal_scale=3).alias(f"c_{c}") for c in CODES],
+        *[
+            ddic_cast(F.col("v"), c, decimal_scale=s).alias(f"c_{c}_{s}")
+            for c, s in cells
+        ],
     )
     got = {r["v"]: r for r in sel.collect()}
 
@@ -77,7 +83,7 @@ def test_ddic_sql_cast_is_the_duckdb_twin_of_ddic_cast(spark):
     con.execute("CREATE TABLE t (v VARCHAR)")
     con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in corpus])
     sql = "SELECT v, " + ", ".join(
-        f"{ddic_sql_cast('v', c, decimal_scale=3)} AS c_{c}" for c in CODES
+        f"{ddic_sql_cast('v', c, decimal_scale=s)} AS c_{c}_{s}" for c, s in cells
     ) + " FROM t"
     duck = {
         row[0]: dict(zip([d[0] for d in con.description], row))
@@ -86,8 +92,9 @@ def test_ddic_sql_cast_is_the_duckdb_twin_of_ddic_cast(spark):
 
     diverged = []
     for v in corpus:
-        for c in CODES:
-            s, d = got[v][f"c_{c}"], duck[v][f"c_{c}"]
+        for c, s_ in cells:
+            key = f"c_{c}_{s_}"
+            s, d = got[v][key], duck[v][key]
             if isinstance(s, bytearray):
                 s = bytes(s)
             if isinstance(d, (bytearray, memoryview)):
@@ -96,5 +103,5 @@ def test_ddic_sql_cast_is_the_duckdb_twin_of_ddic_cast(spark):
             if isinstance(s, float) and isinstance(d, float):
                 eq = (s == d) or (s != s and d != d)  # NaN == NaN here
             if not eq:
-                diverged.append((c, v, s, d))
+                diverged.append((c, s_, v, s, d))
     assert diverged == [], diverged[:10]
