@@ -61,6 +61,17 @@ _SQL_INT_RX = "[+-]?[0-9]+"
 _SQL_DEC_RX = "[+-]?([0-9]+(\\.[0-9]*)?|\\.[0-9]+)([eE][+-]?[0-9]+)?"
 
 
+def _sql_trimall(expr: str) -> str:
+    """Spark's cast-internal trim, in RE2: the numeric/decimal/double
+    string casts strip every char <= 0x20 from both ends before parsing
+    (so '\\t5' casts to 5 even though F.trim keeps the tab).  Date parsing
+    and unhex get no such layer — only the numeric branches use this."""
+    return (
+        f"regexp_replace(regexp_replace({expr}, "
+        f"'^[\\x00-\\x20]+', ''), '[\\x00-\\x20]+$', '')"
+    )
+
+
 def ddic_sql_cast(expr: str, type_code: str, *, decimal_scale: int = 3) -> str:
     """DuckDB SQL twin of :func:`ddic_cast`, for authoring oracle queries.
 
@@ -80,11 +91,12 @@ def ddic_sql_cast(expr: str, type_code: str, *, decimal_scale: int = 3) -> str:
     The current registry oracles inline their SQL (written before this
     helper was certified); this is the vetted building block for new ones.
     """
-    c = f"trim({expr})"
+    c = f"trim({expr}, ' ')"  # F.trim twin: ASCII space ONLY
+    w = _sql_trimall(c)  # the numeric casts' internal <=0x20 trim
     if type_code == "N":
         return (
-            f"CASE WHEN regexp_full_match({c}, '{_SQL_INT_RX}') "
-            f"THEN TRY_CAST({c} AS BIGINT) END"
+            f"CASE WHEN regexp_full_match({w}, '{_SQL_INT_RX}') "
+            f"THEN TRY_CAST({w} AS BIGINT) END"
         )
     if type_code == "D":
         return (
@@ -94,7 +106,7 @@ def ddic_sql_cast(expr: str, type_code: str, *, decimal_scale: int = 3) -> str:
     if type_code == "T":
 
         def part(pos: int) -> str:
-            s = f"trim(substring({c},{pos},2))"
+            s = _sql_trimall(f"substring({c},{pos},2)")
             return (
                 f"CASE WHEN regexp_full_match({s}, '{_SQL_INT_RX}') "
                 f"THEN TRY_CAST({s} AS INTEGER) END"
@@ -108,9 +120,9 @@ def ddic_sql_cast(expr: str, type_code: str, *, decimal_scale: int = 3) -> str:
         # overflows to NULL.  Bound the rounded result against the exact
         # max decimal(38,scale) value.
         mx = "9" * (38 - decimal_scale) + ("." + "9" * decimal_scale if decimal_scale else "")
-        cast = f"TRY_CAST({c} AS DECIMAL(38,{decimal_scale}))"
+        cast = f"TRY_CAST({w} AS DECIMAL(38,{decimal_scale}))"
         return (
-            f"CASE WHEN regexp_full_match({c}, '{_SQL_DEC_RX}') "
+            f"CASE WHEN regexp_full_match({w}, '{_SQL_DEC_RX}') "
             f"AND abs({cast}) <= CAST('{mx}' AS DECIMAL(38,{decimal_scale})) "
             f"THEN {cast} END"
         )
@@ -118,15 +130,15 @@ def ddic_sql_cast(expr: str, type_code: str, *, decimal_scale: int = 3) -> str:
         # Spark's double cast accepts a Java trailing f/F/d/D suffix flush
         # against the number, and rejects underscores Python/DuckDB allow
         return (
-            f"CASE WHEN regexp_full_match({c}, '{_SQL_DEC_RX}[fFdD]') "
-            f"THEN TRY_CAST(substring({c}, 1, length({c})-1) AS DOUBLE) "
-            f"WHEN contains({c}, '_') THEN NULL "
-            f"ELSE TRY_CAST({c} AS DOUBLE) END"
+            f"CASE WHEN regexp_full_match({w}, '{_SQL_DEC_RX}[fFdD]') "
+            f"THEN TRY_CAST(substring({w}, 1, length({w})-1) AS DOUBLE) "
+            f"WHEN contains({w}, '_') THEN NULL "
+            f"ELSE TRY_CAST({w} AS DOUBLE) END"
         )
     if type_code in ("I", "s", "b"):
         return (
-            f"CASE WHEN regexp_full_match({c}, '{_SQL_INT_RX}') "
-            f"THEN TRY_CAST({c} AS INTEGER) END"
+            f"CASE WHEN regexp_full_match({w}, '{_SQL_INT_RX}') "
+            f"THEN TRY_CAST({w} AS INTEGER) END"
         )
     if type_code in ("X", "y"):
         # unhex semantics: odd length left-pads a zero nibble; non-hex ->

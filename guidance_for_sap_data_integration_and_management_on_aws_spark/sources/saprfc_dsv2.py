@@ -178,6 +178,17 @@ _HEX_RE = re.compile(r"[0-9a-fA-F]*")
 # integral/double casts do not — both verified by the differential fuzz)
 _DEC_RE = re.compile(r"[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?")
 
+# Spark's TWO trim layers, mirrored exactly (round-12 differential —
+# Python's bare str.strip() strips unicode whitespace and so diverged on
+# wire text with non-space whitespace, in BOTH directions):
+#  * ``F.trim`` strips ONLY the ASCII space — '\t5' stays '\t5';
+#  * the numeric/decimal/double casts internally trim every char <= 0x20
+#    (tab, newline, CR, NUL, control chars) from both ends;
+#  * NOTHING strips unicode whitespace: '\xa05' casts to NULL in Spark
+#    while str.strip() would have eaten the \xa0 and parsed the 5.
+# Date parsing (try_to_date) and unhex get NO second trim layer.
+_CAST_TRIM = "".join(chr(i) for i in range(0x21))
+
 
 def _try_int(v: str, lo: int, hi: int) -> int | None:
     """Spark try_cast-to-integral twin: optional sign + ASCII digits only
@@ -203,25 +214,32 @@ def _py_cast(v: str, f: RfcField) -> Any:
     strict 8-ASCII-digit yyyyMMdd; decimals round HALF_UP to the declared
     scale, NULL on NaN/Infinity/precision overflow; doubles accept a Java
     trailing f/F/d/D suffix; binary follows unhex (odd length left-pads a
-    zero nibble, whitespace is not hex)."""
-    v = v.strip()
+    zero nibble, whitespace is not hex).  Trim semantics follow Spark's
+    two layers exactly (see ``_CAST_TRIM``): ASCII-space trim first (the
+    ``F.trim`` twin), then a <=0x20 trim inside the numeric casts only —
+    never a unicode-whitespace strip."""
+    v = v.strip(" ")  # F.trim twin: ASCII space ONLY
     code = f.type_code
     try:
         if code == "N":
-            return _try_int(v, -(2**63), 2**63 - 1)
+            return _try_int(v.strip(_CAST_TRIM), -(2**63), 2**63 - 1)
         if code == "D":
+            # try_to_date applies no second trim layer (probe: '\t20200130'
+            # is NULL in Spark) — match on the space-trimmed value as-is
             if v == "00000000" or not _DATE8_RE.fullmatch(v):
                 return None
             return datetime.date(int(v[0:4]), int(v[4:6]), int(v[6:8]))
         if code == "T":
-            # each slice trims before the cast, like Spark's try_cast
-            h = _try_int(v[0:2].strip(), -(2**31), 2**31 - 1)
-            m = _try_int(v[2:4].strip(), -(2**31), 2**31 - 1)
-            s = _try_int(v[4:6].strip(), -(2**31), 2**31 - 1)
+            # slices are taken from the space-trimmed value; each slice
+            # then gets the cast's own <=0x20 trim, like Spark's try_cast
+            h = _try_int(v[0:2].strip(_CAST_TRIM), -(2**31), 2**31 - 1)
+            m = _try_int(v[2:4].strip(_CAST_TRIM), -(2**31), 2**31 - 1)
+            s = _try_int(v[4:6].strip(_CAST_TRIM), -(2**31), 2**31 - 1)
             if h is None or m is None or s is None:
                 return None
             return h * 3600 + m * 60 + s
         if code == "P":
+            v = v.strip(_CAST_TRIM)  # the DECIMAL cast's internal trim
             if not _DEC_RE.fullmatch(v):
                 return None
             # Widened precision context: the default Decimal context
@@ -244,6 +262,7 @@ def _py_cast(v: str, f: RfcField) -> Any:
                 return None
             return d
         if code == "F":
+            v = v.strip(_CAST_TRIM)  # the DOUBLE cast's internal trim
             if "_" in v or not v.isascii():
                 return None  # Python float() is laxer than Spark's cast
             try:
@@ -255,8 +274,9 @@ def _py_cast(v: str, f: RfcField) -> Any:
                     return float(v[:-1])
                 raise
         if code in ("I", "s", "b"):
-            return _try_int(v, -(2**31), 2**31 - 1)
+            return _try_int(v.strip(_CAST_TRIM), -(2**31), 2**31 - 1)
         if code in ("X", "y"):
+            # unhex applies no second trim layer ('\t5' is NULL in Spark)
             if not _HEX_RE.fullmatch(v):
                 return None
             return bytes.fromhex("0" + v if len(v) % 2 else v)
@@ -676,7 +696,10 @@ class SapRfcReader(DataSourceReader):
             # unboundedly on a long corrupt run
             if len(cols[n]) >= self.ARROW_BATCH_ROWS:
                 yield flush()
-            parts = line["WA"].strip().split(self.delimiter)
+            # strip(" ") not strip(): the rfc.py parse path trims the WA
+            # line with F.trim (ASCII space only) before splitting, and
+            # the two ingest paths must type the same wire text identically
+            parts = line["WA"].strip(" ").split(self.delimiter)
             if len(parts) != n:
                 if emit_corrupt:
                     for c in cols[:n]:

@@ -48,11 +48,22 @@ HAND_PICKED = [
     "9" * 35, "9" * 35 + ".9995", "9" * 35 + ".9994", "1" * 36,
     "1E-10", "1e37", "1e40", "abcd", "AB", "ab cd", "f", "0f", "8 d",
     "ABCDEF", "xyz", "tab", "  pad  ", "1.٥", "٥.2", "1e٥", "٥e2", "-٥", "+٥",
+    # the whitespace classes (r12 differential — 59 divergent cells on the
+    # first probe): Spark's F.trim strips ONLY the ASCII space, its
+    # numeric casts internally trim <=0x20 (tab/newline/NUL included), and
+    # NOTHING strips unicode whitespace like \xa0 — where Python's bare
+    # str.strip() ate everything.  Both directions were live: '\xa05'
+    # parsed in Python but NULLs in Spark; '\x005' NULLed in Python but
+    # parses in Spark.
+    "\t5", "5\t", "\n5", "\xa05", "5\xa0", "\x005", "5\x00", "\x0b5",
+    "\r5", "\x1f5", " 5", " \t 5 \n ", "\t20200130", "\xa020200130",
+    "\t1.5", "1.5\n", "1.5\x00", "\tabc", "abc\t", "\xa0AB", "\t12d",
 ]
 
 # hostile alphabet: digits, sign/exponent/suffix letters, hex, unicode
-# digits, whitespace, and the NaN/Infinity letters
-ALPHA = "0123456789+-._eEfFdDxXabcdef ٥۳NaninfIy"
+# digits, whitespace (ASCII control, NUL, NBSP, line separator), and the
+# NaN/Infinity letters
+ALPHA = "0123456789+-._eEfFdDxXabcdef ٥۳NaninfIy\t\n\r\x00\x0b\x1f\xa0 "
 
 
 def _corpus() -> list[str]:

@@ -47,12 +47,20 @@ HAND_PICKED = [
     "1E-10", "1e37", "1e40", "abcd", "AB", "ab cd", "f", "0f", "8 d",
     "ABCDEF", "xyz", "tab", "  pad  ", "1.5d", "6f", "0d", "5d", "14.02",
     "0.e6", ".5", "5.", "+.5", "-.", ".", "+", "-", "e5", ".e5",
+    # whitespace classes (r12): F.trim strips ASCII space only, the
+    # numeric casts trim <=0x20 internally, nothing strips \xa0/ .
+    # NUL is excluded here — DuckDB VARCHAR cannot hold it, which also
+    # means no oracle input can ever carry one (domain note).
+    "\t5", "5\t", "\n5", "\xa05", "5\xa0", "\x0b5", "\r5", "\x1f5",
+    " 5", " \t 5 \n ", "\t20200130", "\xa020200130", "\t1.5",
+    "1.5\n", "\tabc", "abc\t", "\xa0AB", "\t12d",
 ]
 
-# hostile ASCII alphabet: digits, sign/exponent/suffix letters, hex,
-# whitespace, and the NaN/Infinity letters (no unicode digits — see the
-# module docstring's domain note)
-ALPHA = "0123456789+-._eEfFdDxXabcdef NaninfIy"
+# hostile alphabet: digits, sign/exponent/suffix letters, hex, whitespace
+# (ASCII control, NBSP, line separator — no NUL, see above), and the
+# NaN/Infinity letters (no unicode digits — see the module docstring's
+# domain note)
+ALPHA = "0123456789+-._eEfFdDxXabcdef NaninfIy\t\n\r\x0b\x1f\xa0 "
 
 
 def _corpus() -> list[str]:

@@ -243,7 +243,7 @@ def _parse_like_reader(wa: str):
     channel; else per-field _py_cast."""
     from guidance_for_sap_data_integration_and_management_on_aws_spark.sources.saprfc_dsv2 import _py_cast
 
-    parts = wa.strip().split("`")
+    parts = wa.strip(" ").split("`")  # F.trim twin: ASCII space only
     if len(parts) != len(FIELDS):
         return tuple([None] * len(FIELDS) + [wa])
     return tuple([_py_cast(p, f) for f, p in zip(FIELDS, parts)] + [None])
