@@ -42,8 +42,10 @@ _PRIORITY = [
     # 2 queries (the suffix/contains OPTIONS rendering leg and the saprfc
     # STREAM pushdown) and changes the saprfc DSv2 read path (the _py_cast
     # decimal-band fix, the three-valued In evaluator, the LIKE-shape
-    # rendering table and the pushdown-spec seeding of `accepted`), so
-    # every query routed through SapRfcReader.read re-greens.  Budget:
+    # rendering table, the pushdown-spec seeding of `accepted`, and the
+    # late-round trim-layer rework — _py_cast/read() now mirror Spark's
+    # space-only F.trim + <=0x20 cast-internal trim instead of str.strip),
+    # so every query routed through SapRfcReader.read re-greens.  Budget:
     #    2 never hash-checked                            -> slots  1-2
     #    6 changed-since-green (the saprfc DSv2 family)  -> slots  3-8
     #   20 r6 greens (the block drains — after this

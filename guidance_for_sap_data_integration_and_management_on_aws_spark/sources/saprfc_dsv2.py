@@ -418,7 +418,12 @@ def _render_options(
     predicate is re-verified on the typed values after parsing, so a filter
     that does NOT render here (unknown literal type, wildcard characters in
     a prefix, non-string LIKE target) still filters correctly — it just
-    rides the wire unfiltered.  Three shapes render:
+    rides the wire unfiltered.  The one obligation this places on a
+    transport: its OPTIONS evaluation must return a SUPERSET of the rows
+    the typed predicates match (re-verification can only narrow) — the
+    property every widen-only note below preserves, and the same
+    server-superset assumption every engine's JDBC-style pushdown makes.
+    Three shapes render:
 
     * comparisons -> ``NAME EQ|GT|GE|LT|LE 'lit'``
     * ``In`` -> ``NAME IN ('a', 'b', ...)`` when every value renders
