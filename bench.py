@@ -211,6 +211,17 @@ round).  The round's two additions price at 0.51-1.65 s
 (saprfc_pushdown_suffix_contains) and 1.85-3.11 s (saprfc_stream_pushdown
 — a full AvailableNow drain through the microbatch engine; its batch twin
 saprfc_pushdown reads 0.5 s).
+
+A FOURTH same-code-class run after the late-round trim-layer rework
+(the only post-run-3 change to a timed path — _py_cast/read() now
+space-trim + <=0x20-trim instead of str.strip): calib 0.488, headline
+13.066 s raw = 0.94x normalized, zero errors, BOTH fused items in-band
+again (7.24 / 7.12 s), and the saprfc family at its steady band
+(saprfc_scan_typed 0.604 s vs 0.60-0.67 s across runs 1-3) — the rework
+is perf-neutral on the hot parse loop.  13 rows >2x normalized, all
+sub-8s absolutes at baseline in runs 1-3 (the rotating-set noise
+signature; none touch the changed code).  bench_out_certified.json now
+holds this final-code run.
 """
 
 from __future__ import annotations
