@@ -222,6 +222,13 @@ is perf-neutral on the hot parse loop.  13 rows >2x normalized, all
 sub-8s absolutes at baseline in runs 1-3 (the rotating-set noise
 signature; none touch the changed code).  bench_out_certified.json now
 holds this final-code run.
+
+Standalone corroboration of the round's noisiest new row,
+saprfc_stream_pushdown (1.85 / 2.44 / 6.65 s in-bench across runs): five
+consecutive warm standalone drains read 2.03-2.23 s @ calib 0.636 — a
+tight ~2.1 s band (microbatch-engine drain dominated), so the 6.65 s
+run-4 reading was position noise and the 3.109 s seeded baseline row is
+conservative-but-in-family.
 """
 
 from __future__ import annotations
