@@ -54,6 +54,11 @@ HAND_PICKED = [
     "\t5", "5\t", "\n5", "\xa05", "5\xa0", "\x0b5", "\r5", "\x1f5",
     " 5", " \t 5 \n ", "\t20200130", "\xa020200130", "\t1.5",
     "1.5\n", "\tabc", "abc\t", "\xa0AB", "\t12d",
+    # exact integral type boundaries: an off-by-one in the overflow-to-NULL
+    # range checks is invisible to random corpora
+    "2147483647", "2147483648", "-2147483648", "-2147483649",
+    "9223372036854775807", "9223372036854775808",
+    "-9223372036854775808", "-9223372036854775809", "+2147483647",
 ]
 
 # hostile alphabet: digits, sign/exponent/suffix letters, hex, whitespace
