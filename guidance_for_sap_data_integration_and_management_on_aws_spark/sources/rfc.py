@@ -45,11 +45,22 @@ DEFAULT_PAGE_SIZE = 100_000  # reference rowCount, pyrfc_read_table.py:33
 
 @dataclass(frozen=True)
 class RfcField:
-    """One FIELDS record: {FIELDNAME, TYPE} (pyrfc_read_table.py:128-133)."""
+    """One FIELDS record: {FIELDNAME, TYPE} (pyrfc_read_table.py:128-133).
+
+    ``length`` is the declared DDIC output length (the BAPI's FIELDS
+    LENGTH column).  It matters for exactly one thing client-side:
+    zero-padding numeric literals rendered against NUMC ('N') columns in
+    OPTIONS text — SAP stores NUMC right-aligned zero-padded and its
+    open-SQL dynamic conditions compare character-wise, so an unpadded
+    ``POSITION GT '250'`` silently misses ``'0999'`` (the classic
+    RFC_READ_TABLE integration gotcha).  0 means unknown: the renderer
+    then skips the clause (rides the wire unfiltered, re-verified typed).
+    """
 
     name: str
     type_code: str  # DDIC one-char code: C N D T P F I X g ...
     decimal_scale: int = 3  # scale for P (packed decimal) fields
+    length: int = 0  # declared output length; 0 = unknown
 
 
 # ---------------------------------------------------------------------------
@@ -79,10 +90,15 @@ class RfcTransport:
     ) -> dict:
         raise NotImplementedError
 
-    def row_count(self, query_table: str) -> int:
-        """Total rows, used for partition planning.  A live SAP transport
+    def row_count(self, query_table: str, options: Sequence[str] = ()) -> int:
+        """Total rows, used for partition planning.  With ``options`` (the
+        same OPTIONS lines ``call`` will receive), the count of rows the
+        server's WHERE evaluation keeps — the page-planning input for a
+        pushed-down scan, so the planner never schedules RFC round trips
+        for pages past the filtered stream's end.  A live SAP transport
         implements this with a COUNT(*) RFC call (or the caller passes an
-        estimate to ``read_rfc_table``)."""
+        estimate to ``read_rfc_table`` / the ``totalrows`` option, at the
+        documented cost of over-planning empty pages under pushdown)."""
         raise NotImplementedError
 
 
@@ -139,7 +155,7 @@ class PyRfcTransport(RfcTransport):
             kwargs["FIELDS"] = [{"FIELDNAME": f} for f in fields]
         return self._conn.call(RFC_READ_FUNCTION, **kwargs)
 
-    def row_count(self, query_table: str) -> int:
+    def row_count(self, query_table: str, options: Sequence[str] = ()) -> int:
         raise NotImplementedError(
             "live RFC has no cheap row count; pass totalrows to the reader"
         )
@@ -151,14 +167,14 @@ class MockRfcTransport(RfcTransport):
     §B — seed-stable, ~5% malformed rows, initial dates, bad N values."""
 
     FIELDS: tuple[RfcField, ...] = (
-        RfcField("TABNAME", "C"),
-        RfcField("FIELDNAME", "C"),
-        RfcField("POSITION", "N"),
-        RfcField("KEYFLAG", "C"),
-        RfcField("ROLLNAME", "C"),
-        RfcField("DATATYPE", "C"),
-        RfcField("LENG", "N"),
-        RfcField("ASDATE", "D"),
+        RfcField("TABNAME", "C", length=30),
+        RfcField("FIELDNAME", "C", length=30),
+        RfcField("POSITION", "N", length=4),
+        RfcField("KEYFLAG", "C", length=1),
+        RfcField("ROLLNAME", "C", length=30),
+        RfcField("DATATYPE", "C", length=4),
+        RfcField("LENG", "N", length=3),
+        RfcField("ASDATE", "D", length=8),
     )
 
     def __init__(self, n_rows: int = 2500):
@@ -185,8 +201,10 @@ class MockRfcTransport(RfcTransport):
             vals = [vals[j] for j in keep]
         return DEFAULT_DELIMITER.join(vals)
 
-    def row_count(self, query_table: str) -> int:
-        return self.n_rows
+    def row_count(self, query_table: str, options: Sequence[str] = ()) -> int:
+        if not options:
+            return self.n_rows
+        return sum(1 for i in range(self.n_rows) if self._matches(i, options))
 
     _OPT_RE = re.compile(r"^(\w+)\s+(EQ|NE|GT|GE|LT|LE)\s+'(.*)'$")
     _OPT_IN_RE = re.compile(r"^(\w+)\s+IN\s+\((.*)\)$")
@@ -199,29 +217,30 @@ class MockRfcTransport(RfcTransport):
         quoted literal; the server reads them back as one."""
         return lit.replace("''", "'")
 
-    @staticmethod
-    def _coerced_eq(v: str, lit: str) -> bool:
-        """NUMC-style equality: numeric when both sides parse as ints."""
-        try:
-            return int(v) == int(lit)
-        except ValueError:
-            return v == lit
-
     def _matches(self, i: int, options: Sequence[str]) -> bool:
-        """Server-side OPTIONS evaluation (what SAP's open-SQL WHERE does):
-        NUMC-style numeric coercion when both sides parse as ints, else
-        trimmed-string comparison.  Supports comparison lines
-        (``NAME OP 'lit'``), ``NAME IN ('a', 'b')`` value lists, and
-        ``NAME LIKE 'pat'`` with SQL ``%``/``_`` wildcards — the three
-        shapes the DSv2 client renders (saprfc_dsv2._render_options)."""
+        """Server-side OPTIONS evaluation (what SAP's open-SQL dynamic
+        WHERE does over char-class columns): CHARACTER comparison against
+        the stored representation — NUMC values are compared as the
+        zero-padded text they are stored as, never numerically coerced.
+        This is the well-known RFC_READ_TABLE behavior that makes clients
+        zero-pad NUMC literals (``'0999' GT '250'`` is FALSE char-wise);
+        the round-12 mock coerced both sides to int when they parsed,
+        which hid exactly that client bug from the fuzz suite (r12 advice).
+        Values trim with ``.strip(' ')`` (ASCII space only), mirroring the
+        client's F.trim twin — bare ``str.strip()`` eats unicode
+        whitespace the client keeps (r12 advice, second item).  Supports
+        comparison lines (``NAME EQ|NE|GT|GE|LT|LE 'lit'``),
+        ``NAME IN ('a', 'b')`` value lists, and ``NAME LIKE 'pat'`` with
+        SQL ``%``/``_`` wildcards — the shapes the DSv2 client renders
+        (saprfc_dsv2._render_options)."""
         names = [f.name for f in self.FIELDS]
-        raw = dict(zip(names, (v.strip() for v in self._vals(i))))
+        raw = dict(zip(names, (v.strip(" ") for v in self._vals(i))))
         for opt in options:
             if m := self._OPT_IN_RE.match(opt):
                 name, body = m.groups()
                 v = raw[name]
                 lits = [self._unq(x) for x in self._IN_LIT_RE.findall(body)]
-                if not any(self._coerced_eq(v, lit) for lit in lits):
+                if not any(v == lit for lit in lits):
                     return False
                 continue
             if m := self._OPT_LIKE_RE.match(opt):
@@ -239,11 +258,7 @@ class MockRfcTransport(RfcTransport):
             if not m:
                 raise ValueError(f"unparseable OPTIONS line: {opt!r}")
             name, op, lit = m.groups()
-            v, lit = raw[name], self._unq(lit)
-            try:
-                a, b = int(v), int(lit)
-            except ValueError:
-                a, b = v, lit
+            a, b = raw[name], self._unq(lit)
             ok = {
                 "EQ": a == b,
                 "NE": a != b,
@@ -272,7 +287,12 @@ class MockRfcTransport(RfcTransport):
         ids = list(ids)[rowskips : rowskips + rowcount]
         rows = [{"WA": self._row(i, keep)} for i in ids]
         return {
-            "FIELDS": [{"FIELDNAME": f.name, "TYPE": f.type_code} for f in meta],
+            # LENGTH is the BAPI's declared output length column — the
+            # client needs it to zero-pad NUMC literals in OPTIONS text
+            "FIELDS": [
+                {"FIELDNAME": f.name, "TYPE": f.type_code, "LENGTH": f.length}
+                for f in meta
+            ],
             "OUT_TABLE": "DATA",
             "DATA": rows,
         }
@@ -301,7 +321,10 @@ def read_rfc_table(
     """
     probe = transport_factory()
     meta = probe.call(query_table, delimiter, 0, 1)
-    fields = [RfcField(f["FIELDNAME"], f["TYPE"]) for f in meta["FIELDS"]]
+    fields = [
+        RfcField(f["FIELDNAME"], f["TYPE"], length=int(f.get("LENGTH", 0)))
+        for f in meta["FIELDS"]
+    ]
     n = total_rows if total_rows is not None else probe.row_count(query_table)
     n_pages = max(1, math.ceil(n / page_size))
 

@@ -12,16 +12,21 @@ as a first-class Spark source:
 * **filter pushdown** (P7) — ``pushFilters`` renders supported predicates
   into the BAPI's ``OPTIONS`` where-clause text, the parameter the
   reference never passes (absence at `pyrfc_read_table.py:71`): comparison
-  lines (``EQ/GT/GE/LT/LE``), ``In`` value lists (``NAME IN ('a', 'b')``),
-  and the three string predicates as LIKE patterns — ``StringStartsWith``
-  -> ``NAME LIKE 'x%'``, ``StringEndsWith`` -> ``'%x'``,
-  ``StringContains`` -> ``'%x%'`` (string-typed columns only).  The
-  source re-verifies every accepted predicate on the
-  typed values after parsing, so pushdown is an optimization, never a
-  semantics change; transports are free to apply OPTIONS only
-  approximately.  The whole contract is hypothesis-fuzzed
-  (tests/test_saprfc_pushdown_fuzz.py): pushed scan == unpushed scan +
-  predicates, for random filter/limit compositions.
+  lines (``EQ/GT/GE/LT/LE``, plus ``Not`` complements — ``Not(EqualTo)``
+  -> ``NE``, ``Not(GreaterThan)`` -> ``LE``, ...), ``In`` value lists
+  (``NAME IN ('a', 'b')``), and the three string predicates as LIKE
+  patterns — ``StringStartsWith`` -> ``NAME LIKE 'x%'``,
+  ``StringEndsWith`` -> ``'%x'``, ``StringContains`` -> ``'%x%'``
+  (string-typed columns only).  Because the server evaluates OPTIONS as
+  an open-SQL dynamic WHERE (character comparison over char-class
+  columns), literals render only in order-preserving wire form — NUMC
+  literals zero-padded to the declared field LENGTH, dates as yyyyMMdd
+  (see :func:`_wire_literal`).  The source re-verifies every accepted
+  predicate on the typed values after parsing, so pushdown is an
+  optimization, never a semantics change; transports are free to apply
+  OPTIONS only approximately (superset obligation).  The whole contract
+  is hypothesis-fuzzed (tests/test_saprfc_pushdown_fuzz.py): pushed scan
+  == unpushed scan + predicates, for random filter/limit compositions.
 * **projection pushdown** (P8) — the ``fields`` option → the BAPI's
   ``FIELDS`` input parameter; only requested columns cross the wire.
   (Spark's Python DS API has no column-pruning hook yet, so projection is
@@ -392,6 +397,21 @@ _OPTIONS_OPS = {
     LessThanOrEqual: "LE",
 }
 
+# odd-Not complement: Not(cmp) renders as the opposite operator.  Over
+# non-null values Not(v > lit) IS v <= lit, and rows whose typed value is
+# NULL are dropped by the re-verification regardless of what the server
+# did with them, so the complement is exactly as safe as the positive op.
+# EqualNullSafe is deliberately ABSENT: Not(EqualNullSafe(lit)) is TRUE for
+# v = NULL when lit is non-null, and a server NE could drop such a row
+# (narrowing).  In/LIKE/null-checks under Not don't render either.
+_NEG_OPTIONS_OPS = {
+    EqualTo: "NE",
+    GreaterThan: "LE",
+    GreaterThanOrEqual: "LT",
+    LessThan: "GE",
+    LessThanOrEqual: "GT",
+}
+
 # string predicate -> the (prefix, suffix) wildcards of its LIKE pattern
 _LIKE_SHAPES = {
     StringStartsWith: ("", "%"),
@@ -400,51 +420,110 @@ _LIKE_SHAPES = {
 }
 
 
-def _sap_literal(v: Any) -> str | None:
-    if isinstance(v, datetime.date):
-        return v.strftime("%Y%m%d")
-    if isinstance(v, (str, int)):
-        return str(v).replace("'", "''")
+def _wire_literal(v: Any, f: RfcField | None) -> str | None:
+    """Render a typed filter literal as OPTIONS wire text for column ``f``,
+    or None when no CHAR-SEMANTICS-SAFE rendering exists.
+
+    The server evaluates OPTIONS as an open-SQL dynamic WHERE: char-class
+    columns compare CHARACTER-wise against the stored representation, so a
+    literal is renderable only when its wire text occupies the same ordered
+    domain as the stored text:
+
+    * ``C``/``g`` (char): the typed value IS the trimmed stored text —
+      render the string as-is (quotes escape by doubling).
+    * ``D`` (DATS): stored as fixed-width ``yyyyMMdd``, whose lexicographic
+      order is date order — render via strftime.
+    * ``N`` (NUMC): stored RIGHT-ALIGNED ZERO-PADDED to the declared
+      length; an unpadded literal silently misses rows (``'0999' GT '250'``
+      is false char-wise — the classic RFC_READ_TABLE gotcha, r12 advice).
+      Render ``str(v).zfill(length)`` when the declared length is known,
+      the literal is a non-negative int, and it fits the width; otherwise
+      skip (a wider-than-field literal has no char-order-preserving
+      rendering: ``'9999' > '12345'`` char-wise but 9999 < 12345).
+    * everything else (``T`` seconds-since-midnight, ``P``/``F`` numerics,
+      ``X`` binary, ``I`` ints): the typed domain differs from the stored
+      text (or the storage isn't char-class at all), so no rendering — the
+      predicate rides the wire unfiltered and the typed re-verification
+      applies it exactly.
+    """
+    if f is None:
+        return None
+    code = f.type_code
+    if code == "D":
+        return v.strftime("%Y%m%d") if isinstance(v, datetime.date) else None
+    if code == "N":
+        if (
+            isinstance(v, int)
+            and not isinstance(v, bool)
+            and v >= 0
+            and f.length > 0
+            and len(str(v)) <= f.length
+        ):
+            return str(v).zfill(f.length)
+        return None
+    if code in ("C", "g"):
+        return v.replace("'", "''") if isinstance(v, str) else None
     return None
 
 
-def _render_options(
-    filters: Sequence[Filter], string_fields: frozenset[str] = frozenset()
-) -> list[str]:
+def _render_options(filters: Sequence[Filter], fields: Sequence[RfcField]) -> list[str]:
     """ABAP-ish OPTIONS where-clause lines for the pushable subset
     (RFC_READ_TABLE2's OPTIONS parameter, public BAPI interface).
 
     Rendering is an optimization, never a semantics change: every accepted
     predicate is re-verified on the typed values after parsing, so a filter
-    that does NOT render here (unknown literal type, wildcard characters in
-    a prefix, non-string LIKE target) still filters correctly — it just
-    rides the wire unfiltered.  The one obligation this places on a
-    transport: its OPTIONS evaluation must return a SUPERSET of the rows
-    the typed predicates match (re-verification can only narrow) — the
-    property every widen-only note below preserves, and the same
-    server-superset assumption every engine's JDBC-style pushdown makes.
-    Three shapes render:
+    that does NOT render here (unknown literal type, unpaddable NUMC
+    literal, wildcard characters in a prefix, non-string LIKE target) still
+    filters correctly — it just rides the wire unfiltered.  The one
+    obligation this places on a transport: its OPTIONS evaluation must
+    return a SUPERSET of the rows the typed predicates match
+    (re-verification can only narrow) — the same server-superset assumption
+    every engine's JDBC-style pushdown makes.  Because open-SQL dynamic
+    conditions compare char-class columns CHARACTER-wise, only literals
+    whose wire text preserves the typed order render at all
+    (:func:`_wire_literal`); binary/codepage collation differences on
+    non-ASCII data remain the transport's documented obligation.  Shapes:
 
     * comparisons -> ``NAME EQ|GT|GE|LT|LE 'lit'``
+    * ``Not`` over a comparison -> the complement operator
+      (``Not(EqualTo)`` -> ``NAME NE 'lit'``, ``Not(GreaterThan)`` ->
+      ``LE``, ...); a double ``Not`` unwraps back to the positive shape
     * ``In`` -> ``NAME IN ('a', 'b', ...)`` when every value renders
+      (all-or-nothing: a partial list could only be justified value by
+      value, and skipping the clause is always safe)
     * ``StringStartsWith`` / ``StringEndsWith`` / ``StringContains`` ->
       ``NAME LIKE 'x%'`` / ``'%x'`` / ``'%x%'`` — only for string-typed
-      fields (``string_fields``; a LIKE against a NUMC/DATS column would
-      match raw text the typed re-verification then rejects).  A ``%``/
-      ``_`` inside the literal is NOT escaped (the OPTIONS grammar kept
-      ESCAPE-free): the server reads it as a wildcard, which only ever
-      WIDENS the match — every string containing the literal substring
-      still matches the pattern char-for-char — so extra rows ride the
-      wire and the typed re-verification drops them; the match never
-      narrows.
+      fields (a LIKE against a NUMC/DATS column would match raw text the
+      typed re-verification then rejects).  A ``%``/``_`` inside the
+      literal is NOT escaped (the OPTIONS grammar kept ESCAPE-free): the
+      server reads it as a wildcard, which only ever WIDENS the match, and
+      the typed re-verification restores exact semantics.
     """
+    by_name = {f.name: f for f in fields}
+    string_fields = frozenset(
+        f.name for f in fields if isinstance(_spark_type(f), StringType)
+    )
     out = []
     for flt in filters:
+        neg = False
+        while isinstance(flt, Not):
+            neg = not neg
+            flt = flt.child
+        if neg:
+            op = _NEG_OPTIONS_OPS.get(type(flt))
+            if op is None:
+                continue
+            name = flt.attribute[-1]
+            lit = _wire_literal(flt.value, by_name.get(name))
+            if lit is not None:
+                out.append(f"{name} {op} '{lit}'")
+            continue
         if isinstance(flt, In):
-            lits = [_sap_literal(v) for v in flt.value]
+            name = flt.attribute[-1]
+            lits = [_wire_literal(v, by_name.get(name)) for v in flt.value]
             if lits and all(lit is not None for lit in lits):
                 vals = ", ".join(f"'{lit}'" for lit in lits)
-                out.append(f"{flt.attribute[-1]} IN ({vals})")
+                out.append(f"{name} IN ({vals})")
             continue
         shape = _LIKE_SHAPES.get(type(flt))
         if shape is not None:
@@ -456,9 +535,15 @@ def _render_options(
                 out.append(f"{name} LIKE '{pre}{esc}{post}'")
             continue
         op = _OPTIONS_OPS.get(type(flt))
-        lit = _sap_literal(getattr(flt, "value", None))
-        if op and lit is not None:
-            out.append(f"{flt.attribute[-1]} {op} '{lit}'")
+        if op is None and isinstance(flt, EqualNullSafe) and flt.value is not None:
+            # v <=> lit with a non-null literal is satisfied only by
+            # non-null v == lit, exactly EQ's server-kept set
+            op = "EQ"
+        if op is not None:
+            name = flt.attribute[-1]
+            lit = _wire_literal(getattr(flt, "value", None), by_name.get(name))
+            if lit is not None:
+                out.append(f"{name} {op} '{lit}'")
     return out
 
 
@@ -472,12 +557,18 @@ def _render_options(
 # text, and read() re-verifies every predicate on the typed parsed values, so
 # the spec is an optimization the server may apply only approximately.
 
-_SPEC_CMP_RE = re.compile(r"^(\w+)\s+(EQ|GT|GE|LT|LE)\s+'((?:[^']|'')*)'$")
+_SPEC_CMP_RE = re.compile(r"^(\w+)\s+(EQ|NE|GT|GE|LT|LE)\s+'((?:[^']|'')*)'$")
 _SPEC_IN_RE = re.compile(r"^(\w+)\s+IN\s+\((.*)\)$")
 _SPEC_STR_RE = re.compile(
     r"^(\w+)\s+(STARTSWITH|ENDSWITH|CONTAINS)\s+'((?:[^']|'')*)'$"
 )
 _SPEC_LIT_RE = re.compile(r"'((?:[^']|'')*)'")
+# an IN body must be EXACTLY a comma-separated quoted-literal list — findall
+# alone would silently ignore junk between literals ("IN ('a' OR 'b')" would
+# parse as IN ('a','b')), contradicting the fail-loud contract (r12 advice)
+_SPEC_IN_BODY_RE = re.compile(
+    r"^\s*'(?:[^']|'')*'(?:\s*,\s*'(?:[^']|'')*')*\s*$"
+)
 
 _SPEC_CMP_FILTERS = {
     "EQ": EqualTo,
@@ -519,7 +610,9 @@ def parse_pushdown_spec(spec: str, fields: Sequence[RfcField]) -> list[Filter]:
 
     Grammar (clauses joined with ';', evaluated as a conjunction)::
 
-        NAME EQ|GT|GE|LT|LE 'lit'     comparison against a typed literal
+        NAME EQ|NE|GT|GE|LT|LE 'lit'  comparison against a typed literal
+                                      (NE parses to Not(EqualTo) — the
+                                      batch path's != shape)
         NAME IN ('a', 'b', ...)       membership (typed literals)
         NAME STARTSWITH|ENDSWITH|CONTAINS 'lit'   string predicates
 
@@ -549,13 +642,22 @@ def parse_pushdown_spec(spec: str, fields: Sequence[RfcField]) -> list[Filter]:
         if m := _SPEC_CMP_RE.match(clause):
             name, op, lit = m.groups()
             f = field_of(name)
-            out.append(_SPEC_CMP_FILTERS[op]((name,), _typed_literal(_spec_unq(lit), f)))
+            typed = _typed_literal(_spec_unq(lit), f)
+            if op == "NE":
+                out.append(Not(EqualTo((name,), typed)))
+            else:
+                out.append(_SPEC_CMP_FILTERS[op]((name,), typed))
         elif m := _SPEC_IN_RE.match(clause):
             name, body = m.groups()
             f = field_of(name)
-            lits = [_spec_unq(x) for x in _SPEC_LIT_RE.findall(body)]
-            if not lits:
+            if not body.strip():
                 raise ValueError(f"empty IN list in pushdown clause {clause!r}")
+            if not _SPEC_IN_BODY_RE.match(body):
+                raise ValueError(
+                    f"malformed IN list in pushdown clause {clause!r}; "
+                    "expected a comma-separated list of quoted literals"
+                )
+            lits = [_spec_unq(x) for x in _SPEC_LIT_RE.findall(body)]
             out.append(In((name,), tuple(_typed_literal(x, f) for x in lits)))
         elif m := _SPEC_STR_RE.match(clause):
             name, op, lit = m.groups()
@@ -569,15 +671,81 @@ def parse_pushdown_spec(spec: str, fields: Sequence[RfcField]) -> list[Filter]:
         else:
             raise ValueError(
                 f"unparseable pushdown clause {clause!r}; expected "
-                "\"NAME EQ|GT|GE|LT|LE 'lit'\", \"NAME IN ('a', 'b')\" or "
+                "\"NAME EQ|NE|GT|GE|LT|LE 'lit'\", \"NAME IN ('a', 'b')\" or "
                 "\"NAME STARTSWITH|ENDSWITH|CONTAINS 'lit'\""
             )
     return out
 
 
+_SPEC_CMP_OPS = {v: k for k, v in _SPEC_CMP_FILTERS.items()}
+_SPEC_STR_OPS = {v: k for k, v in _SPEC_STR_FILTERS.items()}
+
+
+def _spec_q(lit: Any) -> str:
+    """Quote a literal for the spec grammar (the inverse of the parse's
+    unescape + ``_typed_literal``): ints/Decimals/dates render as the text
+    the column's cast parses back to the same value."""
+    if isinstance(lit, datetime.date):
+        text = lit.strftime("%Y%m%d")
+    else:
+        text = str(lit)
+    if ";" in text:
+        # the documented grammar limit: ';' separates clauses and cannot
+        # appear inside a literal — fail loud instead of emitting a spec
+        # that parses into two broken halves
+        raise ValueError(f"pushdown spec literals cannot contain ';': {lit!r}")
+    return "'" + text.replace("'", "''") + "'"
+
+
+def render_pushdown_spec(filters: Sequence[Filter]) -> str:
+    """Inverse of :func:`parse_pushdown_spec`: Filter dataclasses -> the
+    ``pushdown`` option's clause text.  The round-trip law — parsing the
+    rendered spec yields filters whose typed re-verification selects the
+    SAME rows as the originals — is property-tested
+    (tests/test_spec_roundtrip.py), which pins the seam the stream path
+    opened in round 12 (spec text is the stream's only pushdown surface).
+    Raises on shapes the grammar cannot express (``Not`` other than
+    ``Not(EqualTo)``, null checks, non-renderable literal types)."""
+    clauses = []
+    for flt in filters:
+        if isinstance(flt, Not):
+            if isinstance(flt.child, EqualTo):
+                c = flt.child
+                clauses.append(f"{c.attribute[-1]} NE {_spec_q(c.value)}")
+                continue
+            raise ValueError(f"spec grammar cannot express {flt!r}")
+        if isinstance(flt, In):
+            vals = ", ".join(_spec_q(v) for v in flt.value)
+            clauses.append(f"{flt.attribute[-1]} IN ({vals})")
+            continue
+        if (op := _SPEC_CMP_OPS.get(type(flt))) is not None or (
+            op := _SPEC_STR_OPS.get(type(flt))
+        ) is not None:
+            clauses.append(f"{flt.attribute[-1]} {op} {_spec_q(flt.value)}")
+            continue
+        raise ValueError(f"spec grammar cannot express {flt!r}")
+    return "; ".join(clauses)
+
+
 class _PagePartition(InputPartition):
-    def __init__(self, page: int):
-        self.page = page
+    """One ROWSKIPS/ROWCOUNT wire call: rows [skip, skip+count) of the
+    server-side stream (post-OPTIONS-filter, SAP's filter-then-page
+    semantics).  Explicit (skip, count) instead of a page index so the
+    stream path's ROW-based offsets can plan partitions across trigger
+    boundaries that don't align to pages (a page-indexed partition would
+    strand the tail of a partially-revealed page forever)."""
+
+    def __init__(self, skip: int, count: int):
+        self.skip = skip
+        self.count = count
+
+
+def _plan_pages(start_row: int, end_row: int, page_size: int) -> list[_PagePartition]:
+    """Page-size-bounded partitions covering rows [start_row, end_row)."""
+    return [
+        _PagePartition(skip, min(page_size, end_row - skip))
+        for skip in range(start_row, end_row, page_size)
+    ]
 
 
 class SapRfcReader(DataSourceReader):
@@ -618,6 +786,13 @@ class SapRfcReader(DataSourceReader):
             f.name for f in self.fields if isinstance(_spark_type(f), StringType)
         )
 
+    def wire_options(self) -> list[str]:
+        """The OPTIONS lines read() will put on the wire for the currently
+        accepted filters — shared by partition planning (filtered row
+        counts) so the planner and the fetch see the SAME server-side
+        stream."""
+        return _render_options(self.accepted, self.fields)
+
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
         known = {f.name for f in self.fields}
 
@@ -635,11 +810,23 @@ class SapRfcReader(DataSourceReader):
             yield flt  # unsupported -> Spark applies it
 
     def partitions(self) -> list[InputPartition]:
-        transport = _transport_from_options(self.options)
-        n = int(self.options.get("totalrows", 0)) or transport.row_count(self.table)
+        """Plan one partition per ROWSKIPS/ROWCOUNT page of the SERVER-SIDE
+        stream.  With pushed filters the count is the FILTERED row count
+        (``row_count(table, options)``) — the server filters before paging,
+        so planning from the unfiltered size would schedule empty RFC round
+        trips for every page past the filtered stream's end (r12 advice).
+        An explicit ``totalrows`` estimate takes precedence (live transports
+        have no cheap COUNT) at that documented over-planning cost."""
+        n = int(self.options.get("totalrows", 0))
+        if not n:
+            transport = _transport_from_options(self.options)
+            n = transport.row_count(self.table, options=self.wire_options())
         if self.limit is not None:
             n = min(n, self.limit)  # fewer planned pages, not a post-scan limit
-        return [_PagePartition(p) for p in range(max(1, math.ceil(n / self.page_size)))]
+        # a degenerate empty plan still issues one probe call (Spark wants
+        # >=1 partition); ROWCOUNT=1 not 0 — 0 means "no restriction" to a
+        # live server, a silent full fetch
+        return _plan_pages(0, n, self.page_size) or [_PagePartition(0, 1)]
 
     # rows per emitted Arrow batch: bounds builder memory at production page
     # sizes (a 100k-row page becomes ~10 batches) without per-row overhead
@@ -653,18 +840,15 @@ class SapRfcReader(DataSourceReader):
         import pyarrow as pa
 
         transport = _transport_from_options(self.options)
-        skip = partition.page * self.page_size
-        count = self.page_size
-        if self.limit is not None:
-            # the final planned page truncates its ROWCOUNT to the limit
-            # boundary, so the wire never carries a row past the bound
-            count = min(count, self.limit - skip)
+        # skip/count are planned by partitions() — page-size-bounded slices
+        # of the server-filtered stream, the final one truncated to the
+        # limit/count boundary so the wire never carries a row past it
         res = transport.call(
             self.table,
             self.delimiter,
-            skip,
-            count,
-            options=_render_options(self.accepted, self._string_fields()),
+            partition.skip,
+            partition.count,
+            options=self.wire_options(),
             fields=[f.name for f in self.fields],
         )
         fields = self.fields
@@ -727,31 +911,43 @@ class SapRfcStreamReader(DataSourceStreamReader):
     """Streaming twin of :class:`SapRfcReader` (S9 x M7): the reference's
     serial ``ROWSKIPS/ROWCOUNT`` page loop
     (`pyrfc_read_table/pyrfc_read_table.py:66-83`) recast as a Structured
-    Streaming source — each microbatch covers the page range
-    ``[startOffset.page, latestOffset.page)``, one InputPartition per page,
-    executors fetch pages concurrently, and the engine checkpoints the page
-    offset exactly like a Kafka offset.  This is the incremental-extraction
-    posture: a live deployment replaces ``row_count`` with the table's
-    current size and each trigger drains only newly appended pages.  Reuses
-    the batch reader's Arrow-batched parse.
+    Streaming source — each microbatch covers the ROW range
+    ``[startOffset.row, latestOffset.row)`` of the server-side stream,
+    split into page-size-bounded InputPartitions that executors fetch
+    concurrently, and the engine checkpoints the row offset exactly like a
+    Kafka offset.  Reuses the batch reader's Arrow-batched parse.
+
+    **Incremental extraction** (round-13, was frozen-at-construction):
+    ``latestOffset()`` re-queries ``transport.row_count`` on EVERY call, so
+    a long-running stream observes table growth — each trigger drains
+    exactly the rows appended since the last one (``saprfc_stream_
+    incremental`` in the registry; per-trigger wire bounds in
+    tests/test_saprfc_source.py).  Offsets are ROWS, not pages: a trigger
+    boundary rarely lands on a page edge, and a page-indexed offset would
+    strand the tail of a partially-revealed page forever.  The offset is
+    monotonic (a shrinking count — estimate jitter, table reorg — never
+    rewinds it; appended rows surface on the next growth past the
+    high-water mark).  An explicit ``totalrows`` option freezes the size
+    (test override / live estimate where COUNT is unavailable), which
+    deliberately disables growth observation.
 
     **Filter pushdown** (round-12): the ``pushdown`` reader option — a
     conjunctive clause string, grammar in :func:`parse_pushdown_spec` —
     becomes the delegate's accepted-filter list, so the stream reuses the
     batch path verbatim: ``_render_options`` puts the predicates on the
     wire as BAPI OPTIONS text and ``read()`` re-verifies them on the typed
-    values.  Without it, a streaming consumer of a big SAP table pulls
-    every row of every page while the batch reader pushes.  (Spark's
+    values.  Offsets then count rows of the FILTERED stream
+    (``row_count(table, options)`` — also what stops the planner
+    scheduling empty RFC round trips past the filtered end, r12 advice);
+    append-only growth keeps filtered positions stable, the same
+    filter-then-page contract the batch planner uses.  (Spark's
     DataSourceStreamReader has no pushFilters hook, hence the explicit
     option — the same API gap as P8/P9 on the batch side.)"""
 
     def __init__(self, options: dict, fields: list[RfcField]):
-        # no LIMIT pushdown in the stream path: the batch reader's read()
-        # truncates page ROWCOUNTs to the bound, which against this
-        # reader's limit-less page planning would send ROWCOUNT<=0 calls
-        # for pages past the bound (ROWCOUNT=0 means "no restriction" to a
-        # live RFC server — a silent full re-fetch into the stream).
-        # Silently stripping the option would hand a user who asked for a
+        # no LIMIT pushdown in the stream path: a bounded stream is a
+        # contradiction here (the stream's job is to follow growth);
+        # silently stripping the option would hand a user who asked for a
         # bounded stream a full-table stream with no signal, so fail loud.
         if "maxrows" in options:
             raise ValueError(
@@ -760,26 +956,32 @@ class SapRfcStreamReader(DataSourceStreamReader):
                 "the stream downstream or use the batch reader"
             )
         self._delegate = SapRfcReader(options, fields)
-        transport = _transport_from_options(options)
-        n = int(options.get("totalrows", 0)) or transport.row_count(
-            self._delegate.table
-        )
-        self._n_pages = max(1, math.ceil(n / self._delegate.page_size))
+        # one driver-side transport, held for the stream's lifetime:
+        # latestOffset() polls it once per trigger (a live deployment keeps
+        # one RFC connection instead of reconnecting per trigger)
+        self._transport = _transport_from_options(options)
+        self._totalrows = int(options.get("totalrows", 0))
+        self._latest_row = 0  # high-water mark; offsets never regress
 
     def initialOffset(self) -> dict:
-        return {"page": 0}
+        return {"row": 0}
 
     def latestOffset(self) -> dict:
-        return {"page": self._n_pages}
+        n = self._totalrows or self._transport.row_count(
+            self._delegate.table, options=self._delegate.wire_options()
+        )
+        if n > self._latest_row:
+            self._latest_row = n
+        return {"row": self._latest_row}
 
     def partitions(self, start: dict, end: dict):
-        return [_PagePartition(p) for p in range(start["page"], end["page"])]
+        return _plan_pages(start["row"], end["row"], self._delegate.page_size)
 
     def read(self, partition: _PagePartition):
         return self._delegate.read(partition)
 
     def commit(self, end: dict) -> None:
-        pass  # page progress is tracked by the engine's offset log
+        pass  # row progress is tracked by the engine's offset log
 
 
 class SapRfcDataSource(DataSource):
@@ -797,7 +999,10 @@ class SapRfcDataSource(DataSource):
             0,
             1,
         )
-        fields = [RfcField(f["FIELDNAME"], f["TYPE"]) for f in meta["FIELDS"]]
+        fields = [
+            RfcField(f["FIELDNAME"], f["TYPE"], length=int(f.get("LENGTH", 0)))
+            for f in meta["FIELDS"]
+        ]
         if "fields" in self.options:  # P8: projection -> BAPI FIELDS param
             want = [w.strip() for w in self.options["fields"].split(",")]
             by_name = {f.name: f for f in fields}

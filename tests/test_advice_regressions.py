@@ -214,7 +214,7 @@ def test_corrupt_run_honors_arrow_batch_bound(monkeypatch):
     )
 
     class _CorruptRunTransport:
-        def row_count(self, table):
+        def row_count(self, table, options=()):
             return 101
 
         def call(self, table, delimiter, offset, count, options=(), fields=()):
@@ -227,7 +227,7 @@ def test_corrupt_run_honors_arrow_batch_bound(monkeypatch):
     )
     reader = SapRfcReader({"table": "DD03L"}, list(MockRfcTransport.FIELDS))
     reader.ARROW_BATCH_ROWS = 16
-    batches = list(reader.read(saprfc_dsv2._PagePartition(0)))
+    batches = list(reader.read(saprfc_dsv2._PagePartition(0, 200)))
     assert sum(b.num_rows for b in batches) == 101
     assert max(b.num_rows for b in batches) <= 16  # bound held mid-corrupt-run
     corrupt = sum(b.column("_corrupt_record").null_count == 0 for b in batches)

@@ -138,12 +138,8 @@ def test_pushdown_composes_with_limit(filters, maxrows):
     # expected: replay the reader's own rendered OPTIONS through the
     # transport (server semantics), cap at maxrows wire rows, then apply
     # the typed re-verification
-    from guidance_for_sap_data_integration_and_management_on_aws_spark.sources.saprfc_dsv2 import (
-        _render_options,
-    )
-
     t = MockRfcTransport(n_rows=500)
-    options = _render_options(pushed.accepted, pushed._string_fields())
+    options = pushed.wire_options()
     res = t.call("DD03L", "`", 0, maxrows, options=options)
     expect = []
     for line in res["DATA"]:
@@ -162,7 +158,8 @@ def test_pushdown_composes_with_limit(filters, maxrows):
 
 _STR_COLS = ["TABNAME", "FIELDNAME", "KEYFLAG", "ROLLNAME", "DATATYPE"]
 _NUM_COLS = ["POSITION", "LENG"]
-_CMP_OPS = st.sampled_from(["EQ", "GT", "GE", "LT", "LE"])
+# NE joined the spec grammar in round 13 (parses to Not(EqualTo))
+_CMP_OPS = st.sampled_from(["EQ", "NE", "GT", "GE", "LT", "LE"])
 
 
 def _q(lit: str) -> str:

@@ -57,20 +57,29 @@ def test_pagination_partitions(spark):
 
 
 def test_stream_reader_offsets_and_volume(spark):
-    """The streaming reader's offset arithmetic: initial page 0, latest =
-    ceil(rows/pagesize), partitions cover [start, end), and a full
+    """The streaming reader's offset arithmetic: offsets are ROWS of the
+    server-side stream (initial 0, latest = current row_count), partitions
+    cover [start, end) in page-size-bounded slices, and a full
     AvailableNow drain lands every mock row exactly once."""
     from guidance_for_sap_data_integration_and_management_on_aws_spark.sources.rfc import RfcField
     from guidance_for_sap_data_integration_and_management_on_aws_spark.sources.saprfc_dsv2 import (
         SapRfcStreamReader,
     )
 
-    fields = [RfcField("TABNAME", "C"), RfcField("POSITION", "N")]
+    fields = [RfcField("TABNAME", "C"), RfcField("POSITION", "N", length=4)]
     r = SapRfcStreamReader({"mockrows": "2500", "pagesize": "300"}, fields)
-    assert r.initialOffset() == {"page": 0}
-    assert r.latestOffset() == {"page": 9}  # ceil(2500/300)
-    parts = r.partitions({"page": 2}, {"page": 5})
-    assert [p.page for p in parts] == [2, 3, 4]
+    assert r.initialOffset() == {"row": 0}
+    assert r.latestOffset() == {"row": 2500}
+    parts = r.partitions({"row": 600}, {"row": 1500})
+    assert [(p.skip, p.count) for p in parts] == [
+        (600, 300),
+        (900, 300),
+        (1200, 300),
+    ]
+    # a trigger boundary off the page grid still covers every row exactly
+    # once (row offsets, not page indexes — the round-13 incremental fix)
+    parts = r.partitions({"row": 250}, {"row": 700})
+    assert [(p.skip, p.count) for p in parts] == [(250, 300), (550, 150)]
 
     from guidance_for_sap_data_integration_and_management_on_aws_spark.streaming.replay import (
         run_to_table,
@@ -86,6 +95,183 @@ def test_stream_reader_offsets_and_volume(spark):
     )
     out = run_to_table(s.select("TABNAME"), "mem_saprfc_stream_unit", "append")
     assert out.count() == 2500
+
+
+def test_stream_latest_offset_follows_table_growth():
+    """The round-13 incremental fix: latestOffset() re-queries the
+    transport's row_count on EVERY call (it was frozen at construction in
+    r12, so a live stream would never see appended rows).  With a growing
+    mock, each trigger's partitions cover exactly the newly appended rows
+    — the per-trigger wire bound — and a shrinking count never rewinds
+    the offset."""
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.sources.saprfc_dsv2 import (
+        SapRfcStreamReader,
+    )
+
+    fields = list(MockRfcTransport.FIELDS)
+    r = SapRfcStreamReader({"mockrows": "1000", "pagesize": "300"}, fields)
+    o0, o1 = r.initialOffset(), r.latestOffset()
+    assert (o0, o1) == ({"row": 0}, {"row": 1000})
+    t1 = r.partitions(o0, o1)
+    assert sum(p.count for p in t1) == 1000  # trigger 1 drains exactly [0, 1000)
+    wire1 = sum(b.num_rows for p in t1 for b in r.read(p))
+    assert wire1 == 1000
+
+    # the table grows between triggers: mutate the held driver-side
+    # transport (what latestOffset polls) and the reader options (what
+    # executor-side read() reconstructs its transport from)
+    r._transport.n_rows = 2500
+    r._delegate.options["mockrows"] = "2500"
+    o2 = r.latestOffset()
+    assert o2 == {"row": 2500}
+    t2 = r.partitions(o1, o2)
+    # trigger 2 drains ONLY the appended rows — never re-reads [0, 1000)
+    assert min(p.skip for p in t2) == 1000
+    assert sum(p.count for p in t2) == 1500
+    wire2 = sum(b.num_rows for p in t2 for b in r.read(p))
+    assert wire1 + wire2 == 2500  # every row exactly once across triggers
+
+    # a shrinking count (estimate jitter / reorg) never rewinds the offset
+    r._transport.n_rows = 100
+    assert r.latestOffset() == {"row": 2500}
+
+
+def test_stream_incremental_composes_with_pushdown():
+    """Under the `pushdown` option, offsets count rows of the FILTERED
+    server stream (filter-then-page), so growth triggers drain exactly the
+    newly appended MATCHING rows — no empty RFC round trips past the
+    filtered end (r12 advice), and append-only growth keeps filtered
+    positions stable."""
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.sources.saprfc_dsv2 import (
+        SapRfcStreamReader,
+    )
+
+    fields = list(MockRfcTransport.FIELDS)
+    r = SapRfcStreamReader(
+        {"mockrows": "1000", "pagesize": "100", "pushdown": "TABNAME EQ 'TAB3'"},
+        fields,
+    )
+    match1 = sum(1 for i in range(1000) if i % 7 == 3)
+    o1 = r.latestOffset()
+    assert o1 == {"row": match1}  # filtered count, not table size
+    t1 = r.partitions(r.initialOffset(), o1)
+    landed1 = sum(b.num_rows for p in t1 for b in r.read(p))
+
+    r._transport.n_rows = 2500
+    r._delegate.options["mockrows"] = "2500"
+    match2 = sum(1 for i in range(2500) if i % 7 == 3)
+    o2 = r.latestOffset()
+    assert o2 == {"row": match2}
+    t2 = r.partitions(o1, o2)
+    assert sum(p.count for p in t2) == match2 - match1  # only the new matches
+    landed2 = sum(b.num_rows for p in t2 for b in r.read(p))
+    # landed = typed re-verification over the matching stream (corrupt
+    # arity rows among the matches fail the value predicate client-side)
+    expect = sum(1 for i in range(2500) if i % 7 == 3 and i % 37 != 0)
+    assert landed1 + landed2 == expect
+
+
+def test_numc_literals_render_zero_padded():
+    """The r12-advice NUMC fix: the server compares NUMC character-wise
+    against zero-padded storage, so unpadded literals silently drop rows
+    ('0999' GT '250' is false char-wise — the classic RFC_READ_TABLE
+    gotcha).  The renderer must pad to the declared LENGTH, skip literals
+    that cannot pad (negative / wider than the field / unknown length),
+    and the padded wire text must select exactly the numeric law."""
+    from pyspark.sql.datasource import GreaterThan, In, LessThan
+
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.sources.rfc import RfcField
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.sources.saprfc_dsv2 import (
+        _render_options,
+    )
+
+    fields = list(MockRfcTransport.FIELDS)
+    assert _render_options([GreaterThan(("POSITION",), 250)], fields) == [
+        "POSITION GT '0250'"
+    ]
+    assert _render_options([In(("POSITION",), (4, 17))], fields) == [
+        "POSITION IN ('0004', '0017')"
+    ]
+    # unpaddable literals skip the clause (ride the wire unfiltered):
+    assert _render_options([GreaterThan(("POSITION",), -1)], fields) == []
+    assert _render_options([GreaterThan(("POSITION",), 99999)], fields) == []
+    assert _render_options([In(("POSITION",), (4, 99999))], fields) == []
+    unknown = [RfcField("POSITION", "N")]  # length 0 = unknown
+    assert _render_options([GreaterThan(("POSITION",), 250)], unknown) == []
+
+    # the server-side law: padded GT selects the numeric law over valid
+    # values; the unpadded wire text would have dropped every 0-prefixed
+    # row whose numeric value exceeds the literal
+    t = MockRfcTransport(n_rows=2500)
+    padded = len(t.call("DD03L", "`", 0, 10**6, options=["POSITION GT '0250'"])["DATA"])
+    law = sum(
+        1
+        for i in range(2500)
+        if (f"00X{i % 97}" if i % 13 == 0 else f"{i % 500:04d}") > "0250"
+    )
+    assert padded == law
+    # numeric-law subset check on parseable values: every i%500>250 row
+    # (non-corrupt) is kept by the padded comparison
+    parseable = sum(1 for i in range(2500) if i % 13 != 0 and i % 500 > 250)
+    assert padded >= parseable
+    unpadded = len(t.call("DD03L", "`", 0, 10**6, options=["POSITION GT '250'"])["DATA"])
+    # the gotcha, modeled: char-wise '0xxx' never exceeds '250'
+    assert unpadded < parseable
+
+
+def test_not_equal_renders_as_ne_on_the_wire(spark):
+    """Round-13 addition #2: an accepted != filter renders as an OPTIONS
+    NE line (it used to ride the wire unfiltered), the complement table
+    covers the other negated comparisons, and the plan stays fully
+    consumed with exact results."""
+    from pyspark.sql.datasource import (
+        EqualNullSafe,
+        EqualTo,
+        GreaterThan,
+        IsNull,
+        LessThanOrEqual,
+        Not,
+    )
+
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.sources.saprfc_dsv2 import (
+        _render_options,
+    )
+
+    fields = list(MockRfcTransport.FIELDS)
+    assert _render_options([Not(EqualTo(("TABNAME",), "TAB3"))], fields) == [
+        "TABNAME NE 'TAB3'"
+    ]
+    assert _render_options([Not(GreaterThan(("POSITION",), 250))], fields) == [
+        "POSITION LE '0250'"
+    ]
+    assert _render_options([Not(LessThanOrEqual(("ASDATE",), __import__("datetime").date(2000, 1, 1)))], fields) == [
+        "ASDATE GT '20000101'"
+    ]
+    # double negation unwraps to the positive shape
+    assert _render_options([Not(Not(EqualTo(("TABNAME",), "TAB3")))], fields) == [
+        "TABNAME EQ 'TAB3'"
+    ]
+    # null-acceptance under Not must NOT render: Not(EqualNullSafe(lit))
+    # is TRUE for NULL-typed rows a server NE could drop (narrowing)
+    assert _render_options([Not(EqualNullSafe(("TABNAME",), "TAB3"))], fields) == []
+    assert _render_options([Not(IsNull(("TABNAME",)))], fields) == []
+    # positive EqualNullSafe against a non-null literal renders as EQ
+    assert _render_options([EqualNullSafe(("TABNAME",), "TAB3")], fields) == [
+        "TABNAME EQ 'TAB3'"
+    ]
+    assert _render_options([EqualNullSafe(("TABNAME",), None)], fields) == []
+
+    # end-to-end: != consumed by the source, wire volume shrinks, results
+    # match the unpushed plan
+    df = _df(spark).filter(F.col("TABNAME") != "TAB3")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchScan saprfc" in plan
+    assert "Filter (" not in plan
+    expect = sum(1 for i in range(2500) if i % 7 != 3 and i % 37 != 0)
+    assert df.count() == expect
+    t = MockRfcTransport(n_rows=2500)
+    wire = len(t.call("DD03L", "`", 0, 10**6, options=["TABNAME NE 'TAB3'"])["DATA"])
+    assert wire == sum(1 for i in range(2500) if i % 7 != 3)
 
 
 def test_limit_pushdown_planning_and_volume_laws():
@@ -207,40 +393,40 @@ def test_in_like_options_render_and_guards():
     assert "POSITION" not in sf and "ASDATE" not in sf  # N / D typed
 
     assert _render_options(
-        [In(("ROLLNAME",), ("ROLL2", "ROLL5"))], sf
+        [In(("ROLLNAME",), ("ROLL2", "ROLL5"))], fields
     ) == ["ROLLNAME IN ('ROLL2', 'ROLL5')"]
     assert _render_options(
-        [StringStartsWith(("FIELDNAME",), "FLD_01")], frozenset({"FIELDNAME"})
+        [StringStartsWith(("FIELDNAME",), "FLD_01")], fields
     ) == ["FIELDNAME LIKE 'FLD_01%'"]
     # date literals render in the RFC wire format inside IN lists
     assert _render_options(
-        [In(("ASDATE",), (datetime.date(2001, 2, 3),))], sf
+        [In(("ASDATE",), (datetime.date(2001, 2, 3),))], fields
     ) == ["ASDATE IN ('20010203')"]
     # a wildcard prefix renders as-is (server match widens, never narrows)
-    assert _render_options([StringStartsWith(("ROLLNAME",), "RO%")], sf) == [
+    assert _render_options([StringStartsWith(("ROLLNAME",), "RO%")], fields) == [
         "ROLLNAME LIKE 'RO%%'"
     ]
     # round-12: the remaining accepted string predicates render too —
     # suffix and substring LIKE patterns, same string-typed guard
     from pyspark.sql.datasource import StringContains, StringEndsWith
 
-    assert _render_options([StringEndsWith(("FIELDNAME",), "7")], sf) == [
+    assert _render_options([StringEndsWith(("FIELDNAME",), "7")], fields) == [
         "FIELDNAME LIKE '%7'"
     ]
-    assert _render_options([StringContains(("ROLLNAME",), "L1")], sf) == [
+    assert _render_options([StringContains(("ROLLNAME",), "L1")], fields) == [
         "ROLLNAME LIKE '%L1%'"
     ]
-    assert _render_options([StringEndsWith(("POSITION",), "4")], sf) == []
-    assert _render_options([StringContains(("ASDATE",), "2001")], sf) == []
-    assert _render_options([StringContains(("ROLLNAME",), "O'B")], sf) == [
+    assert _render_options([StringEndsWith(("POSITION",), "4")], fields) == []
+    assert _render_options([StringContains(("ASDATE",), "2001")], fields) == []
+    assert _render_options([StringContains(("ROLLNAME",), "O'B")], fields) == [
         "ROLLNAME LIKE '%O''B%'"
     ]
     # guards: non-string LIKE target, unrenderable literal, empty IN
-    assert _render_options([StringStartsWith(("POSITION",), "04")], sf) == []
-    assert _render_options([In(("ROLLNAME",), ("a", 1.5))], sf) == []
-    assert _render_options([In(("ROLLNAME",), ())], sf) == []
+    assert _render_options([StringStartsWith(("POSITION",), "04")], fields) == []
+    assert _render_options([In(("ROLLNAME",), ("a", 1.5))], fields) == []
+    assert _render_options([In(("ROLLNAME",), ())], fields) == []
     # quote escaping round-trips through the mock's unescape
-    assert _render_options([In(("ROLLNAME",), ("O'Brien",))], sf) == [
+    assert _render_options([In(("ROLLNAME",), ("O'Brien",))], fields) == [
         "ROLLNAME IN ('O''Brien')"
     ]
     assert MockRfcTransport._unq("O''Brien") == "O'Brien"
@@ -261,8 +447,14 @@ def test_in_like_options_reduce_wire_rows_exactly():
             ["ROLLNAME IN ('ROLL2', 'ROLL5')", "FIELDNAME LIKE 'FLD_01%'"],
             lambda i: i % 11 in (2, 5) and 1000 <= i < 2000,
         ),
-        # numeric coercion inside IN: '0004' matches literal '4'
-        (["POSITION IN ('4', '17')"], lambda i: i % 13 != 0 and i % 500 in (4, 17)),
+        # NUMC membership is char-wise against zero-padded storage: the
+        # client renders padded literals (r12 advice), and the unpadded
+        # form — the classic RFC_READ_TABLE gotcha — matches NOTHING
+        (
+            ["POSITION IN ('0004', '0017')"],
+            lambda i: i % 13 != 0 and i % 500 in (4, 17),
+        ),
+        (["POSITION IN ('4', '17')"], lambda i: False),
         # round-12 shapes: suffix and substring LIKE (FLD_%05d ends with
         # '7' iff i%10==7; ROLL{i%11} contains 'L1' iff i%11 in (1, 10))
         (["FIELDNAME LIKE '%7'"], lambda i: i % 10 == 7),
@@ -380,7 +572,6 @@ def test_stream_pushdown_spec_parses_renders_and_reduces_wire_rows():
 
     from guidance_for_sap_data_integration_and_management_on_aws_spark.sources.saprfc_dsv2 import (
         SapRfcStreamReader,
-        _render_options,
     )
 
     fields = list(MockRfcTransport.FIELDS)
@@ -395,8 +586,10 @@ def test_stream_pushdown_spec_parses_renders_and_reduces_wire_rows():
     acc = r._delegate.accepted
     assert [type(f) for f in acc] == [EqualTo, LessThan]
     assert acc[1].value == 250  # typed literal: int, not the wire text
-    opts = _render_options(acc, r._delegate._string_fields())
-    assert opts == ["TABNAME EQ 'TAB3'", "POSITION LT '250'"]
+    opts = r._delegate.wire_options()
+    # the NUMC literal rides the wire zero-padded to the declared LENGTH
+    # (char-wise server comparison, r12 advice)
+    assert opts == ["TABNAME EQ 'TAB3'", "POSITION LT '0250'"]
 
     # wire volume: the server filters then pages, so far fewer rows cross
     t = MockRfcTransport(n_rows=2500)
@@ -493,7 +686,6 @@ def test_stream_pushdown_wire_volume_scales_with_matches():
     pull pages it filters away."""
     from guidance_for_sap_data_integration_and_management_on_aws_spark.sources.saprfc_dsv2 import (
         SapRfcStreamReader,
-        _render_options,
     )
 
     fields = list(MockRfcTransport.FIELDS)
@@ -506,7 +698,7 @@ def test_stream_pushdown_wire_volume_scales_with_matches():
             },
             fields,
         )
-        opts = _render_options(r._delegate.accepted, r._delegate._string_fields())
+        opts = r._delegate.wire_options()
         t = MockRfcTransport(n_rows=n)
         wire = len(t.call("DD03L", "`", 0, 10**9, options=opts)["DATA"])
         expect_match = sum(1 for i in range(n) if i % 7 == 3)
