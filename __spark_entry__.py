@@ -36,84 +36,39 @@ from guidance_for_sap_data_integration_and_management_on_aws_spark.registry impo
 #      for the following round, then module order (freshest last).
 _PRIORITY = [
     # ------------------------------------------------------------------
-    # ROUND-12 WINDOW LEDGER (~50 driver slots; see rotation invariant
-    # above).  Entering r12 the age profile is: r6:20, r7:43, r8:45,
-    # r9:48, r10:44, r11:50 (judge-audited, VERDICT r11).  This round adds
-    # 2 queries (the suffix/contains OPTIONS rendering leg and the saprfc
-    # STREAM pushdown) and changes the saprfc DSv2 read path (the _py_cast
-    # decimal-band fix, the three-valued In evaluator, the LIKE-shape
-    # rendering table, the pushdown-spec seeding of `accepted`, and the
-    # late-round trim-layer rework — _py_cast/read() now mirror Spark's
-    # space-only F.trim + <=0x20 cast-internal trim instead of str.strip),
-    # so every query routed through SapRfcReader.read re-greens.  Budget:
-    #    2 never hash-checked                            -> slots  1-2
-    #    6 changed-since-green (the saprfc DSv2 family)  -> slots  3-8
-    #   20 r6 greens (the block drains — after this
-    #      round no green is older than r7)              -> slots  9-28
-    #   22 oldest r7 greens (alphabetical prefix of the
-    #      43; the remaining 21 queue first for r13)     -> slots 29-50
-    # Steady-state rotation at 252 queries / 50 slots re-greens every
+    # ROUND-13 WINDOW LEDGER (~50 driver slots; see rotation invariant
+    # above).  Entering r13 the age profile is: r7:21, r8:45, r9:48,
+    # r10:43, r11:45, r12:50 (judge-audited, VERDICT r12).  This round
+    # adds 1 query (saprfc_stream_incremental — the latestOffset
+    # re-query fix) and changes the saprfc DSv2 read path for every
+    # reader (NUMC zero-padded OPTIONS literals + char-semantics mock,
+    # Not->NE/complement rendering, row-based stream offsets,
+    # filtered-count page planning), so the whole saprfc family
+    # re-greens.  Budget:
+    #    1 never hash-checked                            -> slot   1
+    #    8 changed-since-green (the saprfc DSv2 family)  -> slots  2-9
+    #   21 r7 greens (the block drains — after this
+    #      round no green is older than r8)              -> slots 10-30
+    #   20 oldest r8 greens (alphabetical prefix of the
+    #      45; the remaining 25 queue first for r14)     -> slots 31-50
+    # Steady-state rotation at 253 queries / 50 slots re-greens every
     # ~5 rounds.
     # ------------------------------------------------------------------
     # --- 1. never hash-checked (first driver oracle this round) --------
-    "saprfc_pushdown_suffix_contains",  # NEW r12: %suffix / %sub% rendering
-    "saprfc_stream_pushdown",  # NEW r12: OPTIONS pushdown on the stream path
+    "saprfc_stream_incremental",  # NEW r13: growth across checkpointed runs
     # --- 2. builder changed since last green (saprfc DSv2 read path:
-    # --- decimal-band cast fix, three-valued In, LIKE rendering table,
-    # --- pushdown-spec seeding — all shared by these readers) -----------
+    # --- NUMC padding, NE rendering, char-semantics mock, row offsets,
+    # --- filtered page planning — all shared by these readers) ----------
     "saprfc_pushdown",
     "saprfc_pushdown_in_like",
+    "saprfc_pushdown_suffix_contains",
+    "saprfc_stream_pushdown",
     "saprfc_scan_typed",
     "saprfc_projection",
     "saprfc_limit_pushdown",
     "saprfc_stream_scan",
-    # --- 3. staleness rotation: the 20 remaining r6 greens (the whole
-    # --- block drains; the r11 verdict's item-2 list) -------------------
-    "ingest_cdc_apply",
-    "join_bloom_prefilter",
-    "join_fuzzy_neighbors",
-    "lake_compact_roundtrip",
-    "pipeline_chunk_documents",
-    "pipeline_decontaminate",
-    "sample_weighted_priority",
-    "skyline_orders",
-    "skyline_per_segment",
-    "sql_recursive_chain",
-    "stream_chained_windows",
-    "stream_sliding_window",
-    "stream_stream_full_join",
-    "stream_stream_left_join",
-    "stream_tumbling_agg",
-    "text_ngram_topk",
-    "time_bucket_rollup",
-    "ts_interpolate_linear",
-    "udf_pandas_grouped_agg",
-    "window_distribution",
-    # --- 3b. oldest r7 greens (alphabetical prefix, 22 of 43) ----------
-    "agg_heavy_hitters",
-    "agg_hll_sketch_union",
-    "agg_kll_quantile_merge",
-    "agg_mode_per_group",
-    "agg_theta_set_ops",
-    "agg_trimmed_stats",
-    "ann_centroid_outliers",
-    "ann_negative_sampling",
-    "ann_radius_search",
-    "anomaly_zscore",
-    "basket_association_rules",
-    "dedup_containment_pairs",
-    "dq_constraint_report",
-    "events_attribution",
-    "events_peak_concurrency",
-    "events_retention_cohorts",
-    "events_sliding_active_users",
-    "events_transitions",
-    "graph_bfs_hops",
-    "graph_jaccard_neighbors",
-    "ivm_incremental_agg",
-    "join_asof_tolerance",
-    # --- 4. rotation ballast: the remaining 21 r7 greens queue FIRST
-    # --- for round 13 (the window line falls above here) ---------------
+    # --- 3. staleness rotation: the 21 remaining r7 greens (the whole
+    # --- block drains; the r12 verdict's item-1 list) -------------------
     "lake_bucketed_write",
     "lake_schema_evolution",
     "lake_snapshot_diff",
@@ -135,7 +90,55 @@ _PRIORITY = [
     "text_sentiment_lexicon",
     "ts_cusum_changepoint",
     "ts_resample_ohlc",
-    # r8+ greens not listed trail in module order (every one re-earned
+    # --- 3b. oldest r8 greens (alphabetical prefix, 20 of 45) ----------
+    "agg_corr_matrix",
+    "csv_scan_roundtrip",
+    "events_ab_test",
+    "events_conversion_lag",
+    "events_path_trigrams",
+    "graph_sssp_weighted",
+    "mm_asset_stats",
+    "mm_decode",
+    "mm_frame_sample",
+    "mm_resize",
+    "mm_wav_vad",
+    "orc_scan_roundtrip",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q13_order_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_counts",
+    "q17_small_quantity",
+    "q18_large_orders",
+    # --- 4. rotation ballast: the remaining 25 r8 greens queue FIRST
+    # --- for round 14 (the window line falls above here) ----------------
+    "q19_disjunctive_bands",
+    "q1_pricing_summary",
+    "q20_promotion_suppliers",
+    "q21_waiting_suppliers",
+    "q22_idle_customers",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_priority_check",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "stream_stateful_running_totals",
+    "stream_stateful_sessions",
+    "stream_static_join",
+    "stream_stream_join",
+    "text_oov_rate",
+    "ts_ewma_smooth",
+    "udf_grouped_stats",
+    "udf_pandas_l2norm",
+    "udf_scalar_reverse",
+    "udtf_bigrams",
+    "udtf_explode_words",
+    "xml_scan_roundtrip",
+    # r9+ greens not listed trail in module order (every one re-earned
     # green within the last four rounds; stream_stateful_v2 above keeps
     # its conditional registration, handled below)
 ]

@@ -294,6 +294,69 @@ def saprfc_stream_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 @spec(
     f"""
     WITH r AS ({SQL_MOCK_DD03L})
+    SELECT
+      CASE WHEN i%37=0 THEN NULL ELSE 'TAB'||CAST(i%7 AS VARCHAR) END AS TABNAME,
+      CASE WHEN i%37=0 OR i%13=0 THEN NULL ELSE i%500 END AS POSITION,
+      CASE WHEN i%37=0 OR i%11=0 THEN NULL
+           ELSE make_date(CAST(1995+i%25 AS INT), CAST(1+i%12 AS INT), CAST(1+i%28 AS INT))
+      END AS ASDATE,
+      i%37=0 AS is_corrupt
+    FROM r
+    """,
+    doc="S9 x M7, round-13: INCREMENTAL extraction across restarts — the "
+    "posture the r12 docstring claimed but froze at construction. "
+    "latestOffset() re-queries the table's current row_count per trigger "
+    "(ROW-based offsets, monotonic high-water), so a stream observes "
+    "appends.  Modeled here as two AvailableNow runs against ONE "
+    "checkpoint + parquet sink while the mock table grows 1000 -> 2500 "
+    "rows between them: run 2 resumes from the checkpointed row offset "
+    "and drains exactly the appended rows (per-trigger wire bound in "
+    "tests/test_saprfc_source.py), and the landed table equals the full "
+    "final-state batch scan — the oracle.  At production scale this is "
+    "'each trigger ships only the new pages', never a table re-extract.",
+)
+def saprfc_stream_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from ..sources.saprfc_dsv2 import register
+    from ..streaming.replay import scratch_dir
+
+    register(spark)
+    base = scratch_dir(f"saprfc-incr-{uuid.uuid4().hex[:8]}")
+    data, ckpt = f"{base}/data", f"{base}/ckpt"
+    # the table "grows" between the two runs: same checkpoint, bigger
+    # mockrows — run 2 starts at the committed row offset (1000) and
+    # drains only rows [1000, 2500)
+    for rows in ("1000", str(MOCK_ROWS)):
+        s = (
+            spark.readStream.format("saprfc")
+            .option("table", "DD03L")
+            .option("mockrows", rows)
+            .option("pagesize", "300")
+            .load()
+        )
+        out = s.select(
+            "TABNAME",
+            "POSITION",
+            "ASDATE",
+            F.col("_corrupt_record").isNotNull().alias("is_corrupt"),
+        )
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", data)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(data).select(
+        "TABNAME", "POSITION", "ASDATE", "is_corrupt"
+    )
+
+
+@spec(
+    f"""
+    WITH r AS ({SQL_MOCK_DD03L})
     SELECT 'TAB'||CAST(i%7 AS VARCHAR) AS TABNAME,
            'FLD_'||lpad(CAST(i AS VARCHAR),5,'0') AS FIELDNAME,
            i%500 AS POSITION,
@@ -1527,6 +1590,7 @@ QUERIES: dict[str, QuerySpec] = {
     "saprfc_pushdown_in_like": saprfc_pushdown_in_like,
     "saprfc_pushdown_suffix_contains": saprfc_pushdown_suffix_contains,
     "saprfc_stream_pushdown": saprfc_stream_pushdown,
+    "saprfc_stream_incremental": saprfc_stream_incremental,
     "sink_roundtrip": sink_roundtrip,
     "lake_compact_roundtrip": lake_compact_roundtrip,
     "lake_bucketed_write": lake_bucketed_write,
