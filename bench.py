@@ -602,6 +602,49 @@ def main(check: bool = False) -> None:
         )
 
         clear_caches(warm_sf)
+        # warmup 7 (r12 verdict item 2): VERIFY-KERNEL PRE-COMPILE.  The
+        # two fused dedup line items spiked ~5x in one committed run per
+        # round (r10-r12) while reading in-band standalone — profiled as
+        # tier-4 JIT queue luck on the hot verify kernel: warmup 6's
+        # sf0.001 pass generates and LOADS the verify classes but its ~60
+        # docs never reach C2's invocation threshold, so the first timed
+        # sf0.1 verify still runs tier-3 until the C2 compile lands
+        # (early = in-band, late = the spike).  Run the IDENTICAL verify
+        # expression trees (_exact_verify_stage / _lsh_verify_stage —
+        # factored out of the real builds so the generated codegen source,
+        # and therefore Spark's cached generated CLASS, is shared) over a
+        # ~300k-pair synthetic candidate frame built from the warm-SF
+        # token sets: enough iterations to push the hot methods through
+        # C2 before anything is timed, while doing none of the sf-scale
+        # work the line items measure.
+        try:
+            from guidance_for_sap_data_integration_and_management_on_aws_spark.operators.dedup import (
+                _exact_verify_stage,
+                _hashed_token_sets as _warm_toks,
+                _lsh_verify_stage,
+            )
+
+            _wt = _warm_toks(spark, warm_sf)
+            _ids = _wt.select("doc_id")
+            _nd = _ids.count()
+            _rep = max(1, 300_000 // max(1, _nd * _nd))
+            _cand_w = (
+                _ids.select(_F.col("doc_id").alias("da"))
+                .crossJoin(_ids.select(_F.col("doc_id").alias("db")))
+                .crossJoin(spark.range(_rep))
+                .select("da", "db")
+                .localCheckpoint(eager=True)
+            )
+            _exact_verify_stage(_cand_w, _wt).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            _lsh_verify_stage(_cand_w, _wt).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            del _cand_w  # ~5 MB of checkpoint blocks; let them GC
+            clear_caches(warm_sf)  # the token build re-pinned a warm frame
+        except Exception:
+            pass  # a warmup must never take the bench down
         # warmup 6b: the 246-query warm pass churns the Python worker pool
         # exactly like warmup 5 did in round 8 (and evicts the datasource
         # workers 5b re-primed — measured: saprfc_scan_typed 1.37s timed

@@ -234,10 +234,27 @@ def _jaccard_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _jaccard_pairs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
-    cand = _prefix_candidates(d, JACCARD_T)
-    toks = _hashed_token_sets(spark, sf_dir)
+def _exact_verify_stage(cand: DataFrame, toks: DataFrame) -> DataFrame:
+    """The quadratic exact-Jaccard VERIFY stage over a materialized
+    (da, db) candidate frame: broadcast-join the token sets onto both
+    sides, one ``array_intersect`` per pair, |A∪B| by inclusion-exclusion.
+
+    Factored out of :func:`_jaccard_pairs_plan` (round 13) so the bench's
+    verify-kernel pre-compile (bench.py warmup 7) runs the IDENTICAL
+    expression tree over a small synthetic candidate frame — identical
+    generated whole-stage-codegen source means Spark's codegen cache
+    reuses the class, so the warmup's iterations push the hot method
+    through C2 before the timed sf-scale build runs (the fused-item spike
+    root cause, VERDICT r12 item 2).
+
+    EXPLICIT broadcast of the token-set table into the verify joins: the
+    candidate side is the big one (quadratic pair mass in this dense
+    fixture), and shuffling a token ARRAY per candidate row is the whole
+    cost — measured 72s shuffle vs 4-6s broadcast at sf0.1, with AQE
+    flip-flopping between the two when left to its own size estimates
+    (the post-repartition tokenize frame has no stats).  At corpus scales
+    where the token table outgrows a broadcast, the exact twin is oracle
+    duty anyway — the production near-dup path is the banded LSH."""
     sized = toks.select("doc_id", "toks", F.size("toks").alias("nt"))
     ta = sized.select(
         F.col("doc_id").alias("da"), F.col("toks").alias("ta"),
@@ -247,6 +264,21 @@ def _jaccard_pairs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("db"), F.col("toks").alias("tb"),
         F.col("nt").alias("nb"),
     )
+    pairs = cand.join(F.broadcast(ta), "da").join(F.broadcast(tb), "db")
+    # |A∪B| = |A| + |B| - |A∩B| on these distinct-token arrays: one hash-set
+    # build per pair instead of two (array_union was ~half the verify CPU —
+    # ~480 CPU·s total at sf0.1's 9.5M candidates before this change)
+    inter = F.size(F.array_intersect("ta", "tb")).cast("double")
+    jac = F.round(inter / (F.col("na") + F.col("nb") - inter), 6)
+    return pairs.select("da", "db", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= JACCARD_T
+    )
+
+
+def _jaccard_pairs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    cand = _prefix_candidates(d, JACCARD_T)
+    toks = _hashed_token_sets(spark, sf_dir)
     # MATERIALIZE the candidate frame before the verify (the prefix-frame
     # precedent): submitting tokenize -> prefix -> expansion -> dedup ->
     # verify -> cache-build as ONE job measured bimodal 26-96s for the
@@ -258,23 +290,7 @@ def _jaccard_pairs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpoint is 9.5M narrow (da, db) rows ≈ 150 MB at sf0.1 — and this
     # exact twin is oracle duty; the production near-dup path is the LSH.
     cand = cand.localCheckpoint(eager=True)
-    # EXPLICIT broadcast of the token-set table into the verify joins: the
-    # candidate side is the big one (quadratic pair mass in this dense
-    # fixture), and shuffling a token ARRAY per candidate row is the whole
-    # cost — measured 72s shuffle vs 4-6s broadcast at sf0.1, with AQE
-    # flip-flopping between the two when left to its own size estimates
-    # (the post-repartition tokenize frame has no stats).  At corpus scales
-    # where the token table outgrows a broadcast, the exact twin is oracle
-    # duty anyway — the production near-dup path is the banded LSH.
-    pairs = cand.join(F.broadcast(ta), "da").join(F.broadcast(tb), "db")
-    # |A∪B| = |A| + |B| - |A∩B| on these distinct-token arrays: one hash-set
-    # build per pair instead of two (array_union was ~half the verify CPU —
-    # ~480 CPU·s total at sf0.1's 9.5M candidates before this change)
-    inter = F.size(F.array_intersect("ta", "tb")).cast("double")
-    jac = F.round(inter / (F.col("na") + F.col("nb") - inter), 6)
-    return pairs.select("da", "db", jac.alias("jaccard")).filter(
-        F.col("jaccard") >= JACCARD_T
-    )
+    return _exact_verify_stage(cand, toks)
 
 
 def _parallelize_scan(df: DataFrame) -> DataFrame:
@@ -540,6 +556,15 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # onto dead code.  Memoized per (session, sf_dir) — see
     # _lsh_candidates_cached.
     cand = _lsh_candidates_cached(spark, sf_dir)
+    return _lsh_verify_stage(cand, hashed)
+
+
+def _lsh_verify_stage(cand: DataFrame, hashed: DataFrame) -> DataFrame:
+    """The banded-LSH VERIFY stage over a materialized (da, db) candidate
+    frame — factored out (round 13) for the same reason as
+    :func:`_exact_verify_stage`: the bench's verify-kernel pre-compile
+    runs this exact expression tree on a synthetic frame so its generated
+    class is C2-hot before the timed ``_lsh_pairs_pipeline`` build."""
     # carry |A|,|B| with the token sets: |A∪B| = |A|+|B|-|A∩B|, so the exact
     # verify costs ONE array_intersect per pair instead of intersect + union
     sized = hashed.select("doc_id", "toks", F.size("toks").alias("n"))
