@@ -660,6 +660,12 @@ def main(check: bool = False) -> None:
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    # per-stage breakdown of the two fused dedup line items (tokenize /
+    # candidates / verify) — DIAGNOSTIC ONLY, never counted toward any
+    # total: when one of them reads a C2-queue spike, this map says WHICH
+    # stage took the late compile instead of leaving readers to re-derive
+    # it each round (r12 verdict item 2)
+    stage_diag: dict[str, dict[str, float]] = {}
     for name in HEADLINE:
         if name in qs:
             timings[name] = round(run(name), 3)
@@ -698,20 +704,22 @@ def main(check: bool = False) -> None:
         # counted), so its meaning — total one-time build cost — and the
         # baseline row's unit are unchanged.
         try:
-            t_build = 0.0
+            stages: dict[str, float] = {}
             t0 = time.perf_counter()  # stage 1: tokenize + persist tokens
             _hashed_token_sets(spark, pdir).write.mode("overwrite").format(
                 "noop"
             ).save()
-            t_build += time.perf_counter() - t0
+            stages["tokenize"] = round(time.perf_counter() - t0, 3)
             time.sleep(2)
             t0 = time.perf_counter()  # stage 2: prefix + expansion ckpts
             pairs = _jaccard_pairs_cached(spark, pdir)  # ckpts run eagerly
-            t_build += time.perf_counter() - t0
+            stages["candidates"] = round(time.perf_counter() - t0, 3)
             time.sleep(2)
             t0 = time.perf_counter()  # stage 3: the quadratic verify
             pairs.write.mode("overwrite").format("noop").save()
-            t_build += time.perf_counter() - t0
+            stages["verify"] = round(time.perf_counter() - t0, 3)
+            t_build = sum(stages.values())
+            stage_diag[f"_shared_pair_frame_build[{leaf}]"] = stages
         except Exception as e:  # same containment as the full loop: a
             # failed frame build must cost its consumers, not the bench —
             # record the consumers of this dir as errors too, otherwise
@@ -798,22 +806,26 @@ def main(check: bool = False) -> None:
         # separate jobs with a quiesce between (the fused submit read
         # 12.1-15.7s in-bench vs 5.0s steady standalone — r9 validation
         # note); the line item stays the SUM of the stages.
-        t_lsh = 0.0
+        lsh_stages: dict[str, float] = {}
         t0 = time.perf_counter()
         _hashed_token_sets(spark, sf_dir).write.mode("overwrite").format(
             "noop"
         ).save()
-        t_lsh += time.perf_counter() - t0
+        lsh_stages["tokenize"] = round(time.perf_counter() - t0, 3)
         time.sleep(2)
         t0 = time.perf_counter()
         _lsh_candidates_cached(spark, sf_dir)  # eager banded ckpt
-        t_lsh += time.perf_counter() - t0
+        lsh_stages["candidates"] = round(time.perf_counter() - t0, 3)
         time.sleep(2)
         t0 = time.perf_counter()
         minhash_lsh_pairs(spark, sf_dir).write.mode("overwrite").format(
             "noop"
         ).save()
-        t_lsh += time.perf_counter() - t0
+        lsh_stages["verify"] = round(time.perf_counter() - t0, 3)
+        t_lsh = sum(lsh_stages.values())
+        stage_diag[
+            f"_lsh_pairs_pipeline[{os.path.basename(sf_dir.rstrip('/'))}]"
+        ] = lsh_stages
         timings[
             f"_lsh_pairs_pipeline[{os.path.basename(sf_dir.rstrip('/'))}]"
         ] = round(t_lsh, 3)
@@ -907,7 +919,28 @@ def main(check: bool = False) -> None:
         "host_drift": host_drift,
         "calib_baseline": base_calib,
         "reduced_sf": {k: v for k, v in reduced.items() if k in timings},
+        "stage_diag": stage_diag,
     }
+    # C2-SPIKE FLAG (r12 verdict item 2): the two fused dedup line items
+    # carry a documented in-bench bimodality — tier-4 JIT queue luck that
+    # standalone runs never reproduce (module docstring, ROOT CAUSE note).
+    # Warmup 7 pre-compiles their verify kernels, but a late C2 landing on
+    # some OTHER stage's hot method can still spike one of them in a
+    # committed artifact.  Flag any fused row reading >2x its frozen
+    # normalized baseline so readers see "the documented bimodality, see
+    # stage_diag for which stage" instead of re-deriving it every round.
+    try:
+        with open(os.path.join(here, "bench_baseline.json")) as fh:
+            _base_norm = json.load(fh).get("queries_norm", {})
+    except (OSError, ValueError):
+        _base_norm = {}
+    c2 = {
+        k: timings[k]
+        for k in stage_diag
+        if k in norm and _base_norm.get(k) and norm[k] > 2 * _base_norm[k]
+    }
+    if c2:
+        out["c2_spike"] = c2
     if errors:
         out["errors"] = errors
     if host_drift:

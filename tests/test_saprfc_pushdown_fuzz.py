@@ -52,7 +52,15 @@ COLS = [f.name for f in FIELDS]
 _STR_LITS = st.sampled_from(
     ["TAB3", "ROLL5", "X", "", "FLD_00100", "CHAR", "NUMC", "nope", "O'x"]
 )
-_INT_LITS = st.integers(min_value=-2, max_value=510)
+# span the NUMC rendering bands: negative (never renders), 1-4 digits
+# (zero-pads to POSITION's width 4 / LENG's width 3 when it fits), and
+# wider-than-field (no order-preserving char rendering -> clause skipped,
+# typed re-verify alone) — the r12-advice class the char-semantics mock
+# now makes observable
+_INT_LITS = st.one_of(
+    st.integers(min_value=-2, max_value=510),
+    st.integers(min_value=511, max_value=120_000),
+)
 _DATE_LITS = st.dates(
     min_value=datetime.date(1994, 12, 30), max_value=datetime.date(2020, 2, 2)
 )
