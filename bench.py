@@ -229,6 +229,40 @@ consecutive warm standalone drains read 2.03-2.23 s @ calib 0.636 — a
 tight ~2.1 s band (microbatch-engine drain dominated), so the 6.65 s
 run-4 reading was position noise and the 3.109 s seeded baseline row is
 conservative-but-in-family.
+
+ROUND-13 PROTOCOL VALIDATION (warmup 7 — the verify-kernel pre-compile —
+live; per-stage `stage_diag` + `c2_spike` flag added): three same-code
+runs, zero errors each — headline 14.055 / 13.495 / 15.011 s raw =
+0.91x / 0.97x / 0.74x of the frozen baseline normalized (run 3's calib
+0.710 tripped the host-drift gate, correctly: its artifact is stamped
+`host_drift: true` and bench_out_certified.json holds run 2).
+STRUCTURAL RESULT, PARTIAL: `_shared_pair_frame_build[sf0.1]` read
+7.31 / 6.60 / 8.17 s — IN BAND (6-9 s) ALL THREE RUNS, the first
+three-for-three round since the bimodality was documented (r10-r12 each
+had a ~5x committed-artifact spike; warmup 7 pre-compiles exactly this
+item's verify kernel, so the fix holds for it).  NEGATIVE RESULT,
+DOCUMENTED: `_lsh_pairs_pipeline[sf0.1]` read 27.9 / 15.1 / 7.5 s —
+still bimodal despite the same pre-compile; stage_diag localizes the
+spike to its VERIFY stage (run 2: 11.77 s of the 15.1 vs 5.07 s in
+run 3's in-band read), i.e. a late C2 landing on a hot method the
+synthetic warm pass does not reach (the 8M-row checkpoint-scan +
+length-prune + intersect pipeline saturates all 32 cores at sf0.1; the
+250k-pair synthetic run cannot reproduce that contention window).  Per
+the r12 brief this negative result is now PRICED IN THE ARTIFACT: any
+fused row >2x its frozen normalized baseline carries an explicit
+`c2_spike` flag plus the per-stage breakdown, so readers stop
+re-deriving the explanation (run 2's artifact flags exactly
+{_lsh_pairs_pipeline[sf0.1]: 15.085}).
+
+The round's one new row, saprfc_stream_incremental (two full
+AvailableNow parquet-sink runs against one checkpoint with the mock
+table growing between them): 14.88 / 9.98 / 5.75 s in-bench across the
+three runs; five consecutive warm STANDALONE runs read a tight
+4.98-5.49 s band (two microbatch-engine drains + parquet sink commit
+dominate — its single-run cousin saprfc_stream_scan reads ~2.1 s), so
+the in-bench tail is position noise and the 9.976 s baseline row seeded
+from run 2 is conservative-but-in-family (the suffix_contains
+precedent).
 """
 
 from __future__ import annotations
