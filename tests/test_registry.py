@@ -22,33 +22,32 @@ def test_registry_shape():
     # stream_stateful_v2 is gated off (no provisionable protobuf runtime)
     expected = [n for n in entrymod._PRIORITY if n in reg]
     assert names[: len(expected)] == expected
-    # round-12 window layout (criticality order): the 2 never hash-checked
-    # entries lead (the suffix/contains OPTIONS rendering leg + the saprfc
-    # STREAM pushdown), then the 6 changed-since-green saprfc DSv2 readers
-    # (the decimal-band cast fix, three-valued In, LIKE rendering table and
-    # pushdown-spec seeding share their read path), the 20 remaining r6
-    # greens (the block drains), and the 22 alphabetically-first r7 greens:
-    # 2+6+20+22 = 50 exactly; the other 21 r7 greens queue FIRST for r13.
-    never_checked = [
-        "saprfc_pushdown_suffix_contains",
-        "saprfc_stream_pushdown",
-    ]
-    assert names[:2] == never_checked
-    assert names[2:8] == [
+    # round-13 window layout (criticality order): the 1 never hash-checked
+    # entry leads (the incremental-stream growth oracle), then the 8
+    # changed-since-green saprfc DSv2 readers (NUMC zero-padded OPTIONS
+    # literals + char-semantics mock, Not->NE/complement rendering,
+    # row-based stream offsets and filtered-count page planning share
+    # their read path), the 21 remaining r7 greens (the block drains),
+    # and the 20 alphabetically-first r8 greens: 1+8+21+20 = 50 exactly;
+    # the other 25 r8 greens queue FIRST for r14.
+    assert names[0] == "saprfc_stream_incremental"
+    assert names[1:9] == [
         "saprfc_pushdown",
         "saprfc_pushdown_in_like",
+        "saprfc_pushdown_suffix_contains",
+        "saprfc_stream_pushdown",
         "saprfc_scan_typed",
         "saprfc_projection",
         "saprfc_limit_pushdown",
         "saprfc_stream_scan",
     ]
     for probe in (
-        # final r6 rotation block (the r11 verdict item-2 list)
-        "ingest_cdc_apply", "sql_recursive_chain", "stream_tumbling_agg",
-        "udf_pandas_grouped_agg", "window_distribution",
-        # alphabetical r7 prefix (lake_bucketed_write is slot 51 — first
-        # past the line, leading the r13 ballast)
-        "agg_heavy_hitters", "events_transitions", "join_asof_tolerance",
+        # final r7 rotation block (the r12 verdict item-1 list)
+        "lake_bucketed_write", "ml_linear_score", "stream_session_window",
+        "text_bm25_topk", "ts_resample_ohlc",
+        # alphabetical r8 prefix (q19_disjunctive_bands is slot 51 — first
+        # past the line, leading the r14 ballast)
+        "agg_corr_matrix", "mm_decode", "q18_large_orders",
     ):
         assert names.index(probe) < 50, probe
     # since r9 every registry query carries an oracle — the whole window
