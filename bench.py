@@ -1017,6 +1017,13 @@ def main(check: bool = False) -> None:
         "n_errors": len(errors),
         "full_results": "bench_out.json",
     }
+    if c2:
+        # surface the fused-item bimodality flag in the driver-captured
+        # tail too (BENCH_rN keeps only the compact line; without this the
+        # flag exists only in bench_out.json and readers of the committed
+        # artifact re-derive the explanation — the exact failure mode the
+        # flag was added to end)
+        compact["c2_spike"] = c2
     if host_drift:
         compact["certified_results"] = "bench_out_certified.json"
     compact_payload = json.dumps(compact)

@@ -262,17 +262,19 @@ def saprfc_stream_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
            i%500 AS POSITION,
            (i*7)%120 AS LENG
     FROM r
-    WHERE i%37<>0 AND i%7=3 AND i%13<>0 AND i%500 < 250
+    WHERE i%37<>0 AND i%7=3 AND i%13<>0 AND i%500 < 250 AND i%11<>7
     """,
-    doc="P7 x S9 (round-12): filter pushdown on the saprfc STREAMING source. "
-    "The stream API has no pushFilters hook, so the `pushdown` option "
-    "carries a conjunctive clause spec that parses into the same Filter "
-    "objects the batch path accepts — OPTIONS rendered on the wire, typed "
-    "re-verification in read(), page offsets checkpointed as before.  "
-    "Without it a streaming consumer pulls every row of every page while "
-    "the batch reader filters server-side.  Drained with "
-    "Trigger.AvailableNow; the landed table must equal the BATCH pushdown "
-    "scan, whose oracle this reuses verbatim.",
+    doc="P7 x S9 (round-12; NE leg round-13): filter pushdown on the saprfc "
+    "STREAMING source.  The stream API has no pushFilters hook, so the "
+    "`pushdown` option carries a conjunctive clause spec that parses into "
+    "the same Filter objects the batch path accepts — OPTIONS rendered on "
+    "the wire (the NUMC literal zero-padded to the declared LENGTH, the "
+    "NE clause as the Not(EqualTo) complement), typed re-verification in "
+    "read(), row offsets checkpointed as before.  Without it a streaming "
+    "consumer pulls every row of every page while the batch reader "
+    "filters server-side.  Drained with Trigger.AvailableNow; the landed "
+    "table must equal the equivalent batch-scan SQL (the batch pushdown "
+    "oracle plus the NE clause).",
 )
 def saprfc_stream_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.saprfc_dsv2 import register
@@ -284,7 +286,10 @@ def saprfc_stream_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("table", "DD03L")
         .option("mockrows", str(MOCK_ROWS))
         .option("pagesize", "500")
-        .option("pushdown", "TABNAME EQ 'TAB3'; POSITION LT '250'")
+        .option(
+            "pushdown",
+            "TABNAME EQ 'TAB3'; POSITION LT '250'; ROLLNAME NE 'ROLL7'",
+        )
         .load()
     )
     out = s.select("TABNAME", "FIELDNAME", "POSITION", "LENG")
