@@ -263,6 +263,19 @@ dominate — its single-run cousin saprfc_stream_scan reads ~2.1 s), so
 the in-bench tail is position noise and the 9.976 s baseline row seeded
 from run 2 is conservative-but-in-family (the suffix_contains
 precedent).
+
+A FOURTH same-code-class run after the NE-clause extension of
+saprfc_stream_pushdown (the only post-run-3 change to a timed path —
+its spec gains `ROLLNAME NE 'ROLL7'`, a semantics change): calib 0.455
+(near-baseline), headline 12.104 s raw = 0.94x normalized, zero errors,
+BOTH fused items in-band again (pair build 9.67 s = 1.10x normalized —
+four-for-four this round; LSH 7.22 s), only 3 rows >2x normalized (all
+sub-second absolutes, the rotating-noise signature).
+bench_out_certified.json holds this final-code run.  The changed query
+read 2.089 s (it now ships fewer wire rows) and its baseline row was
+REPRICED from this run per the semantics-change policy (old 3.109 s in
+the `repriced` audit map); saprfc_stream_incremental read 6.93 s,
+inside its corroborated family.
 """
 
 from __future__ import annotations
