@@ -126,6 +126,28 @@ def test_pushdown_never_changes_semantics(filters, pagesize):
             expect.append(row)
     assert got == sorted(expect, key=_rkey)
 
+    # PLANNING EXACTNESS LAW (round 13, the filtered-count planning): the
+    # planned partitions tile [0, filtered_count) exactly — no page past
+    # the server-filtered stream's end (the r12-advice wasted-round-trip
+    # class), no gap before it, and the transport's filtered row_count
+    # agrees with what its call() actually serves.  The semantics
+    # assertion above can only catch UNDER-planning (missing rows);
+    # over-planning (empty trailing round trips) needs this direct law.
+    parts = pushed.partitions()
+    wire_opts = pushed.wire_options()
+    t = MockRfcTransport(n_rows=500)
+    n_filtered = t.row_count("DD03L", wire_opts)
+    assert n_filtered == len(t.call("DD03L", "`", 0, 10**9, options=wire_opts)["DATA"])
+    if n_filtered:
+        assert sorted((p.skip, p.count) for p in parts) == [
+            (skip, min(pagesize, n_filtered - skip))
+            for skip in range(0, n_filtered, pagesize)
+        ]
+    else:
+        # degenerate empty plan: one probe partition, ROWCOUNT=1 (never 0
+        # — "no restriction" to a live server)
+        assert [(p.skip, p.count) for p in parts] == [(0, 1)]
+
 
 @settings(max_examples=30, deadline=None)
 @given(
