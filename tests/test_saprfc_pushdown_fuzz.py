@@ -64,7 +64,12 @@ _INT_LITS = st.one_of(
 _DATE_LITS = st.dates(
     min_value=datetime.date(1994, 12, 30), max_value=datetime.date(2020, 2, 2)
 )
-_ANY_LIT = st.one_of(_STR_LITS, _INT_LITS, _DATE_LITS)
+# None as a comparison literal: Spark folds `col = NULL` away before any
+# source sees it, but the contract must hold for whatever reaches
+# pushFilters — EqualTo(col, None) is never True (drops every row, both
+# paths), EqualNullSafe(col, None) keeps exactly the NULL-typed rows and
+# must never render (a server EQ/NE would narrow it)
+_ANY_LIT = st.one_of(_STR_LITS, _INT_LITS, _DATE_LITS, st.none())
 
 _CMP = st.sampled_from(
     [EqualTo, EqualNullSafe, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual]
