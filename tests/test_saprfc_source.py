@@ -780,3 +780,25 @@ def test_negative_maxrows_rejected():
 
     with pytest.raises(ValueError, match="maxrows must be positive"):
         SapRfcReader({"mockrows": "100", "maxrows": "-5"}, list(MockRfcTransport.FIELDS))
+
+
+def test_arrow_schema_twin_matches_spark_mapping():
+    """_pa_type must be exactly Spark's own Arrow image of _spark_type for
+    every DDIC code (including every decimal scale the P path can carry):
+    the reader declares the StructType through one function and builds its
+    RecordBatches through the other, and a silent divergence (say, a P
+    scale mismatch) crashes the Arrow column build at read time on the
+    executor — the differential-pin convention applied to this type-map
+    twin."""
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.sources.rfc import RfcField
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.sources.saprfc_dsv2 import (
+        _pa_type,
+        _spark_type,
+    )
+
+    for code in ["C", "N", "D", "T", "P", "F", "I", "s", "b", "X", "y", "g"]:
+        for scale in (0, 2, 3, 10, 38):
+            f = RfcField("F1", code, decimal_scale=scale)
+            assert _pa_type(f) == to_arrow_type(_spark_type(f)), (code, scale)
