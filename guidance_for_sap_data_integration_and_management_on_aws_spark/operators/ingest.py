@@ -496,6 +496,79 @@ def saprfc_pushdown_suffix_contains(spark: SparkSession, sf_dir: str) -> DataFra
 
 @spec(
     f"""
+    WITH r AS ({SQL_MOCK_DD03L})
+    SELECT 'TAB'||CAST(i%7 AS VARCHAR) AS TABNAME,
+           'FLD_'||lpad(CAST(i AS VARCHAR),5,'0') AS FIELDNAME,
+           'ROLL'||CAST(i%11 AS VARCHAR) AS ROLLNAME,
+           CASE WHEN i%13=0 THEN NULL ELSE i%500 END AS POSITION
+    FROM r
+    WHERE i%37<>0
+      AND (i%7=3 OR (i%13<>0 AND i%500 < 40))
+      AND i%11<>7
+    """,
+    doc="P7 filter pushdown, OR-disjunction leg (round-14): ABAP open-SQL "
+    "OPTIONS accepts OR with parentheses, but Spark's Python DataSource "
+    "filter protocol cannot serialize Or (only simple shapes + a negation "
+    "flag), so a disjunctive predicate never reaches pushFilters — without "
+    "this leg the reference scenario (a multi-table/multi-prefix extract "
+    "filter) pulls every row of every page.  The `pushdown` spec option "
+    "(the same API-gap channel as P8 fields / P9 maxrows) accepts "
+    "'A OR B' within a clause, parsed to an OrGroup and rendered as the "
+    "OPTIONS line \"( TABNAME EQ 'TAB3' OR POSITION LT '0040' )\" — the "
+    "NUMC literal zero-padded, the group all-or-nothing (dropping one "
+    "disjunct would NARROW the server set, violating the superset "
+    "obligation).  Re-verified on typed values with SQL three-valued OR "
+    "(a NULL POSITION row survives only via the other disjunct), "
+    "composed here with a conjunctive NE clause.  Wire-volume and "
+    "planning-exactness laws in tests/test_saprfc_source.py.",
+)
+def saprfc_pushdown_disjunction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _saprfc_df(
+        spark,
+        mockrows=str(MOCK_ROWS),
+        pushdown="TABNAME EQ 'TAB3' OR POSITION LT '40'; ROLLNAME NE 'ROLL7'",
+    )
+    return df.select("TABNAME", "FIELDNAME", "ROLLNAME", "POSITION")
+
+
+@spec(
+    f"""
+    WITH r AS ({SQL_MOCK_DD03L})
+    SELECT 'TAB'||CAST(i%7 AS VARCHAR) AS TABNAME,
+           CASE WHEN i%11=0 THEN NULL
+                ELSE make_date(CAST(1995+i%25 AS INT), CAST(1+i%12 AS INT), CAST(1+i%28 AS INT))
+           END AS ASDATE
+    FROM r
+    """,
+    doc="P8 projection pushdown on the STREAM path (round-14): the 'fields' "
+    "option reaches the stream delegate's BAPI FIELDS parameter, so each "
+    "microbatch ships only the requested columns — and the corruption "
+    "planted in ROLLNAME never crosses the wire (all rows arrive "
+    "well-formed), exactly like the batch leg (saprfc_projection, the "
+    "oracle's SQL).  Per-trigger wire assertion (every transport call "
+    "carries FIELDS=[TABNAME, ASDATE]) in tests/test_saprfc_source.py.  "
+    "Drained with Trigger.AvailableNow into a memory sink.",
+)
+def saprfc_stream_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.saprfc_dsv2 import register
+    from ..streaming.replay import run_to_table
+
+    register(spark)
+    s = (
+        spark.readStream.format("saprfc")
+        .option("table", "DD03L")
+        .option("mockrows", str(MOCK_ROWS))
+        .option("pagesize", "500")
+        .option("fields", "TABNAME,ASDATE")
+        .load()
+    )
+    return run_to_table(
+        s.select("TABNAME", "ASDATE"), "mem_saprfc_stream_projection", "append"
+    )
+
+
+@spec(
+    f"""
     WITH src AS ({SQL_WA}),
     a AS (SELECT len(string_split(trim(wa), chr(96))) = 7 AS ok FROM src),
     c AS (SELECT COUNT(*) FILTER (WHERE ok) AS v,
@@ -1594,8 +1667,10 @@ QUERIES: dict[str, QuerySpec] = {
     "saprfc_limit_pushdown": saprfc_limit_pushdown,
     "saprfc_pushdown_in_like": saprfc_pushdown_in_like,
     "saprfc_pushdown_suffix_contains": saprfc_pushdown_suffix_contains,
+    "saprfc_pushdown_disjunction": saprfc_pushdown_disjunction,
     "saprfc_stream_pushdown": saprfc_stream_pushdown,
     "saprfc_stream_incremental": saprfc_stream_incremental,
+    "saprfc_stream_projection": saprfc_stream_projection,
     "sink_roundtrip": sink_roundtrip,
     "lake_compact_roundtrip": lake_compact_roundtrip,
     "lake_bucketed_write": lake_bucketed_write,

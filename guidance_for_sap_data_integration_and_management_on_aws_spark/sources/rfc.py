@@ -210,6 +210,17 @@ class MockRfcTransport(RfcTransport):
     _OPT_IN_RE = re.compile(r"^(\w+)\s+IN\s+\((.*)\)$")
     _OPT_LIKE_RE = re.compile(r"^(\w+)\s+LIKE\s+'(.*)'$")
     _IN_LIT_RE = re.compile(r"'((?:[^']|'')*)'")
+    # parenthesized disjunction line: "( term OR term [OR term ...] )" —
+    # open-SQL accepts OR with parentheses inside a dynamic WHERE
+    _OPT_GROUP_RE = re.compile(r"^\(\s+(.*)\s+\)$")
+    # split the group body on OR tokens OUTSIDE quoted literals: the
+    # lookahead admits a split point only when the remaining text holds an
+    # even number of quotes (every complete literal contributes an even
+    # count — escaped quotes are doubled).  Deliberately a DIFFERENT
+    # technique from the client's character-scan splitter
+    # (saprfc_dsv2._split_or_terms), so a bug in either side surfaces in
+    # the pushed==unpushed fuzz instead of cancelling out.
+    _OPT_OR_SPLIT_RE = re.compile(r"\s+OR\s+(?=(?:[^']*'[^']*')*[^']*$)")
 
     @staticmethod
     def _unq(lit: str) -> str:
@@ -230,46 +241,51 @@ class MockRfcTransport(RfcTransport):
         client's F.trim twin — bare ``str.strip()`` eats unicode
         whitespace the client keeps (r12 advice, second item).  Supports
         comparison lines (``NAME EQ|NE|GT|GE|LT|LE 'lit'``),
-        ``NAME IN ('a', 'b')`` value lists, and ``NAME LIKE 'pat'`` with
-        SQL ``%``/``_`` wildcards — the shapes the DSv2 client renders
+        ``NAME IN ('a', 'b')`` value lists, ``NAME LIKE 'pat'`` with
+        SQL ``%``/``_`` wildcards, and parenthesized disjunction lines
+        ``( term OR term )`` — the shapes the DSv2 client renders
         (saprfc_dsv2._render_options)."""
         names = [f.name for f in self.FIELDS]
         raw = dict(zip(names, (v.strip(" ") for v in self._vals(i))))
         for opt in options:
-            if m := self._OPT_IN_RE.match(opt):
-                name, body = m.groups()
-                v = raw[name]
-                lits = [self._unq(x) for x in self._IN_LIT_RE.findall(body)]
-                if not any(v == lit for lit in lits):
+            if m := self._OPT_GROUP_RE.match(opt):
+                terms = self._OPT_OR_SPLIT_RE.split(m.group(1))
+                if not any(self._eval_line(raw, t) for t in terms):
                     return False
                 continue
-            if m := self._OPT_LIKE_RE.match(opt):
-                name, pat = m.groups()
-                # SQL LIKE -> anchored regex: % = any run, _ = any char,
-                # everything else literal (after quote-unescape)
-                rx = "".join(
-                    ".*" if ch == "%" else "." if ch == "_" else re.escape(ch)
-                    for ch in self._unq(pat)
-                )
-                if not re.fullmatch(rx, raw[name]):
-                    return False
-                continue
-            m = self._OPT_RE.match(opt)
-            if not m:
-                raise ValueError(f"unparseable OPTIONS line: {opt!r}")
-            name, op, lit = m.groups()
-            a, b = raw[name], self._unq(lit)
-            ok = {
-                "EQ": a == b,
-                "NE": a != b,
-                "GT": a > b,
-                "GE": a >= b,
-                "LT": a < b,
-                "LE": a <= b,
-            }[op]
-            if not ok:
+            if not self._eval_line(raw, opt):
                 return False
         return True
+
+    def _eval_line(self, raw: dict, opt: str) -> bool:
+        """One simple (OR-free) OPTIONS term against one stored row."""
+        if m := self._OPT_IN_RE.match(opt):
+            name, body = m.groups()
+            v = raw[name]
+            lits = [self._unq(x) for x in self._IN_LIT_RE.findall(body)]
+            return any(v == lit for lit in lits)
+        if m := self._OPT_LIKE_RE.match(opt):
+            name, pat = m.groups()
+            # SQL LIKE -> anchored regex: % = any run, _ = any char,
+            # everything else literal (after quote-unescape)
+            rx = "".join(
+                ".*" if ch == "%" else "." if ch == "_" else re.escape(ch)
+                for ch in self._unq(pat)
+            )
+            return re.fullmatch(rx, raw[name]) is not None
+        m = self._OPT_RE.match(opt)
+        if not m:
+            raise ValueError(f"unparseable OPTIONS line: {opt!r}")
+        name, op, lit = m.groups()
+        a, b = raw[name], self._unq(lit)
+        return {
+            "EQ": a == b,
+            "NE": a != b,
+            "GT": a > b,
+            "GE": a >= b,
+            "LT": a < b,
+            "LE": a <= b,
+        }[op]
 
     def call(
         self,

@@ -59,6 +59,7 @@ import datetime
 import math
 import re
 from collections.abc import Iterator, Sequence
+from dataclasses import dataclass
 from decimal import ROUND_HALF_UP, Decimal, InvalidOperation, localcontext
 from typing import Any
 
@@ -306,10 +307,57 @@ def _cmp(v, w) -> int | None:
         return None
 
 
+@dataclass(frozen=True)
+class OrGroup(Filter):
+    """Disjunction of simple filters — OUR dataclass, not Spark's.
+
+    Spark's Python Data Source filter protocol serializes only simple
+    comparison/null/string filters plus a negation flag
+    (pyspark/sql/worker/data_source_pushdown_filters.py:
+    ``binary_filters`` / ``unary_filters`` / ``isNegated``), so a
+    disjunctive predicate NEVER reaches ``pushFilters`` — Spark keeps
+    ``Or`` client-side as a residual Filter.  ABAP open-SQL OPTIONS,
+    however, accepts ``OR`` with parentheses, so the explicit ``pushdown``
+    spec option (the same API-gap channel as the P8 ``fields`` / P9
+    ``maxrows`` options) carries disjunctions: a clause ``A OR B`` parses
+    into ``OrGroup((A, B))``, renders as the OPTIONS line ``( A OR B )``,
+    and re-verifies with SQL three-valued OR semantics.  Without this, the
+    reference scenario — a multi-table/multi-prefix extract filter — pulls
+    every row of every page and filters client-side.
+
+    Children must be OR-free simple terms (the grammar is a flat
+    disjunction inside one conjunctive clause) and there must be at least
+    two of them (a one-child group would render as a bare term and parse
+    back as the child, breaking the render∘parse identity).
+    """
+
+    children: tuple[Filter, ...]
+
+    def __post_init__(self) -> None:
+        if len(self.children) < 2:
+            raise ValueError("OrGroup needs at least two children")
+        for c in self.children:
+            inner = c
+            while isinstance(inner, Not):
+                inner = inner.child
+            if isinstance(inner, OrGroup):
+                raise ValueError("OrGroup children must be OR-free simple terms")
+
+
 def _eval_filter(flt: Filter, row: dict) -> bool | None:
     if isinstance(flt, Not):
         inner = _eval_filter(flt.child, row)
         return None if inner is None else not inner
+    if isinstance(flt, OrGroup):
+        # SQL three-valued OR: any True -> True; else any NULL -> NULL
+        saw_null = False
+        for child in flt.children:
+            r = _eval_filter(child, row)
+            if r is True:
+                return True
+            if r is None:
+                saw_null = True
+        return None if saw_null else False
     name = flt.attribute[-1]
     v = row.get(name)
     if isinstance(flt, IsNull):
@@ -386,6 +434,8 @@ _HANDLED_FILTERS = (
 def _filter_handled(flt: Filter) -> bool:
     if isinstance(flt, Not):
         return _filter_handled(flt.child)
+    if isinstance(flt, OrGroup):
+        return all(_filter_handled(c) for c in flt.children)
     return isinstance(flt, _HANDLED_FILTERS)
 
 
@@ -498,6 +548,8 @@ def _render_options(filters: Sequence[Filter], fields: Sequence[RfcField]) -> li
       literal is NOT escaped (the OPTIONS grammar kept ESCAPE-free): the
       server reads it as a wildcard, which only ever WIDENS the match, and
       the typed re-verification restores exact semantics.
+    * ``OrGroup`` (round-14) -> ``( A OR B )``, each disjunct one of the
+      shapes above; all-or-nothing, see :func:`_render_clause`.
     """
     by_name = {f.name: f for f in fields}
     string_fields = frozenset(
@@ -505,46 +557,73 @@ def _render_options(filters: Sequence[Filter], fields: Sequence[RfcField]) -> li
     )
     out = []
     for flt in filters:
-        neg = False
-        while isinstance(flt, Not):
-            neg = not neg
-            flt = flt.child
-        if neg:
-            op = _NEG_OPTIONS_OPS.get(type(flt))
-            if op is None:
-                continue
-            name = flt.attribute[-1]
-            lit = _wire_literal(flt.value, by_name.get(name))
-            if lit is not None:
-                out.append(f"{name} {op} '{lit}'")
-            continue
-        if isinstance(flt, In):
-            name = flt.attribute[-1]
-            lits = [_wire_literal(v, by_name.get(name)) for v in flt.value]
-            if lits and all(lit is not None for lit in lits):
-                vals = ", ".join(f"'{lit}'" for lit in lits)
-                out.append(f"{name} IN ({vals})")
-            continue
-        shape = _LIKE_SHAPES.get(type(flt))
-        if shape is not None:
-            name = flt.attribute[-1]
-            v = flt.value
-            if name in string_fields and isinstance(v, str):
-                pre, post = shape
-                esc = v.replace(chr(39), chr(39) * 2)
-                out.append(f"{name} LIKE '{pre}{esc}{post}'")
-            continue
-        op = _OPTIONS_OPS.get(type(flt))
-        if op is None and isinstance(flt, EqualNullSafe) and flt.value is not None:
-            # v <=> lit with a non-null literal is satisfied only by
-            # non-null v == lit, exactly EQ's server-kept set
-            op = "EQ"
-        if op is not None:
-            name = flt.attribute[-1]
-            lit = _wire_literal(getattr(flt, "value", None), by_name.get(name))
-            if lit is not None:
-                out.append(f"{name} {op} '{lit}'")
+        line = _render_clause(flt, by_name, string_fields)
+        if line is not None:
+            out.append(line)
     return out
+
+
+def _render_clause(
+    flt: Filter, by_name: dict[str, RfcField], string_fields: frozenset[str]
+) -> str | None:
+    """OPTIONS wire text for ONE pushed filter, or None when no
+    char-semantics-safe rendering exists (the predicate then rides the
+    wire unfiltered and the typed re-verification applies it exactly).
+
+    ``OrGroup`` renders as a parenthesized open-SQL disjunction
+    ``( A OR B )`` — ALL-or-nothing, and for a harder reason than ``In``'s:
+    skipping a whole conjunctive clause only WIDENS the server set (safe),
+    but dropping a single disjunct from a rendered group would NARROW it,
+    violating the superset obligation, so one unrenderable child unrenders
+    the entire group.  A negated group (``Not(OrGroup)``) is never
+    rendered: its De Morgan form is a conjunction of complements whose
+    members may individually be unrenderable, and the unrendered ride is
+    always correct.
+    """
+    neg = False
+    while isinstance(flt, Not):
+        neg = not neg
+        flt = flt.child
+    if isinstance(flt, OrGroup):
+        if neg:
+            return None
+        parts = [_render_clause(c, by_name, string_fields) for c in flt.children]
+        if any(p is None for p in parts):
+            return None
+        return "( " + " OR ".join(parts) + " )"
+    if neg:
+        op = _NEG_OPTIONS_OPS.get(type(flt))
+        if op is None:
+            return None
+        name = flt.attribute[-1]
+        lit = _wire_literal(flt.value, by_name.get(name))
+        return None if lit is None else f"{name} {op} '{lit}'"
+    if isinstance(flt, In):
+        name = flt.attribute[-1]
+        lits = [_wire_literal(v, by_name.get(name)) for v in flt.value]
+        if lits and all(lit is not None for lit in lits):
+            vals = ", ".join(f"'{lit}'" for lit in lits)
+            return f"{name} IN ({vals})"
+        return None
+    shape = _LIKE_SHAPES.get(type(flt))
+    if shape is not None:
+        name = flt.attribute[-1]
+        v = flt.value
+        if name in string_fields and isinstance(v, str):
+            pre, post = shape
+            esc = v.replace(chr(39), chr(39) * 2)
+            return f"{name} LIKE '{pre}{esc}{post}'"
+        return None
+    op = _OPTIONS_OPS.get(type(flt))
+    if op is None and isinstance(flt, EqualNullSafe) and flt.value is not None:
+        # v <=> lit with a non-null literal is satisfied only by
+        # non-null v == lit, exactly EQ's server-kept set
+        op = "EQ"
+    if op is not None:
+        name = flt.attribute[-1]
+        lit = _wire_literal(getattr(flt, "value", None), by_name.get(name))
+        return None if lit is None else f"{name} {op} '{lit}'"
+    return None
 
 
 # --- streaming pushdown spec ------------------------------------------------
@@ -605,24 +684,92 @@ def _typed_literal(raw: str, f: RfcField) -> Any:
     return v
 
 
+def _split_or_terms(clause: str) -> list[str]:
+    """Split one conjunctive clause into its ``OR`` disjuncts, honoring
+    quoted literals: a character scan tracks quote state (doubled quotes
+    toggle twice and land back where they started), so `` OR `` inside a
+    literal — ``TABNAME EQ 'A OR B'`` — never splits.  The mock server's
+    evaluator deliberately uses a DIFFERENT technique (an even-quote-count
+    regex lookahead, rfc.py) so a bug in either splitter is visible to the
+    pushed==unpushed fuzz instead of cancelling out."""
+    terms: list[str] = []
+    in_quote = False
+    last = i = 0
+    n = len(clause)
+    while i < n:
+        ch = clause[i]
+        if ch == "'":
+            in_quote = not in_quote
+        elif not in_quote and clause.startswith(" OR ", i):
+            terms.append(clause[last:i])
+            i += 4
+            last = i
+            continue
+        i += 1
+    terms.append(clause[last:])
+    return [t.strip() for t in terms]
+
+
+def _parse_term(clause: str, field_of) -> Filter:
+    """Parse ONE simple (OR-free) spec term into a Filter dataclass."""
+    if m := _SPEC_CMP_RE.match(clause):
+        name, op, lit = m.groups()
+        f = field_of(name)
+        typed = _typed_literal(_spec_unq(lit), f)
+        if op == "NE":
+            return Not(EqualTo((name,), typed))
+        return _SPEC_CMP_FILTERS[op]((name,), typed)
+    if m := _SPEC_IN_RE.match(clause):
+        name, body = m.groups()
+        f = field_of(name)
+        if not body.strip():
+            raise ValueError(f"empty IN list in pushdown clause {clause!r}")
+        if not _SPEC_IN_BODY_RE.match(body):
+            raise ValueError(
+                f"malformed IN list in pushdown clause {clause!r}; "
+                "expected a comma-separated list of quoted literals"
+            )
+        lits = [_spec_unq(x) for x in _SPEC_LIT_RE.findall(body)]
+        return In((name,), tuple(_typed_literal(x, f) for x in lits))
+    if m := _SPEC_STR_RE.match(clause):
+        name, op, lit = m.groups()
+        f = field_of(name)
+        if not isinstance(_spark_type(f), StringType):
+            raise ValueError(
+                f"pushdown clause {clause!r}: {op} needs a string-typed "
+                f"column, but {name} is DDIC {f.type_code!r}"
+            )
+        return _SPEC_STR_FILTERS[op]((name,), _spec_unq(lit))
+    raise ValueError(
+        f"unparseable pushdown clause {clause!r}; expected "
+        "\"NAME EQ|NE|GT|GE|LT|LE 'lit'\", \"NAME IN ('a', 'b')\" or "
+        "\"NAME STARTSWITH|ENDSWITH|CONTAINS 'lit'\" (terms may be joined "
+        "with ' OR ' inside one clause)"
+    )
+
+
 def parse_pushdown_spec(spec: str, fields: Sequence[RfcField]) -> list[Filter]:
     """Parse a `pushdown` option string into Filter dataclasses.
 
-    Grammar (clauses joined with ';', evaluated as a conjunction)::
+    Grammar (clauses joined with ';', evaluated as a conjunction; terms
+    inside one clause may be joined with `` OR ``, evaluated as a
+    three-valued disjunction — :class:`OrGroup`)::
 
         NAME EQ|NE|GT|GE|LT|LE 'lit'  comparison against a typed literal
                                       (NE parses to Not(EqualTo) — the
                                       batch path's != shape)
         NAME IN ('a', 'b', ...)       membership (typed literals)
         NAME STARTSWITH|ENDSWITH|CONTAINS 'lit'   string predicates
+        term OR term [OR term ...]    disjunction of the shapes above
 
     Single quotes inside a literal escape by doubling, as in the OPTIONS
-    wire text.  Unknown columns, unknown operators, or literals the
-    column's type rejects fail loud — a stream that silently dropped a
-    misspelled clause would hand the user the wrong data forever.  One
-    grammar limit, also loud: ``;`` is the clause separator and cannot
-    appear inside a literal (the split runs before quote parsing, so both
-    halves of such a clause are unparseable and raise).
+    wire text; `` OR `` inside a quoted literal is literal text (the term
+    split is quote-aware).  Unknown columns, unknown operators, or
+    literals the column's type rejects fail loud — a stream that silently
+    dropped a misspelled clause would hand the user the wrong data
+    forever.  One grammar limit, also loud: ``;`` is the clause separator
+    and cannot appear inside a literal (the split runs before quote
+    parsing, so both halves of such a clause are unparseable and raise).
     """
     by_name = {f.name: f for f in fields}
 
@@ -639,41 +786,11 @@ def parse_pushdown_spec(spec: str, fields: Sequence[RfcField]) -> list[Filter]:
         clause = clause.strip()
         if not clause:
             continue
-        if m := _SPEC_CMP_RE.match(clause):
-            name, op, lit = m.groups()
-            f = field_of(name)
-            typed = _typed_literal(_spec_unq(lit), f)
-            if op == "NE":
-                out.append(Not(EqualTo((name,), typed)))
-            else:
-                out.append(_SPEC_CMP_FILTERS[op]((name,), typed))
-        elif m := _SPEC_IN_RE.match(clause):
-            name, body = m.groups()
-            f = field_of(name)
-            if not body.strip():
-                raise ValueError(f"empty IN list in pushdown clause {clause!r}")
-            if not _SPEC_IN_BODY_RE.match(body):
-                raise ValueError(
-                    f"malformed IN list in pushdown clause {clause!r}; "
-                    "expected a comma-separated list of quoted literals"
-                )
-            lits = [_spec_unq(x) for x in _SPEC_LIT_RE.findall(body)]
-            out.append(In((name,), tuple(_typed_literal(x, f) for x in lits)))
-        elif m := _SPEC_STR_RE.match(clause):
-            name, op, lit = m.groups()
-            f = field_of(name)
-            if not isinstance(_spark_type(f), StringType):
-                raise ValueError(
-                    f"pushdown clause {clause!r}: {op} needs a string-typed "
-                    f"column, but {name} is DDIC {f.type_code!r}"
-                )
-            out.append(_SPEC_STR_FILTERS[op]((name,), _spec_unq(lit)))
+        terms = _split_or_terms(clause)
+        if len(terms) == 1:
+            out.append(_parse_term(terms[0], field_of))
         else:
-            raise ValueError(
-                f"unparseable pushdown clause {clause!r}; expected "
-                "\"NAME EQ|NE|GT|GE|LT|LE 'lit'\", \"NAME IN ('a', 'b')\" or "
-                "\"NAME STARTSWITH|ENDSWITH|CONTAINS 'lit'\""
-            )
+            out.append(OrGroup(tuple(_parse_term(t, field_of) for t in terms)))
     return out
 
 
@@ -681,14 +798,19 @@ _SPEC_CMP_OPS = {v: k for k, v in _SPEC_CMP_FILTERS.items()}
 _SPEC_STR_OPS = {v: k for k, v in _SPEC_STR_FILTERS.items()}
 
 
+def _spec_text(lit: Any) -> str:
+    """The unquoted literal text the spec renderer emits — shared by the
+    quoting and the typed-validation paths so they judge the SAME text."""
+    if isinstance(lit, datetime.date):
+        return lit.strftime("%Y%m%d")
+    return str(lit)
+
+
 def _spec_q(lit: Any) -> str:
     """Quote a literal for the spec grammar (the inverse of the parse's
     unescape + ``_typed_literal``): ints/Decimals/dates render as the text
     the column's cast parses back to the same value."""
-    if isinstance(lit, datetime.date):
-        text = lit.strftime("%Y%m%d")
-    else:
-        text = str(lit)
+    text = _spec_text(lit)
     if ";" in text:
         # the documented grammar limit: ';' separates clauses and cannot
         # appear inside a literal — fail loud instead of emitting a spec
@@ -697,7 +819,87 @@ def _spec_q(lit: Any) -> str:
     return "'" + text.replace("'", "''") + "'"
 
 
-def render_pushdown_spec(filters: Sequence[Filter]) -> str:
+def _check_spec_literal(
+    name: str, value: Any, by_name: dict[str, RfcField] | None
+) -> None:
+    """Typed-literal validation for the spec renderer (round-14, r13
+    advice): without it, a literal NOT typed to its column rendered
+    silently and parsed back as a DIFFERENT typed value —
+    ``EqualTo(('TABNAME',), 5)`` became ``TABNAME EQ '5'``, i.e. the
+    string ``'5'``, quietly changing the filter's row set (``_cmp``
+    returns None on cross-type compares).  With a ``fields`` list, the
+    literal must round-trip through the parse side's ``_typed_literal``
+    to the SAME value and type, or this raises like every other
+    'cannot express' path."""
+    if by_name is None:
+        return
+    f = by_name.get(name)
+    if f is None:
+        raise ValueError(
+            f"spec grammar cannot express a filter on unknown column "
+            f"{name!r}; available: {sorted(by_name)}"
+        )
+    text = _spec_text(value)
+    try:
+        back = _typed_literal(text, f)
+    except ValueError as e:
+        raise ValueError(
+            f"spec grammar cannot express literal {value!r} for column "
+            f"{name!r}: {e}"
+        ) from e
+    # type-strict: 5 == 5.0 and True == 1 in Python, but a double/bool
+    # literal against an int column would still change the filter
+    if back != value or type(back) is not type(value):
+        raise ValueError(
+            f"spec grammar cannot express literal {value!r} "
+            f"({type(value).__name__}) for column {name!r}: the rendered "
+            f"text parses back as {back!r} ({type(back).__name__}), "
+            "silently changing the filter"
+        )
+
+
+def _spec_term(flt: Filter, by_name: dict[str, RfcField] | None) -> str:
+    """Spec text for ONE simple (OR-free) filter; raises on shapes the
+    grammar cannot express."""
+    if isinstance(flt, Not):
+        if isinstance(flt.child, EqualTo):
+            c = flt.child
+            _check_spec_literal(c.attribute[-1], c.value, by_name)
+            return f"{c.attribute[-1]} NE {_spec_q(c.value)}"
+        raise ValueError(f"spec grammar cannot express {flt!r}")
+    if isinstance(flt, In):
+        name = flt.attribute[-1]
+        for v in flt.value:
+            _check_spec_literal(name, v, by_name)
+        vals = ", ".join(_spec_q(v) for v in flt.value)
+        return f"{name} IN ({vals})"
+    if (op := _SPEC_CMP_OPS.get(type(flt))) is not None:
+        _check_spec_literal(flt.attribute[-1], flt.value, by_name)
+        return f"{flt.attribute[-1]} {op} {_spec_q(flt.value)}"
+    if (op := _SPEC_STR_OPS.get(type(flt))) is not None:
+        name = flt.attribute[-1]
+        if by_name is not None:
+            f = by_name.get(name)
+            if f is None:
+                raise ValueError(
+                    f"spec grammar cannot express a filter on unknown "
+                    f"column {name!r}; available: {sorted(by_name)}"
+                )
+            if not isinstance(_spark_type(f), StringType) or not isinstance(
+                flt.value, str
+            ):
+                raise ValueError(
+                    f"spec grammar cannot express {flt!r}: {op} needs a "
+                    f"string-typed column and literal, but {name} is DDIC "
+                    f"{f.type_code!r}"
+                )
+        return f"{name} {op} {_spec_q(flt.value)}"
+    raise ValueError(f"spec grammar cannot express {flt!r}")
+
+
+def render_pushdown_spec(
+    filters: Sequence[Filter], fields: Sequence[RfcField] | None = None
+) -> str:
     """Inverse of :func:`parse_pushdown_spec`: Filter dataclasses -> the
     ``pushdown`` option's clause text.  The round-trip law — parsing the
     rendered spec yields filters whose typed re-verification selects the
@@ -705,25 +907,24 @@ def render_pushdown_spec(filters: Sequence[Filter]) -> str:
     (tests/test_spec_roundtrip.py), which pins the seam the stream path
     opened in round 12 (spec text is the stream's only pushdown surface).
     Raises on shapes the grammar cannot express (``Not`` other than
-    ``Not(EqualTo)``, null checks, non-renderable literal types)."""
+    ``Not(EqualTo)``, null checks, non-renderable literal types).
+
+    With ``fields`` (round-14, r13 advice), every literal is additionally
+    validated against its column's declared type by round-tripping it
+    through the parse side's ``_typed_literal``: a mistyped literal used
+    to render silently and parse back as a different typed value; now it
+    raises loud.  Without ``fields`` the render is purely structural and
+    the round-trip identity holds only for column-typed literals (the
+    documented contract)."""
+    by_name = {f.name: f for f in fields} if fields is not None else None
     clauses = []
     for flt in filters:
-        if isinstance(flt, Not):
-            if isinstance(flt.child, EqualTo):
-                c = flt.child
-                clauses.append(f"{c.attribute[-1]} NE {_spec_q(c.value)}")
-                continue
-            raise ValueError(f"spec grammar cannot express {flt!r}")
-        if isinstance(flt, In):
-            vals = ", ".join(_spec_q(v) for v in flt.value)
-            clauses.append(f"{flt.attribute[-1]} IN ({vals})")
-            continue
-        if (op := _SPEC_CMP_OPS.get(type(flt))) is not None or (
-            op := _SPEC_STR_OPS.get(type(flt))
-        ) is not None:
-            clauses.append(f"{flt.attribute[-1]} {op} {_spec_q(flt.value)}")
-            continue
-        raise ValueError(f"spec grammar cannot express {flt!r}")
+        if isinstance(flt, OrGroup):
+            clauses.append(
+                " OR ".join(_spec_term(c, by_name) for c in flt.children)
+            )
+        else:
+            clauses.append(_spec_term(flt, by_name))
     return "; ".join(clauses)
 
 
@@ -796,13 +997,19 @@ class SapRfcReader(DataSourceReader):
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
         known = {f.name for f in self.fields}
 
-        def ref(flt: Filter) -> str:
-            return ref(flt.child) if isinstance(flt, Not) else flt.attribute[-1]
+        def refs(flt: Filter) -> list[str]:
+            # every column a filter touches (OrGroup spans several; Spark's
+            # own wire protocol only ever delivers single-column shapes, but
+            # OrGroups arrive here from the spec path and the fuzz suite)
+            if isinstance(flt, Not):
+                return refs(flt.child)
+            if isinstance(flt, OrGroup):
+                return [n for c in flt.children for n in refs(c)]
+            return [flt.attribute[-1]]
 
         for flt in filters:
             try:
-                name = ref(flt)
-                if name in known and _filter_handled(flt):
+                if all(n in known for n in refs(flt)) and _filter_handled(flt):
                     self.accepted.append(flt)
                     continue
             except AttributeError:
@@ -927,8 +1134,13 @@ class SapRfcStreamReader(DataSourceStreamReader):
     strand the tail of a partially-revealed page forever.  The offset is
     monotonic (a shrinking count — estimate jitter, table reorg — never
     rewinds it; appended rows surface on the next growth past the
-    high-water mark).  An explicit ``totalrows`` option freezes the size
-    (test override / live estimate where COUNT is unavailable), which
+    high-water mark).  Across a RESTART the mark is per-instance, so
+    ``partitions()`` re-seeds it from the engine's checkpointed start and
+    clamps the batch to ``[start, max(start, end))`` (round-14, r13
+    advice): a post-restart count below the durable offset yields empty
+    batches — never a rewind, never re-delivery of rows behind the
+    checkpoint.  An explicit ``totalrows`` option freezes the size (test
+    override / live estimate where COUNT is unavailable), which
     deliberately disables growth observation.
 
     **Filter pushdown** (round-12): the ``pushdown`` reader option — a
@@ -975,7 +1187,21 @@ class SapRfcStreamReader(DataSourceStreamReader):
         return {"row": self._latest_row}
 
     def partitions(self, start: dict, end: dict):
-        return _plan_pages(start["row"], end["row"], self._delegate.page_size)
+        # Restart guard (round-14, r13 advice): the high-water mark is
+        # per-instance and the stream API exposes the checkpointed start
+        # no earlier than this call, so after a query restart the FIRST
+        # latestOffset() may sit below the durable start (a row_count
+        # estimate that jitters downward).  Seed the mark from the engine's
+        # start and clamp the batch to [start, max(start, end)): a shrunken
+        # estimate yields an empty batch, never a rewind — and every
+        # subsequent latestOffset() is anchored at the durable offset, so
+        # growth past the old count resumes at start, not at the jittered
+        # value (no re-delivery of [count, start)).
+        lo = start["row"]
+        hi = max(lo, end["row"])
+        if hi > self._latest_row:
+            self._latest_row = hi
+        return _plan_pages(lo, hi, self._delegate.page_size)
 
     def read(self, partition: _PagePartition):
         return self._delegate.read(partition)
