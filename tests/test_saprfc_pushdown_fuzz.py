@@ -41,6 +41,7 @@ from pyspark.sql.datasource import (
 
 from guidance_for_sap_data_integration_and_management_on_aws_spark.sources.rfc import MockRfcTransport
 from guidance_for_sap_data_integration_and_management_on_aws_spark.sources.saprfc_dsv2 import (
+    OrGroup,
     SapRfcReader,
     _eval_filter,
 )
@@ -94,7 +95,16 @@ def _filters():
     )
     null_f = st.builds(lambda c, k: k((c,)), col, st.sampled_from([IsNull, IsNotNull]))
     base = st.one_of(cmp_f, in_f, sw_f, null_f)
-    return st.one_of(base, base.map(Not))
+    term = st.one_of(base, base.map(Not))
+    # round-14: flat disjunctions of any simple term mix — including
+    # children that render (pushed to a "( A OR B )" group, all-or-nothing)
+    # next to children that don't (the whole group then rides the wire
+    # unfiltered), and Not over the group (never rendered, De Morgan'd only
+    # in the typed re-verify)
+    or_f = st.builds(
+        lambda cs: OrGroup(tuple(cs)), st.lists(term, min_size=2, max_size=3)
+    )
+    return st.one_of(term, or_f, or_f.map(Not))
 
 
 def _scan_rows(reader: SapRfcReader) -> list[tuple]:
@@ -237,7 +247,18 @@ def _spec_clauses():
         st.sampled_from(["STARTSWITH", "ENDSWITH", "CONTAINS"]),
         st.sampled_from(["TAB", "7", "L1", "FLD_01", "%", "_", "O'x", "3"]),
     )
-    return st.one_of(str_cmp, num_cmp, date_cmp, in_str, in_num, like)
+    simple = st.one_of(str_cmp, num_cmp, date_cmp, in_str, in_num, like)
+    # round-14 OR within a clause; literal "A OR B" exercises the
+    # quote-aware term split on the parse side
+    or_lit = st.builds(
+        lambda c, v: f"{c} EQ '{_q(v)}'",
+        st.sampled_from(_STR_COLS),
+        st.sampled_from(["A OR B", "x' OR TABNAME EQ 'y"]),
+    )
+    or_clause = st.builds(
+        " OR ".join, st.lists(st.one_of(simple, or_lit), min_size=2, max_size=3)
+    )
+    return st.one_of(simple, or_lit, or_clause)
 
 
 @settings(max_examples=40, deadline=None)

@@ -802,3 +802,177 @@ def test_arrow_schema_twin_matches_spark_mapping():
         for scale in (0, 2, 3, 10, 38):
             f = RfcField("F1", code, decimal_scale=scale)
             assert _pa_type(f) == to_arrow_type(_spark_type(f)), (code, scale)
+
+
+def test_stream_restart_clamp_never_rewinds_behind_checkpoint():
+    """Round-14 (r13 advice): the offset high-water mark is per-instance,
+    so a RESTARTED stream (fresh reader, mark 0) whose row_count estimate
+    jitters below the checkpointed start used to hand the engine an offset
+    behind start — and the next growth past that count re-delivered
+    [count, start) as duplicates.  partitions() now seeds the mark from the
+    engine's durable start and clamps the batch to [start, max(start, end)):
+    the jittered trigger plans an empty batch, and growth resumes AT the
+    checkpoint, never behind it."""
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.sources.saprfc_dsv2 import (
+        SapRfcStreamReader,
+    )
+
+    fields = list(MockRfcTransport.FIELDS)
+    # fresh instance = restarted query; the checkpointed start is 1000 but
+    # the transport's current estimate reads 800
+    r = SapRfcStreamReader({"mockrows": "800", "pagesize": "300"}, fields)
+    jittered = r.latestOffset()
+    assert jittered == {"row": 800}  # first poll can't know the checkpoint
+    # the engine hands partitions() the durable start: empty batch, no rewind
+    assert r.partitions({"row": 1000}, jittered) == []
+    # the mark is now anchored at the checkpoint even though the estimate
+    # still reads low — the engine never sees an offset behind start again
+    assert r.latestOffset() == {"row": 1000}
+    # growth past the old count resumes at the checkpoint, NOT at the
+    # jittered value: [800, 1000) is never re-delivered
+    r._transport.n_rows = 1200
+    r._delegate.options["mockrows"] = "1200"
+    grown = r.latestOffset()
+    assert grown == {"row": 1200}
+    parts = r.partitions({"row": 1000}, grown)
+    assert [(p.skip, p.count) for p in parts] == [(1000, 200)]
+
+
+def test_or_disjunction_renders_wire_group_and_reverifies():
+    """P7 OR leg (round-14): an 'A OR B' spec clause renders as ONE
+    parenthesized OPTIONS line with char-safe literals (NUMC zero-padded),
+    the server filters before paging (wire volume shrinks to exactly the
+    group's char-wise matches), planning tiles the filtered count, and the
+    client re-verifies with three-valued OR so the result equals the
+    unpushed scan + the same predicates."""
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.sources.saprfc_dsv2 import (
+        SapRfcReader,
+        _eval_filter,
+    )
+
+    fields = list(MockRfcTransport.FIELDS)
+    spec = "TABNAME EQ 'TAB3' OR POSITION LT '40'; ROLLNAME NE 'ROLL7'"
+    pushed = SapRfcReader(
+        {"mockrows": "2500", "pagesize": "300", "pushdown": spec}, fields
+    )
+    assert pushed.wire_options() == [
+        "( TABNAME EQ 'TAB3' OR POSITION LT '0040' )",
+        "ROLLNAME NE 'ROLL7'",
+    ]
+    # server-side volume: the mock keeps exactly the char-wise group matches
+    t = MockRfcTransport(n_rows=2500)
+    wire = t.call("DD03L", "`", 0, 10**9, options=pushed.wire_options())["DATA"]
+    n_filtered = t.row_count("DD03L", pushed.wire_options())
+    assert len(wire) == n_filtered < 2500
+    # planning exactness: partitions tile [0, filtered_count)
+    assert sorted((p.skip, p.count) for p in pushed.partitions()) == [
+        (skip, min(300, n_filtered - skip)) for skip in range(0, n_filtered, 300)
+    ]
+    # semantics: pushed scan == unpushed scan + typed three-valued OR
+    def rows_of(reader):
+        out = []
+        for p in reader.partitions():
+            for b in reader.read(p):
+                out.extend(
+                    zip(*[b.column(i).to_pylist() for i in range(b.num_columns)])
+                )
+        return sorted(out, key=lambda r: tuple(str(x) for x in r))
+
+    plain = SapRfcReader({"mockrows": "2500", "pagesize": "300"}, fields)
+    names = [f.name for f in fields]
+    expect = [
+        row
+        for row in rows_of(plain)
+        if all(
+            _eval_filter(f, dict(zip(names, row[: len(names)]))) is True
+            for f in pushed.accepted
+        )
+    ]
+    assert rows_of(pushed) == sorted(
+        expect, key=lambda r: tuple(str(x) for x in r)
+    )
+    # NULL-POSITION rows survive ONLY via the other disjunct (three-valued
+    # OR): every kept row with POSITION None must be TAB3
+    kept = rows_of(pushed)
+    pos_i, tab_i = names.index("POSITION"), names.index("TABNAME")
+    null_pos = [r for r in kept if r[pos_i] is None and r[-1] is None]
+    assert null_pos and all(r[tab_i] == "TAB3" for r in null_pos)
+
+
+def test_or_group_rendering_is_all_or_nothing():
+    """Dropping one disjunct from a rendered group would NARROW the server
+    set (superset-obligation violation) — so one unrenderable child
+    (a wider-than-field NUMC literal has no order-preserving wire form)
+    unrenders the WHOLE group, which then rides the wire unfiltered and is
+    re-verified typed."""
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.sources.saprfc_dsv2 import (
+        SapRfcReader,
+        _eval_filter,
+    )
+
+    fields = list(MockRfcTransport.FIELDS)
+    spec = "TABNAME EQ 'TAB3' OR POSITION GT '99999'"
+    pushed = SapRfcReader(
+        {"mockrows": "500", "pagesize": "300", "pushdown": spec}, fields
+    )
+    assert pushed.wire_options() == []  # no partial "( TABNAME EQ 'TAB3' )"
+    # unfiltered ride: every wire row crosses, the typed re-verify filters
+    names = [f.name for f in fields]
+    got = []
+    for p in pushed.partitions():
+        for b in pushed.read(p):
+            got.extend(zip(*[b.column(i).to_pylist() for i in range(b.num_columns)]))
+    assert len(got) == sum(
+        1
+        for i in range(500)
+        if i % 37 != 0 and (i % 7 == 3 or (i % 13 != 0 and i % 500 > 99999))
+    )
+    vals = [dict(zip(names, r[: len(names)])) for r in got]
+    assert all(
+        all(_eval_filter(f, v) is True for f in pushed.accepted) for v in vals
+    )
+
+
+def test_stream_projection_ships_only_requested_fields(monkeypatch):
+    """P8 on the stream path (round-14): with a projected fields list,
+    EVERY per-trigger transport call carries exactly the requested FIELDS
+    — the wire never ships the pruned columns (per-trigger wire assertion
+    for saprfc_stream_projection's oracle row)."""
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.sources.saprfc_dsv2 import (
+        SapRfcStreamReader,
+    )
+
+    calls: list[tuple] = []
+    orig = MockRfcTransport.call
+
+    def recording(self, qt, d, skips, cnt, options=(), fields=()):
+        calls.append((skips, cnt, tuple(fields)))
+        return orig(self, qt, d, skips, cnt, options=options, fields=fields)
+
+    monkeypatch.setattr(MockRfcTransport, "call", recording)
+    want = [f for f in MockRfcTransport.FIELDS if f.name in ("TABNAME", "ASDATE")]
+    r = SapRfcStreamReader({"mockrows": "1000", "pagesize": "300"}, want)
+    parts = r.partitions(r.initialOffset(), r.latestOffset())
+    wire_rows = 0
+    for p in parts:
+        for b in r.read(p):
+            wire_rows += b.num_rows
+            assert b.num_columns == 3  # TABNAME, ASDATE, _corrupt_record
+    assert wire_rows == 1000  # ROLLNAME's corruption never crosses the wire
+    assert calls and all(f == ("TABNAME", "ASDATE") for _, _, f in calls)
+
+
+def test_disjunction_plan_lock(spark):
+    """End-to-end through Spark: the `pushdown` OR option yields a plan
+    with the saprfc BatchScan and NO residual Filter node (the predicate
+    lives entirely in the source), and the row count obeys the generator
+    law for (TAB3 OR POSITION<40) under three-valued OR."""
+    df = _df(spark, pushdown="TABNAME EQ 'TAB3' OR POSITION LT '40'")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchScan saprfc" in plan
+    assert "Filter (" not in plan
+    assert df.count() == sum(
+        1
+        for i in range(2500)
+        if i % 37 != 0 and (i % 7 == 3 or (i % 13 != 0 and i % 500 < 40))
+    )

@@ -34,6 +34,7 @@ from pyspark.sql.datasource import (
 
 from guidance_for_sap_data_integration_and_management_on_aws_spark.sources.rfc import MockRfcTransport
 from guidance_for_sap_data_integration_and_management_on_aws_spark.sources.saprfc_dsv2 import (
+    OrGroup,
     _eval_filter,
     _py_cast,
     parse_pushdown_spec,
@@ -46,9 +47,15 @@ _STR_COLS = [f.name for f in FIELDS if f.type_code == "C"]
 _NUM_COLS = [f.name for f in FIELDS if f.type_code == "N"]
 
 # literal spaces per column type — the spec grammar's typed-literal domain
-# (';' is the documented grammar limit, tested loud below, not generated)
+# (';' is the documented grammar limit, tested loud below, not generated).
+# ' OR ' INSIDE a literal is deliberate: the round-14 term split must be
+# quote-aware, including the grammar-injection shape "x' OR TABNAME EQ 'y"
+# whose escaped render contains a quoted OR the scanner must not split on.
 _STR_LITS = st.sampled_from(
-    ["TAB3", "ROLL5", "X", "", "FLD_00100", "CHAR", "O'x", "''", "%", "_", "a b"]
+    [
+        "TAB3", "ROLL5", "X", "", "FLD_00100", "CHAR", "O'x", "''", "%", "_",
+        "a b", "A OR B", "x' OR TABNAME EQ 'y",
+    ]
 )
 _INT_LITS = st.integers(min_value=-5, max_value=99999)
 _DATE_LITS = st.dates(
@@ -97,9 +104,14 @@ def _expressible_filters():
         st.sampled_from([StringStartsWith, StringEndsWith, StringContains]),
         _STR_LITS,
     )
-    return st.one_of(
+    simple = st.one_of(
         str_cmp, num_cmp, date_cmp, ne, ne_num, in_str, in_num, in_date, like
     )
+    # round-14: 'A OR B' within a clause — a flat disjunction of simple terms
+    or_group = st.builds(
+        lambda cs: OrGroup(tuple(cs)), st.lists(simple, min_size=2, max_size=3)
+    )
+    return st.one_of(simple, or_group)
 
 
 def _typed_rows(n: int = 500) -> list[dict]:
@@ -163,3 +175,63 @@ def test_render_rejects_inexpressible_shapes():
         render_pushdown_spec([IsNull(("TABNAME",))])
     with pytest.raises(ValueError, match="cannot contain ';'"):
         render_pushdown_spec([EqualTo(("TABNAME",), "a;b")])
+
+
+def test_or_group_construction_guards():
+    """OrGroup's shape invariants fail loud: fewer than two children (a
+    one-child group would render as a bare term and parse back as the
+    child, breaking the render∘parse identity) and nested disjunctions
+    (the grammar is a FLAT disjunction of simple terms inside one
+    conjunctive clause)."""
+    a = EqualTo(("TABNAME",), "TAB3")
+    b = LessThan(("POSITION",), 40)
+    with pytest.raises(ValueError, match="at least two"):
+        OrGroup((a,))
+    with pytest.raises(ValueError, match="OR-free"):
+        OrGroup((a, OrGroup((a, b))))
+    with pytest.raises(ValueError, match="OR-free"):
+        OrGroup((a, Not(OrGroup((a, b)))))
+
+
+def test_render_with_fields_validates_literal_types():
+    """Round-14 (r13 advice): with the fields list, render is no longer a
+    faithful inverse ONLY for column-typed literals — a mistyped literal
+    (int against a char column, string against a NUMC column, a bool,
+    a datetime where the column is DATS) raises like every other
+    'cannot express' path instead of silently changing the filter's
+    typed row set through the text trip."""
+    import datetime as dt
+
+    with pytest.raises(ValueError, match="parses back as"):
+        render_pushdown_spec([EqualTo(("TABNAME",), 5)], FIELDS)
+    with pytest.raises(ValueError, match="cannot express"):
+        render_pushdown_spec([EqualTo(("POSITION",), "40")], FIELDS)
+    with pytest.raises(ValueError, match="cannot express"):
+        render_pushdown_spec([EqualTo(("POSITION",), True)], FIELDS)
+    with pytest.raises(ValueError, match="parses back as"):
+        render_pushdown_spec(
+            [EqualTo(("ASDATE",), dt.datetime(2020, 1, 1, 12, 0))], FIELDS
+        )
+    with pytest.raises(ValueError, match="unknown column"):
+        render_pushdown_spec([EqualTo(("NOPE",), "x")], FIELDS)
+    with pytest.raises(ValueError, match="cannot express"):
+        render_pushdown_spec([In(("POSITION",), (1, "2"))], FIELDS)
+    with pytest.raises(ValueError, match="string-typed"):
+        render_pushdown_spec([StringStartsWith(("POSITION",), "4")], FIELDS)
+    # the validation also applies INSIDE a disjunction
+    with pytest.raises(ValueError, match="parses back as"):
+        render_pushdown_spec(
+            [OrGroup((EqualTo(("TABNAME",), "TAB3"), EqualTo(("TABNAME",), 5)))],
+            FIELDS,
+        )
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.lists(_expressible_filters(), min_size=1, max_size=3))
+def test_render_with_fields_accepts_all_column_typed_literals(filters):
+    """The validation must be exactly as permissive as the parse side:
+    every filter the generator types to its column renders WITH fields to
+    the same spec text as without, and still round-trips."""
+    spec = render_pushdown_spec(filters, FIELDS)
+    assert spec == render_pushdown_spec(filters)
+    assert parse_pushdown_spec(spec, FIELDS) == list(filters)
