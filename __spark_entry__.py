@@ -36,29 +36,30 @@ from guidance_for_sap_data_integration_and_management_on_aws_spark.registry impo
 #      for the following round, then module order (freshest last).
 _PRIORITY = [
     # ------------------------------------------------------------------
-    # ROUND-13 WINDOW LEDGER (~50 driver slots; see rotation invariant
-    # above).  Entering r13 the age profile is: r7:21, r8:45, r9:48,
-    # r10:43, r11:45, r12:50 (judge-audited, VERDICT r12).  This round
-    # adds 1 query (saprfc_stream_incremental — the latestOffset
-    # re-query fix) and changes the saprfc DSv2 read path for every
-    # reader (NUMC zero-padded OPTIONS literals + char-semantics mock,
-    # Not->NE/complement rendering, row-based stream offsets,
-    # filtered-count page planning), so the whole saprfc family
-    # re-greens.  Budget:
-    #    1 never hash-checked                            -> slot   1
-    #    8 changed-since-green (the saprfc DSv2 family)  -> slots  2-9
-    #   21 r7 greens (the block drains — after this
-    #      round no green is older than r8)              -> slots 10-30
-    #   20 oldest r8 greens (alphabetical prefix of the
-    #      45; the remaining 25 queue first for r14)     -> slots 31-50
-    # Steady-state rotation at 253 queries / 50 slots re-greens every
+    # ROUND-14 WINDOW LEDGER (~50 driver slots; see rotation invariant
+    # above).  Entering r14 the age profile is: r8:25, r9:48, r10:43,
+    # r11:45, r12:42, r13:50 (judge-audited, VERDICT r13).  This round
+    # adds 2 queries (saprfc_pushdown_disjunction — OR rendered into
+    # OPTIONS via the spec grammar; saprfc_stream_projection — FIELDS
+    # on the stream path) and changes the shared saprfc DSv2 read path
+    # for every reader (OrGroup parse/render/eval, the stream restart
+    # clamp, the typed spec-render validation), so the whole saprfc
+    # family re-greens.  Budget:
+    #    2 never hash-checked                            -> slots  1-2
+    #    9 changed-since-green (the saprfc DSv2 family)  -> slots  3-11
+    #   25 r8 greens (the block drains — after this
+    #      round no green is older than r9)              -> slots 12-36
+    #   14 oldest r9 greens (alphabetical prefix of the
+    #      48; the remaining 34 queue first for r15)     -> slots 37-50
+    # Steady-state rotation at 255 queries / 50 slots re-greens every
     # ~5 rounds.
     # ------------------------------------------------------------------
     # --- 1. never hash-checked (first driver oracle this round) --------
-    "saprfc_stream_incremental",  # NEW r13: growth across checkpointed runs
+    "saprfc_pushdown_disjunction",  # NEW r14: OR -> "( A OR B )" OPTIONS
+    "saprfc_stream_projection",  # NEW r14: stream x FIELDS projection
     # --- 2. builder changed since last green (saprfc DSv2 read path:
-    # --- NUMC padding, NE rendering, char-semantics mock, row offsets,
-    # --- filtered page planning — all shared by these readers) ----------
+    # --- OrGroup in _eval_filter/_render_options/spec grammar, stream
+    # --- restart clamp, mock OR-group evaluation — all shared) ----------
     "saprfc_pushdown",
     "saprfc_pushdown_in_like",
     "saprfc_pushdown_suffix_contains",
@@ -67,52 +68,9 @@ _PRIORITY = [
     "saprfc_projection",
     "saprfc_limit_pushdown",
     "saprfc_stream_scan",
-    # --- 3. staleness rotation: the 21 remaining r7 greens (the whole
-    # --- block drains; the r12 verdict's item-1 list) -------------------
-    "lake_bucketed_write",
-    "lake_schema_evolution",
-    "lake_snapshot_diff",
-    "lake_time_travel_read",
-    "lake_zorder_layout",
-    "ml_linear_score",
-    "ml_regression_trend",
-    "mm_ahash_neardup",
-    "pipeline_train_test_split",
-    "sql_lateral_topk",
-    "stream_deadletter_split",
-    "stream_dedup_within_watermark",
-    "stream_session_window",
-    "stream_stateful_v2",
-    "stream_watermark_late_drop",
-    "text_bigram_pmi",
-    "text_bm25_topk",
-    "text_dup_ngram_spans",
-    "text_sentiment_lexicon",
-    "ts_cusum_changepoint",
-    "ts_resample_ohlc",
-    # --- 3b. oldest r8 greens (alphabetical prefix, 20 of 45) ----------
-    "agg_corr_matrix",
-    "csv_scan_roundtrip",
-    "events_ab_test",
-    "events_conversion_lag",
-    "events_path_trigrams",
-    "graph_sssp_weighted",
-    "mm_asset_stats",
-    "mm_decode",
-    "mm_frame_sample",
-    "mm_resize",
-    "mm_wav_vad",
-    "orc_scan_roundtrip",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q13_order_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_counts",
-    "q17_small_quantity",
-    "q18_large_orders",
-    # --- 4. rotation ballast: the remaining 25 r8 greens queue FIRST
-    # --- for round 14 (the window line falls above here) ----------------
+    "saprfc_stream_incremental",
+    # --- 3. staleness rotation: the 25 remaining r8 greens (the whole
+    # --- block drains; after this round no green is older than r9) -----
     "q19_disjunctive_bands",
     "q1_pricing_summary",
     "q20_promotion_suppliers",
@@ -138,9 +96,60 @@ _PRIORITY = [
     "udtf_bigrams",
     "udtf_explode_words",
     "xml_scan_roundtrip",
-    # r9+ greens not listed trail in module order (every one re-earned
-    # green within the last four rounds; stream_stateful_v2 above keeps
-    # its conditional registration, handled below)
+    # --- 3b. oldest r9 greens (alphabetical prefix, 14 of 48) ----------
+    "agg_approx_distinct",
+    "agg_collect",
+    "agg_count",
+    "agg_count_distinct",
+    "agg_cube",
+    "agg_filtered",
+    "agg_grouping_sets",
+    "agg_hll_rollup_merge",
+    "agg_kll_rollup_merge",
+    "agg_rollup",
+    "agg_statistical",
+    "agg_stats",
+    "ann_ivf_train_kmeans",
+    "dedup_jaccard_pairs",
+    # --- 4. rotation ballast: the remaining 34 r9 greens queue FIRST
+    # --- for round 15 (the window line falls above here) ----------------
+    "distinct_flags",
+    "except_custkeys",
+    "filter_where",
+    "fn_array",
+    "fn_datetime",
+    "fn_string",
+    "ingest_merge_upsert",
+    "intersect_custkeys",
+    "join_anti",
+    "join_broadcast",
+    "join_full_outer",
+    "join_inner",
+    "join_left_outer",
+    "join_salted_skew",
+    "join_semi",
+    "join_shuffle_hash",
+    "limit_offset",
+    "mm_bmp_ahash",
+    "mm_bmp_decode",
+    "mm_bmp_resize",
+    "mm_video_frames",
+    "mm_wav_decode",
+    "mm_wav_features",
+    "pipeline_pack_sequences",
+    "rfc_parse_valid",
+    "sample_stratified",
+    "sort_global",
+    "stream_cusum_alarms",
+    "stream_incremental_upsert",
+    "stream_kll_maintenance",
+    "stream_sketch_maintenance",
+    "text_repetition_filter",
+    "topk_orders",
+    "union_all",
+    # r10+ greens not listed trail in module order (every one re-earned
+    # green within the last four rounds; stream_stateful_v2 keeps its
+    # conditional registration, handled below)
 ]
 
 

@@ -836,6 +836,34 @@ def main(check: bool = False) -> None:
         for key in [k for k in _cand_cache if k[1] == pdir and pdir != sf_dir]:
             _cand_cache.pop(key)
 
+    # warmup 8 (round 14, r13 verdict item 4 — the LAST cheap attempt at
+    # the _lsh_pairs_pipeline[sf0.1] C2 bimodality): re-run the REAL LSH
+    # pipeline at sf0.01 immediately before the sf0.1 fused build, so the
+    # factored verify kernel (_lsh_verify_stage) was JUST executed on real
+    # frame shapes — parquet checkpoint scan -> length prune -> intersect —
+    # rather than warmup 7's synthetic rows (which could not reproduce the
+    # 32-core contention window; r13 negative result).  Not timed; the
+    # quiesce lets its tier-4 compiles land before the sf0.1 verify
+    # saturates the cores.  If three protocol runs still read bimodal,
+    # the item is CLOSED-AS-PRICED via the c2_spike flag + stage_diag.
+    try:
+        from guidance_for_sap_data_integration_and_management_on_aws_spark.operators.dedup import (
+            _LSH_CAND_CACHE as _w8_cache,
+        )
+        from guidance_for_sap_data_integration_and_management_on_aws_spark.operators.dedup import (
+            minhash_lsh_pairs as _w8_pairs,
+        )
+
+        _w8_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.01")
+        _w8_pairs(spark, _w8_dir).write.mode("overwrite").format("noop").save()
+        # release the warmup's candidate checkpoint (attribution hygiene:
+        # nothing timed may inherit state this warmup built)
+        for key in [k for k in _w8_cache if k[1] == _w8_dir]:
+            _w8_cache.pop(key)
+        time.sleep(2)
+    except Exception:
+        pass  # a warmup must never take the bench down
+
     # The production banded-LSH pair pipeline, timed at the FULL bench SF:
     # the registry's dedup_minhash_lsh row is since r9 the recall-mass
     # certification (reduced to sf0.01 with the rest of the exact-twin
