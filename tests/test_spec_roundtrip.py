@@ -235,3 +235,34 @@ def test_render_with_fields_accepts_all_column_typed_literals(filters):
     spec = render_pushdown_spec(filters, FIELDS)
     assert spec == render_pushdown_spec(filters)
     assert parse_pushdown_spec(spec, FIELDS) == list(filters)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(_expressible_filters(), min_size=2, max_size=4))
+def test_mock_or_splitter_inverts_client_group_rendering(terms):
+    """The two OR splitters are deliberately INDEPENDENT implementations
+    (client: character-scan quote tracking; mock server: even-quote-count
+    regex lookahead) so a bug in either surfaces in the pushed==unpushed
+    fuzz instead of cancelling out — this pins them against each other
+    directly: for any renderable disjunction, the mock's split of the
+    client's rendered group body recovers exactly the rendered terms."""
+    from hypothesis import assume
+
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.sources.saprfc_dsv2 import (
+        _render_clause,
+        _spark_type,
+    )
+    from pyspark.sql.types import StringType
+
+    assume(all(not isinstance(t, OrGroup) for t in terms))  # flat children only
+    by_name = {f.name: f for f in FIELDS}
+    string_fields = frozenset(
+        f.name for f in FIELDS if isinstance(_spark_type(f), StringType)
+    )
+    parts = [_render_clause(t, by_name, string_fields) for t in terms]
+    assume(all(p is not None for p in parts))  # only renderable terms group
+    line = _render_clause(OrGroup(tuple(terms)), by_name, string_fields)
+    assert line == "( " + " OR ".join(parts) + " )"
+    m = MockRfcTransport._OPT_GROUP_RE.match(line)
+    assert m is not None
+    assert MockRfcTransport._OPT_OR_SPLIT_RE.split(m.group(1)) == parts
