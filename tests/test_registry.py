@@ -22,16 +22,17 @@ def test_registry_shape():
     # stream_stateful_v2 is gated off (no provisionable protobuf runtime)
     expected = [n for n in entrymod._PRIORITY if n in reg]
     assert names[: len(expected)] == expected
-    # round-13 window layout (criticality order): the 1 never hash-checked
-    # entry leads (the incremental-stream growth oracle), then the 8
-    # changed-since-green saprfc DSv2 readers (NUMC zero-padded OPTIONS
-    # literals + char-semantics mock, Not->NE/complement rendering,
-    # row-based stream offsets and filtered-count page planning share
-    # their read path), the 21 remaining r7 greens (the block drains),
-    # and the 20 alphabetically-first r8 greens: 1+8+21+20 = 50 exactly;
-    # the other 25 r8 greens queue FIRST for r14.
-    assert names[0] == "saprfc_stream_incremental"
-    assert names[1:9] == [
+    # round-14 window layout (criticality order): the 2 never hash-checked
+    # entries lead (the OR-disjunction OPTIONS leg and the stream FIELDS
+    # projection), then the 9 changed-since-green saprfc DSv2 readers
+    # (OrGroup in _eval_filter/_render_options/spec grammar, the stream
+    # restart clamp and the mock's OR-group evaluator share their read
+    # path), the 25 remaining r8 greens (the block drains), and the 14
+    # alphabetically-first r9 greens: 2+9+25+14 = 50 exactly; the other
+    # 34 r9 greens queue FIRST for r15.
+    assert names[0] == "saprfc_pushdown_disjunction"
+    assert names[1] == "saprfc_stream_projection"
+    assert names[2:11] == [
         "saprfc_pushdown",
         "saprfc_pushdown_in_like",
         "saprfc_pushdown_suffix_contains",
@@ -40,14 +41,15 @@ def test_registry_shape():
         "saprfc_projection",
         "saprfc_limit_pushdown",
         "saprfc_stream_scan",
+        "saprfc_stream_incremental",
     ]
     for probe in (
-        # final r7 rotation block (the r12 verdict item-1 list)
-        "lake_bucketed_write", "ml_linear_score", "stream_session_window",
-        "text_bm25_topk", "ts_resample_ohlc",
-        # alphabetical r8 prefix (q19_disjunctive_bands is slot 51 — first
-        # past the line, leading the r14 ballast)
-        "agg_corr_matrix", "mm_decode", "q18_large_orders",
+        # final r8 rotation block (the r13 ballast list)
+        "q19_disjunctive_bands", "q9_product_profit", "stream_static_join",
+        "udf_grouped_stats", "xml_scan_roundtrip",
+        # alphabetical r9 prefix (distinct_flags is slot 51 — first past
+        # the line, leading the r15 ballast)
+        "agg_approx_distinct", "agg_stats", "dedup_jaccard_pairs",
     ):
         assert names.index(probe) < 50, probe
     # since r9 every registry query carries an oracle — the whole window
