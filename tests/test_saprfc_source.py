@@ -976,3 +976,43 @@ def test_disjunction_plan_lock(spark):
         for i in range(2500)
         if i % 37 != 0 and (i % 7 == 3 or (i % 13 != 0 and i % 500 < 40))
     )
+
+
+def test_stream_projection_composes_with_pushdown():
+    """fields x pushdown on the stream path: both options reach the shared
+    delegate, so the wire ships only the requested columns OF the
+    server-filtered stream — and a pushdown clause referencing a PRUNED
+    column fails loud (the typed re-verify cannot check a column that
+    never arrives; silently dropping the clause would hand back wrong
+    data forever)."""
+    import pytest
+
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.sources.saprfc_dsv2 import (
+        SapRfcStreamReader,
+    )
+
+    want = [f for f in MockRfcTransport.FIELDS if f.name in ("TABNAME", "POSITION")]
+    r = SapRfcStreamReader(
+        {
+            "mockrows": "1000",
+            "pagesize": "300",
+            "pushdown": "TABNAME EQ 'TAB3' OR POSITION LT '40'",
+        },
+        want,
+    )
+    rows = []
+    for p in r.partitions(r.initialOffset(), r.latestOffset()):
+        for b in r.read(p):
+            assert b.num_columns == 3  # TABNAME, POSITION, _corrupt_record
+            rows.extend(zip(*[b.column(i).to_pylist() for i in range(b.num_columns)]))
+    # projection drops the ROLLNAME corruption, so every row parses; the
+    # typed three-valued OR then decides survival exactly per the law
+    assert len(rows) == sum(
+        1 for i in range(1000) if i % 7 == 3 or (i % 13 != 0 and i % 500 < 40)
+    )
+    assert all(t == "TAB3" or (p is not None and p < 40) for t, p, _ in rows)
+
+    with pytest.raises(ValueError, match="unknown column"):
+        SapRfcStreamReader(
+            {"mockrows": "1000", "pushdown": "ROLLNAME EQ 'ROLL1'"}, want
+        )
