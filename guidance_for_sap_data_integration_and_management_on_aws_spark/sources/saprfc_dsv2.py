@@ -14,10 +14,13 @@ as a first-class Spark source:
   reference never passes (absence at `pyrfc_read_table.py:71`): comparison
   lines (``EQ/GT/GE/LT/LE``, plus ``Not`` complements — ``Not(EqualTo)``
   -> ``NE``, ``Not(GreaterThan)`` -> ``LE``, ...), ``In`` value lists
-  (``NAME IN ('a', 'b')``), and the three string predicates as LIKE
+  (``NAME IN ('a', 'b')``), the three string predicates as LIKE
   patterns — ``StringStartsWith`` -> ``NAME LIKE 'x%'``,
   ``StringEndsWith`` -> ``'%x'``, ``StringContains`` -> ``'%x%'``
-  (string-typed columns only).  Because the server evaluates OPTIONS as
+  (string-typed columns only) — and flat disjunctions as parenthesized
+  ``( A OR B )`` lines (:class:`OrGroup`; spec-option-only, since
+  Spark's Python DS filter protocol cannot ship ``Or`` to
+  ``pushFilters``).  Because the server evaluates OPTIONS as
   an open-SQL dynamic WHERE (character comparison over char-class
   columns), literals render only in order-preserving wire form — NUMC
   literals zero-padded to the declared field LENGTH, dates as yyyyMMdd
@@ -809,7 +812,17 @@ def _spec_text(lit: Any) -> str:
 def _spec_q(lit: Any) -> str:
     """Quote a literal for the spec grammar (the inverse of the parse's
     unescape + ``_typed_literal``): ints/Decimals/dates render as the text
-    the column's cast parses back to the same value."""
+    the column's cast parses back to the same value.  ``None`` and bools
+    fail loud even WITHOUT a fields list: no column type parses a literal
+    back to them (the grammar has no NULL token and no bool domain), so
+    they would silently re-parse as the strings ``'None'``/``'True'`` —
+    the same silent-retype class the fields validation closes (r13
+    advice), but provable without knowing the column."""
+    if lit is None or isinstance(lit, bool):
+        raise ValueError(
+            f"spec grammar cannot express literal {lit!r}: no column type "
+            "parses it back (NULL semantics and bools have no spec tokens)"
+        )
     text = _spec_text(lit)
     if ";" in text:
         # the documented grammar limit: ';' separates clauses and cannot

@@ -266,3 +266,16 @@ def test_mock_or_splitter_inverts_client_group_rendering(terms):
     m = MockRfcTransport._OPT_GROUP_RE.match(line)
     assert m is not None
     assert MockRfcTransport._OPT_OR_SPLIT_RE.split(m.group(1)) == parts
+
+
+def test_render_rejects_universally_inexpressible_literals():
+    """None and bool literals fail loud even WITHOUT the fields list: no
+    column type parses them back (the grammar has no NULL token and no
+    bool domain), so rendering would silently re-type them as the strings
+    'None'/'True' — provable without knowing the column, unlike the
+    fields-gated per-type validation."""
+    for bad in (None, True, False):
+        with pytest.raises(ValueError, match="cannot express"):
+            render_pushdown_spec([EqualTo(("TABNAME",), bad)])
+        with pytest.raises(ValueError, match="cannot express"):
+            render_pushdown_spec([In(("TABNAME",), ("TAB3", bad))])
