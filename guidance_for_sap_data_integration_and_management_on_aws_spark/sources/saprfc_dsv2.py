@@ -882,6 +882,14 @@ def _spec_term(flt: Filter, by_name: dict[str, RfcField] | None) -> str:
         raise ValueError(f"spec grammar cannot express {flt!r}")
     if isinstance(flt, In):
         name = flt.attribute[-1]
+        if not flt.value:
+            # the parse side rejects an empty IN body, so rendering one
+            # would emit text that crashes the consumer at parse time —
+            # and Spark's own semantics for it (NULL in, NULL out; the
+            # OptimizeIn rewrite) have no spec expression anyway
+            raise ValueError(
+                f"spec grammar cannot express an empty IN list on {name!r}"
+            )
         for v in flt.value:
             _check_spec_literal(name, v, by_name)
         vals = ", ".join(_spec_q(v) for v in flt.value)
@@ -898,13 +906,16 @@ def _spec_term(flt: Filter, by_name: dict[str, RfcField] | None) -> str:
                     f"spec grammar cannot express a filter on unknown "
                     f"column {name!r}; available: {sorted(by_name)}"
                 )
-            if not isinstance(_spark_type(f), StringType) or not isinstance(
-                flt.value, str
-            ):
+            if not isinstance(_spark_type(f), StringType):
                 raise ValueError(
                     f"spec grammar cannot express {flt!r}: {op} needs a "
-                    f"string-typed column and literal, but {name} is DDIC "
+                    f"string-typed column, but {name} is DDIC "
                     f"{f.type_code!r}"
+                )
+            if not isinstance(flt.value, str):
+                raise ValueError(
+                    f"spec grammar cannot express {flt!r}: {op} needs a "
+                    f"string literal, got {type(flt.value).__name__}"
                 )
         return f"{name} {op} {_spec_q(flt.value)}"
     raise ValueError(f"spec grammar cannot express {flt!r}")
@@ -1148,13 +1159,16 @@ class SapRfcStreamReader(DataSourceStreamReader):
     monotonic (a shrinking count — estimate jitter, table reorg — never
     rewinds it; appended rows surface on the next growth past the
     high-water mark).  Across a RESTART the mark is per-instance, so
-    ``partitions()`` re-seeds it from the engine's checkpointed start and
-    clamps the batch to ``[start, max(start, end))`` (round-14, r13
-    advice): a post-restart count below the durable offset yields empty
-    batches — never a rewind, never re-delivery of rows behind the
-    checkpoint.  An explicit ``totalrows`` option freezes the size (test
-    override / live estimate where COUNT is unavailable), which
-    deliberately disables growth observation.
+    ``partitions()`` re-seeds it from every engine-planned batch and
+    clamps each batch to ``[max(start, mark) capped at end,
+    max(start, end))`` (round-14, r13 advice): a post-restart count below
+    the durable offset plans an empty batch, and even though the engine
+    logs that jittered value as its new committed offset, the following
+    growth batch resumes at the mark — never a rewind, never re-delivery
+    of rows behind the checkpoint (engine-accurate trace in
+    tests/test_saprfc_source.py).  An explicit ``totalrows`` option
+    freezes the size (test override / live estimate where COUNT is
+    unavailable), which deliberately disables growth observation.
 
     **Filter pushdown** (round-12): the ``pushdown`` reader option — a
     conjunctive clause string, grammar in :func:`parse_pushdown_spec` —
@@ -1186,7 +1200,11 @@ class SapRfcStreamReader(DataSourceStreamReader):
         # one RFC connection instead of reconnecting per trigger)
         self._transport = _transport_from_options(options)
         self._totalrows = int(options.get("totalrows", 0))
-        self._latest_row = 0  # high-water mark; offsets never regress
+        # two distinct high-water marks (round-14 review — conflating them
+        # plans every first batch empty, since latestOffset() runs BEFORE
+        # partitions() in a trigger):
+        self._latest_row = 0  # largest offset REPORTED; latestOffset floor
+        self._planned_row = 0  # largest bound the engine has PLANNED here
 
     def initialOffset(self) -> dict:
         return {"row": 0}
@@ -1204,16 +1222,30 @@ class SapRfcStreamReader(DataSourceStreamReader):
         # per-instance and the stream API exposes the checkpointed start
         # no earlier than this call, so after a query restart the FIRST
         # latestOffset() may sit below the durable start (a row_count
-        # estimate that jitters downward).  Seed the mark from the engine's
-        # start and clamp the batch to [start, max(start, end)): a shrunken
-        # estimate yields an empty batch, never a rewind — and every
-        # subsequent latestOffset() is anchored at the durable offset, so
-        # growth past the old count resumes at start, not at the jittered
-        # value (no re-delivery of [count, start)).
-        lo = start["row"]
-        hi = max(lo, end["row"])
+        # estimate that jitters downward) — and the engine both runs that
+        # batch AND logs the jittered value as its new committed offset.
+        # Two clamps make the jitter harmless:
+        #   * hi = max(lo, end): the jittered batch itself plans empty
+        #     instead of a negative range;
+        #   * lo up to the PLANNED mark: _planned_row holds the largest row
+        #     bound the engine has planned through this instance (seeded
+        #     below from every batch — deliberately NOT _latest_row, which
+        #     latestOffset() already raised to the range this very batch is
+        #     about to plan), so when the next growth batch arrives with
+        #     the jittered committed offset as its start — partitions(
+        #     {row: 800}, {row: 1200}) after [0, 1000) was delivered — the
+        #     plan resumes at the mark, never re-delivering [start, mark).
+        #     Steady state (start == previous end == mark) is a no-op, and
+        #     a fresh instance (restart with a clean WAL replay) has
+        #     mark 0, so the engine-replayed batch range is honored as-is.
+        lo, hi = start["row"], end["row"]
+        if hi < lo:
+            hi = lo
+        if self._planned_row > lo:
+            lo = min(hi, self._planned_row)
+        self._planned_row = max(self._planned_row, hi)
         if hi > self._latest_row:
-            self._latest_row = hi
+            self._latest_row = hi  # anchor reporting at the durable bound
         return _plan_pages(lo, hi, self._delegate.page_size)
 
     def read(self, partition: _PagePartition):

@@ -77,8 +77,12 @@ def test_stream_reader_offsets_and_volume(spark):
         (1200, 300),
     ]
     # a trigger boundary off the page grid still covers every row exactly
-    # once (row offsets, not page indexes — the round-13 incremental fix)
-    parts = r.partitions({"row": 250}, {"row": 700})
+    # once (row offsets, not page indexes — the round-13 incremental fix).
+    # Fresh instance: planning is per-instance MONOTONIC since round 14
+    # (the restart lo-clamp), so an engine-unrealistic backward probe on
+    # the same reader would correctly plan empty.
+    r2 = SapRfcStreamReader({"mockrows": "2500", "pagesize": "300"}, fields)
+    parts = r2.partitions({"row": 250}, {"row": 700})
     assert [(p.skip, p.count) for p in parts] == [(250, 300), (550, 150)]
 
     from guidance_for_sap_data_integration_and_management_on_aws_spark.streaming.replay import (
@@ -828,14 +832,23 @@ def test_stream_restart_clamp_never_rewinds_behind_checkpoint():
     # the mark is now anchored at the checkpoint even though the estimate
     # still reads low — the engine never sees an offset behind start again
     assert r.latestOffset() == {"row": 1000}
-    # growth past the old count resumes at the checkpoint, NOT at the
-    # jittered value: [800, 1000) is never re-delivered
+    # ENGINE-ACCURATE growth trace (round-14 review): MicroBatchExecution
+    # logged the jittered 800 as its committed offset when it ran the
+    # empty batch above, so the growth batch arrives with start=800 —
+    # NOT the checkpointed 1000.  The lo-clamp against the seeded mark is
+    # what keeps [800, 1000) from being re-delivered as duplicates.
     r._transport.n_rows = 1200
     r._delegate.options["mockrows"] = "1200"
     grown = r.latestOffset()
     assert grown == {"row": 1200}
-    parts = r.partitions({"row": 1000}, grown)
-    assert [(p.skip, p.count) for p in parts] == [(1000, 200)]
+    parts = r.partitions({"row": 800}, grown)
+    assert [(p.skip, p.count) for p in parts] == [(800 + 200, 200)]
+    # steady state is untouched: start == previous end == mark plans the
+    # full range as-is
+    r._transport.n_rows = 1500
+    r._delegate.options["mockrows"] = "1500"
+    parts = r.partitions({"row": 1200}, r.latestOffset())
+    assert [(p.skip, p.count) for p in parts] == [(1200, 300)]
 
 
 def test_or_disjunction_renders_wire_group_and_reverifies():

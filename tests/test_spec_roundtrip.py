@@ -279,3 +279,19 @@ def test_render_rejects_universally_inexpressible_literals():
             render_pushdown_spec([EqualTo(("TABNAME",), bad)])
         with pytest.raises(ValueError, match="cannot express"):
             render_pushdown_spec([In(("TABNAME",), ("TAB3", bad))])
+
+
+def test_render_rejects_empty_in_and_misdiagnosis_free_messages():
+    """Round-14 review: an empty In used to render the unparseable text
+    'NAME IN ()' — crashing the consumer at parse time instead of failing
+    loud at render time like every other inexpressible shape.  And the
+    string-predicate validation names the operand that actually failed
+    (column type vs literal type), not a fixed misdiagnosis."""
+    with pytest.raises(ValueError, match="empty IN"):
+        render_pushdown_spec([In(("TABNAME",), ())])
+    with pytest.raises(ValueError, match="empty IN"):
+        render_pushdown_spec([In(("TABNAME",), ())], FIELDS)
+    with pytest.raises(ValueError, match="string-typed column"):
+        render_pushdown_spec([StringStartsWith(("POSITION",), "4")], FIELDS)
+    with pytest.raises(ValueError, match="string literal, got int"):
+        render_pushdown_spec([StringContains(("TABNAME",), 5)], FIELDS)
