@@ -313,8 +313,20 @@ precedent).  Their baseline rows are seeded from run 1 (2.499 / 4.156,
 ~2x the standalone band): the stream_incremental precedent —
 conservative-but-in-family seeds absorb in-bench position noise
 instead of false-flagging >2x rows every future round.
-bench_out.json / bench_out_certified.json hold run 3 (the latest
-in-band run, its own c2_spike honestly flagged).
+
+A FOURTH same-code-class run after the end-of-round self-review fixes
+(the stream restart lo-clamp — two integer compares on the stream
+partitions() path, the only post-run-3 timed-path change — plus loud
+empty-In rendering, not on any timed path): calib 0.480, zero errors,
+headline 11.391 s raw = 0.83x of the frozen baseline normalized, and
+**zero rows >2x normalized** — the first zero-spike full run of any
+round (r13's best had 7).  Both fused items in band (pair build
+9.354 s; LSH pipeline 4.935 s, BELOW its frozen 5.026 row, verify
+stage 3.29 s) — warmup 8 four-for-four on the LSH item across the
+round.  The stream family reads at its steady band
+(scan 1.797 / pushdown 1.833 / projection 1.90 / incremental 4.1 s),
+confirming the lo-clamp perf-neutral.  bench_out.json /
+bench_out_certified.json hold this final-code run.
 """
 
 from __future__ import annotations
