@@ -36,83 +36,42 @@ from guidance_for_sap_data_integration_and_management_on_aws_spark.registry impo
 #      for the following round, then module order (freshest last).
 _PRIORITY = [
     # ------------------------------------------------------------------
-    # ROUND-14 WINDOW LEDGER (~50 driver slots; see rotation invariant
-    # above).  Entering r14 the age profile is: r8:25, r9:48, r10:43,
-    # r11:45, r12:42, r13:50 (judge-audited, VERDICT r13).  This round
-    # adds 2 queries (saprfc_pushdown_disjunction — OR rendered into
-    # OPTIONS via the spec grammar; saprfc_stream_projection — FIELDS
-    # on the stream path) and changes the shared saprfc DSv2 read path
-    # for every reader (OrGroup parse/render/eval, the stream restart
-    # clamp, the typed spec-render validation), so the whole saprfc
-    # family re-greens.  Budget:
-    #    2 never hash-checked                            -> slots  1-2
-    #    9 changed-since-green (the saprfc DSv2 family)  -> slots  3-11
-    #   25 r8 greens (the block drains — after this
-    #      round no green is older than r9)              -> slots 12-36
-    #   14 oldest r9 greens (alphabetical prefix of the
-    #      48; the remaining 34 queue first for r15)     -> slots 37-50
-    # Steady-state rotation at 255 queries / 50 slots re-greens every
+    # ROUND-15 WINDOW LEDGER (~50 driver slots; see rotation invariant
+    # above).  Entering r15 the age profile is: r9:34, r10:43, r11:45,
+    # r12:42, r13:41, r14:50 (judge-audited, VERDICT r14).  This round
+    # adds 1 query (saprfc_pushdown_line_wrap — the OPTIONS 72-char
+    # wire-line discipline) and changes the shared saprfc wire path for
+    # every reader (wire_options now AND-joins + wraps; the mock
+    # enforces the width and re-concatenates; the TAB512 row-width
+    # guard runs in every reader __init__), so the whole saprfc family
+    # re-greens.  Budget:
+    #    1 never hash-checked                            -> slot   1
+    #   11 changed-since-green (the saprfc family)       -> slots  2-12
+    #   34 r9 greens (the block drains — after this
+    #      round no green is older than r10)             -> slots 13-46
+    #    4 oldest r10 greens (alphabetical prefix of the
+    #      43; the remaining 39 queue first for r16)     -> slots 47-50
+    # Steady-state rotation at 256 queries / 50 slots re-greens every
     # ~5 rounds.
     # ------------------------------------------------------------------
     # --- 1. never hash-checked (first driver oracle this round) --------
-    "saprfc_pushdown_disjunction",  # NEW r14: OR -> "( A OR B )" OPTIONS
-    "saprfc_stream_projection",  # NEW r14: stream x FIELDS projection
-    # --- 2. builder changed since last green (saprfc DSv2 read path:
-    # --- OrGroup in _eval_filter/_render_options/spec grammar, stream
-    # --- restart clamp, mock OR-group evaluation — all shared) ----------
+    "saprfc_pushdown_line_wrap",  # NEW r15: char72 OPTIONS line wrap
+    # --- 2. builder changed since last green (saprfc wire path: wire_
+    # --- options AND-join + 72-char wrap, mock width enforcement +
+    # --- re-concat + independent AND splitter, TAB512 plan guard) ------
     "saprfc_pushdown",
     "saprfc_pushdown_in_like",
     "saprfc_pushdown_suffix_contains",
+    "saprfc_pushdown_disjunction",
     "saprfc_stream_pushdown",
     "saprfc_scan_typed",
     "saprfc_projection",
     "saprfc_limit_pushdown",
     "saprfc_stream_scan",
     "saprfc_stream_incremental",
-    # --- 3. staleness rotation: the 25 remaining r8 greens (the whole
-    # --- block drains; after this round no green is older than r9) -----
-    "q19_disjunctive_bands",
-    "q1_pricing_summary",
-    "q20_promotion_suppliers",
-    "q21_waiting_suppliers",
-    "q22_idle_customers",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_priority_check",
-    "q5_local_supplier",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "stream_stateful_running_totals",
-    "stream_stateful_sessions",
-    "stream_static_join",
-    "stream_stream_join",
-    "text_oov_rate",
-    "ts_ewma_smooth",
-    "udf_grouped_stats",
-    "udf_pandas_l2norm",
-    "udf_scalar_reverse",
-    "udtf_bigrams",
-    "udtf_explode_words",
-    "xml_scan_roundtrip",
-    # --- 3b. oldest r9 greens (alphabetical prefix, 14 of 48) ----------
-    "agg_approx_distinct",
-    "agg_collect",
-    "agg_count",
-    "agg_count_distinct",
-    "agg_cube",
-    "agg_filtered",
-    "agg_grouping_sets",
-    "agg_hll_rollup_merge",
-    "agg_kll_rollup_merge",
-    "agg_rollup",
-    "agg_statistical",
-    "agg_stats",
-    "ann_ivf_train_kmeans",
-    "dedup_jaccard_pairs",
-    # --- 4. rotation ballast: the remaining 34 r9 greens queue FIRST
-    # --- for round 15 (the window line falls above here) ----------------
+    "saprfc_stream_projection",
+    # --- 3. staleness rotation: the 34 remaining r9 greens (the whole
+    # --- block drains; after this round no green is older than r10) ----
     "distinct_flags",
     "except_custkeys",
     "filter_where",
@@ -147,7 +106,53 @@ _PRIORITY = [
     "text_repetition_filter",
     "topk_orders",
     "union_all",
-    # r10+ greens not listed trail in module order (every one re-earned
+    # --- 3b. oldest r10 greens (alphabetical prefix, 4 of 43) ----------
+    "agg_approx_distinct_error",
+    "agg_approx_percentile_error",
+    "agg_percentiles",
+    "ann_bruteforce_topk",
+    # --- 4. rotation ballast: the remaining 39 r10 greens queue FIRST
+    # --- for round 16 (the window line falls above here) ----------------
+    "ann_label_match",
+    "ann_lsh_topk",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_exact_bucketed",
+    "dedup_exact_survivors",
+    "dedup_incremental",
+    "dedup_minhash_lsh",
+    "dedup_minhash_recall",
+    "dedup_simhash_buckets",
+    "embedding_quantize_int8",
+    "events_funnel",
+    "fn_bitwise",
+    "fn_conditional",
+    "fn_json",
+    "fn_map",
+    "fn_math",
+    "fn_regex",
+    "ingest_merge_into_route",
+    "ingest_scd2_history",
+    "ingest_scd2_snapshot",
+    "join_asof",
+    "join_cross_theta",
+    "join_interval_overlap",
+    "join_range_bands",
+    "mm_payload_hash",
+    "pipeline_curation",
+    "pipeline_domain_mix",
+    "pipeline_length_buckets",
+    "pivot_linestatus",
+    "q12_late_shipments",
+    "stream_windowed_topk",
+    "subquery_exists",
+    "subquery_scalar",
+    "text_entropy",
+    "text_simhash",
+    "unpivot_measures",
+    "window_lag_lead",
+    "window_rank",
+    # r11+ greens not listed trail in module order (every one re-earned
     # green within the last four rounds; stream_stateful_v2 keeps its
     # conditional registration, handled below)
 ]

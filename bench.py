@@ -425,6 +425,44 @@ CHECK_SLACK_SEC = 0.3
 CALIB_DRIFT_FACTOR = 1.5
 
 
+def _calib_mc_worker(n: int) -> int:
+    """Fixed pure-Python integer-hash loop (FNV-ish), the per-process unit
+    of the multi-core calibration probe."""
+    h = 0
+    mask = (1 << 64) - 1
+    for i in range(n):
+        h = ((h * 1099511628211) ^ i) & mask
+    return h
+
+
+def run_calib_mc() -> float:
+    """MULTI-CORE host calibration (round 15, r14 verdict item 3): the
+    single-threaded `run_calib` sample cannot see multi-core contention —
+    twice in r14 the same code read wildly different full-run profiles at
+    a NORMAL calib (the builder's protocol run 1: every row uniformly
+    1.2-2x slow; the driver's BENCH_r14: a contiguous 15-row spike block,
+    all judge-corroborated at band standalone).  This probe runs the same
+    class of fixed hash loop on EVERY core simultaneously (one process
+    per CPU, fork pool), so background load that steals cores stretches
+    it roughly linearly while leaving the 1-core sample untouched — the
+    exact signature that separates 'host was contended' from 'engine
+    regressed'.  Recorded as calib_mc_sec_start/_end; the drift gate
+    flags when EITHER sample family exceeds CALIB_DRIFT_FACTOR x its
+    frozen-baseline twin."""
+    import multiprocessing as mp
+
+    nproc = min(32, os.cpu_count() or 1)
+    n = 2_000_000  # ~0.25 s of pure-Python hashing per process when idle
+    t0 = time.perf_counter()
+    try:
+        with mp.get_context("fork").Pool(nproc) as pool:
+            pool.map(_calib_mc_worker, [n] * nproc)
+    except Exception as e:
+        print(f"[bench] multi-core calib probe failed: {e!r}", file=sys.stderr)
+        return 0.0  # falsy: gate treats the probe as unavailable
+    return round(time.perf_counter() - t0, 3)
+
+
 def baseline_add_new() -> None:
     """Merge rows for NEW queries from bench_out.json into
     bench_baseline.json — the only update the freeze policy permits.
@@ -660,6 +698,7 @@ def main(check: bool = False) -> None:
     # pass reads the maximally-warm-JVM number (~0.15 vs 0.40-0.62 at this
     # point, measured) and would inflate every normalized value ~3x.
     calib_start = run_calib()
+    calib_mc_start = run_calib_mc()
 
     # warmup 6: one tiny-SF pass over EVERY registered query.  The module
     # docstring's founding principle ("a warmup run absorbs JVM/codegen
@@ -912,8 +951,12 @@ def main(check: bool = False) -> None:
         for key in [k for k in _w8_cache if k[1] == _w8_dir]:
             _w8_cache.pop(key)
         time.sleep(2)
-    except Exception:
-        pass  # a warmup must never take the bench down
+    except Exception as e:
+        # a warmup must never take the bench down — but record the skip
+        # (r14 advice): the round protocol's LSH-bimodality conclusions
+        # depend on warmup 8 having actually run, and a silent pass made
+        # 'warmup ran' indistinguishable from 'warmup silently skipped'
+        print(f"[bench] warmup 8 (real-frame LSH pre-compile) SKIPPED: {e!r}", file=sys.stderr)
 
     # The production banded-LSH pair pipeline, timed at the FULL bench SF:
     # the registry's dedup_minhash_lsh row is since r9 the recall-mass
@@ -1008,19 +1051,34 @@ def main(check: bool = False) -> None:
     # end in one run), so folding it into the divisor would break the
     # start-sample convention every prior round's normalized numbers use.
     calib_end = run_calib()
+    calib_mc_end = run_calib_mc()
     calib = calib_start
 
     # Host-drift validity gate (see CALIB_DRIFT_FACTOR above): compare the
     # start calibration against the FROZEN baseline's — a drifted host can
     # only be detected against the fixed reference, not this run's own
-    # samples.
+    # samples.  Since r15 the gate watches BOTH families: the 1-core
+    # sample (calib_sec, engine-normalization divisor, unchanged
+    # convention) and the every-core sample (calib_mc_sec), which catches
+    # the r14 class of multi-core contention the 1-core probe reads as
+    # normal.  The mc gate checks start AND end: contention that arrives
+    # mid-run (the BENCH_r14 contiguous-spike-block shape) is visible only
+    # in the end sample — and unlike the 1-core end sample (which reads a
+    # maximally-JIT-warm JVM), the mc probe is pure-Python, so its end
+    # sample prices the HOST identically to its start sample.
     here = os.path.dirname(os.path.abspath(__file__))
     try:
         with open(os.path.join(here, "bench_baseline.json")) as fh:
-            base_calib = json.load(fh).get("calib_sec")
+            _base = json.load(fh)
+        base_calib = _base.get("calib_sec")
+        base_calib_mc = _base.get("calib_mc_sec")
     except (OSError, ValueError):
-        base_calib = None
-    host_drift = bool(base_calib) and calib_start > CALIB_DRIFT_FACTOR * base_calib
+        base_calib = base_calib_mc = None
+    host_drift_1c = bool(base_calib) and calib_start > CALIB_DRIFT_FACTOR * base_calib
+    host_drift_mc = bool(base_calib_mc) and bool(calib_mc_start) and (
+        max(calib_mc_start, calib_mc_end) > CALIB_DRIFT_FACTOR * base_calib_mc
+    )
+    host_drift = host_drift_1c or host_drift_mc
 
     # Calibration-normalized twins (VERDICT r03 item 8): divide by this run's
     # calib_sec so cross-round diffs separate host-load drift (1.3-6x swings
@@ -1038,6 +1096,10 @@ def main(check: bool = False) -> None:
         "calib_sec": calib,
         "calib_sec_start": calib_start,
         "calib_sec_end": calib_end,
+        "calib_mc_sec": calib_mc_start,
+        "calib_mc_sec_start": calib_mc_start,
+        "calib_mc_sec_end": calib_mc_end,
+        "host_drift_mc": host_drift_mc,
         "queries_norm": norm,
         "value_norm": round(total / calib, 3) if calib else None,
         "all_queries_total_norm": round(sum(timings.values()) / calib, 3) if calib else None,
@@ -1100,11 +1162,14 @@ def main(check: bool = False) -> None:
         "queries": {n: timings[n] for n in HEADLINE if n in timings},
         "queries_norm": {n: norm[n] for n in HEADLINE if n in norm},
         "calib_sec": calib,
+        "calib_mc_sec": calib_mc_start,
+        "calib_mc_sec_end": calib_mc_end,
         "value_norm": out["value_norm"],
         "all_queries_total": out["all_queries_total"],
         "all_queries_total_norm": out["all_queries_total_norm"],
         "norm_unit": "x_calib",
         "host_drift": host_drift,
+        "host_drift_mc": host_drift_mc,
         "n_queries": len(timings),
         "n_errors": len(errors),
         "full_results": "bench_out.json",

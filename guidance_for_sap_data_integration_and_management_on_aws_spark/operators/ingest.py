@@ -567,6 +567,53 @@ def saprfc_stream_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# 16 ids whose FLD_%05d names form a ~220-char rendered IN list (spanning
+# four 72-char OPTIONS lines); deliberately NOT all =0 mod 5, so the OR
+# group below decides survival per-row instead of always passing via KEYFLAG
+_LINE_WRAP_IDS = tuple(range(103, 2400, 151))
+
+
+@spec(
+    f"""
+    WITH r AS ({SQL_MOCK_DD03L})
+    SELECT 'TAB'||CAST(i%7 AS VARCHAR) AS TABNAME,
+           'FLD_'||lpad(CAST(i AS VARCHAR),5,'0') AS FIELDNAME,
+           CASE WHEN i%13=0 THEN NULL ELSE i%500 END AS POSITION,
+           CASE WHEN i%5=0 THEN 'X' ELSE '' END AS KEYFLAG
+    FROM r
+    WHERE i%37<>0
+      AND i IN ({", ".join(str(i) for i in _LINE_WRAP_IDS)})
+      AND ((i%13<>0 AND i%500 < 250) OR i%5=0)
+    """,
+    doc="P7 pushdown, OPTIONS 72-char line discipline (round-15): the "
+    "RFC_READ_TABLE-family OPTIONS parameter is a table of char72 TEXT "
+    "lines the server concatenates into ONE dynamic WHERE, so conjunctive "
+    "clauses AND-join explicitly and the renderer wraps the WHERE text "
+    "across <=72-char lines at TOKEN boundaries (never inside a quoted "
+    "literal — ABAP char fields keep no trailing blanks, so a mid-token "
+    "wrap would corrupt the condition at the seam; saprfc_dsv2."
+    "wrap_options_lines).  Here a 16-value isin() renders a ~220-char IN "
+    "list spanning four wire lines, composed with a spec-option OR group "
+    "— exactly the r11-r14 shapes that used to render one unbounded line "
+    "per clause and would have been rejected by a live server (the same "
+    "live-gotcha class as the r13 NUMC padding).  The mock now enforces "
+    "the width and re-concatenates before evaluating, so an unsafe wrap "
+    "fails the pushed==unpushed fuzz; re-verification on typed values "
+    "(three-valued OR: a NULL-POSITION row survives only via KEYFLAG) "
+    "restores exact semantics as always.  Width + seam-identity laws in "
+    "tests/test_saprfc_source.py.",
+)
+def saprfc_pushdown_line_wrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _saprfc_df(
+        spark,
+        mockrows=str(MOCK_ROWS),
+        pushdown="POSITION LT '250' OR KEYFLAG EQ 'X'",
+    )
+    return df.filter(
+        F.col("FIELDNAME").isin([f"FLD_{i:05d}" for i in _LINE_WRAP_IDS])
+    ).select("TABNAME", "FIELDNAME", "POSITION", "KEYFLAG")
+
+
 @spec(
     f"""
     WITH src AS ({SQL_WA}),
@@ -1668,6 +1715,7 @@ QUERIES: dict[str, QuerySpec] = {
     "saprfc_pushdown_in_like": saprfc_pushdown_in_like,
     "saprfc_pushdown_suffix_contains": saprfc_pushdown_suffix_contains,
     "saprfc_pushdown_disjunction": saprfc_pushdown_disjunction,
+    "saprfc_pushdown_line_wrap": saprfc_pushdown_line_wrap,
     "saprfc_stream_pushdown": saprfc_stream_pushdown,
     "saprfc_stream_incremental": saprfc_stream_incremental,
     "saprfc_stream_projection": saprfc_stream_projection,

@@ -204,7 +204,41 @@ class MockRfcTransport(RfcTransport):
     def row_count(self, query_table: str, options: Sequence[str] = ()) -> int:
         if not options:
             return self.n_rows
-        return sum(1 for i in range(self.n_rows) if self._matches(i, options))
+        conjuncts = self._where_conjuncts(options)
+        return sum(1 for i in range(self.n_rows) if self._matches(i, conjuncts))
+
+    # the BAPI OPTIONS parameter's TEXT field is a char72 line (public SAP
+    # interface knowledge — the RFC_READ_TABLE family's options table); the
+    # server concatenates the lines into ONE dynamic WHERE condition.  A
+    # longer line does not fit the field, so a faithful server model must
+    # REJECT it — the r12-advice lesson again: a lenient mock (unbounded
+    # lines, line == clause) hid exactly the live-server failure the
+    # round-15 client wrap exists to prevent.
+    OPTIONS_LINE_WIDTH = 72
+
+    # split the re-concatenated WHERE text into its top-level conjuncts on
+    # AND tokens OUTSIDE quoted literals — same even-quote-count lookahead
+    # technique as the OR splitter below (AND never appears between a
+    # group's parens except inside a literal, which the lookahead protects)
+    _OPT_AND_SPLIT_RE = re.compile(r"\s+AND\s+(?=(?:[^']*'[^']*')*[^']*$)")
+
+    def _where_conjuncts(self, options: Sequence[str]) -> list[str]:
+        """Model the server's line handling: enforce the char72 width,
+        re-concatenate the lines (ABAP char fields keep no trailing
+        blanks, so lines join with a single space — a client that wrapped
+        mid-token loses the seam here and fails the pushed==unpushed
+        fuzz), then split the resulting condition into top-level
+        conjuncts."""
+        for line in options:
+            if len(line) > self.OPTIONS_LINE_WIDTH:
+                raise ValueError(
+                    f"OPTIONS line exceeds {self.OPTIONS_LINE_WIDTH} chars "
+                    f"(the BAPI TEXT field width): {line!r}"
+                )
+        text = " ".join(line.rstrip() for line in options).strip()
+        if not text:
+            return []
+        return self._OPT_AND_SPLIT_RE.split(text)
 
     _OPT_RE = re.compile(r"^(\w+)\s+(EQ|NE|GT|GE|LT|LE)\s+'(.*)'$")
     _OPT_IN_RE = re.compile(r"^(\w+)\s+IN\s+\((.*)\)$")
@@ -228,26 +262,27 @@ class MockRfcTransport(RfcTransport):
         quoted literal; the server reads them back as one."""
         return lit.replace("''", "'")
 
-    def _matches(self, i: int, options: Sequence[str]) -> bool:
-        """Server-side OPTIONS evaluation (what SAP's open-SQL dynamic
-        WHERE does over char-class columns): CHARACTER comparison against
-        the stored representation — NUMC values are compared as the
-        zero-padded text they are stored as, never numerically coerced.
-        This is the well-known RFC_READ_TABLE behavior that makes clients
-        zero-pad NUMC literals (``'0999' GT '250'`` is FALSE char-wise);
-        the round-12 mock coerced both sides to int when they parsed,
-        which hid exactly that client bug from the fuzz suite (r12 advice).
-        Values trim with ``.strip(' ')`` (ASCII space only), mirroring the
-        client's F.trim twin — bare ``str.strip()`` eats unicode
-        whitespace the client keeps (r12 advice, second item).  Supports
-        comparison lines (``NAME EQ|NE|GT|GE|LT|LE 'lit'``),
-        ``NAME IN ('a', 'b')`` value lists, ``NAME LIKE 'pat'`` with
-        SQL ``%``/``_`` wildcards, and parenthesized disjunction lines
+    def _matches(self, i: int, conjuncts: Sequence[str]) -> bool:
+        """Server-side evaluation of the re-concatenated WHERE's top-level
+        conjuncts (from :meth:`_where_conjuncts`) — what SAP's open-SQL
+        dynamic WHERE does over char-class columns: CHARACTER comparison
+        against the stored representation — NUMC values are compared as
+        the zero-padded text they are stored as, never numerically
+        coerced.  This is the well-known RFC_READ_TABLE behavior that
+        makes clients zero-pad NUMC literals (``'0999' GT '250'`` is FALSE
+        char-wise); the round-12 mock coerced both sides to int when they
+        parsed, which hid exactly that client bug from the fuzz suite
+        (r12 advice).  Values trim with ``.strip(' ')`` (ASCII space
+        only), mirroring the client's F.trim twin — bare ``str.strip()``
+        eats unicode whitespace the client keeps (r12 advice, second
+        item).  Supports comparison conjuncts (``NAME EQ|NE|GT|GE|LT|LE
+        'lit'``), ``NAME IN ('a', 'b')`` value lists, ``NAME LIKE 'pat'``
+        with SQL ``%``/``_`` wildcards, and parenthesized disjunctions
         ``( term OR term )`` — the shapes the DSv2 client renders
         (saprfc_dsv2._render_options)."""
         names = [f.name for f in self.FIELDS]
         raw = dict(zip(names, (v.strip(" ") for v in self._vals(i))))
-        for opt in options:
+        for opt in conjuncts:
             if m := self._OPT_GROUP_RE.match(opt):
                 terms = self._OPT_OR_SPLIT_RE.split(m.group(1))
                 if not any(self._eval_line(raw, t) for t in terms):
@@ -299,7 +334,19 @@ class MockRfcTransport(RfcTransport):
         names = [f.name for f in self.FIELDS]
         keep = [names.index(f) for f in fields] if fields else None
         meta = [self.FIELDS[j] for j in keep] if keep is not None else list(self.FIELDS)
-        ids = (i for i in range(self.n_rows) if not options or self._matches(i, options))
+        # server-side row-width check: RFC_READ_TABLE-family rows travel in
+        # a char512 DATA line (TAB512), so a projection whose declared
+        # widths + delimiters exceed 512 raises DATA_BUFFER_EXCEEDED — the
+        # overflow the client's plan-time guard (saprfc_dsv2.
+        # check_row_width) exists to catch before the job runs
+        if all(f.length > 0 for f in meta):
+            width = sum(f.length for f in meta) + len(delimiter) * (len(meta) - 1)
+            if width > 512:
+                raise ValueError(
+                    f"DATA_BUFFER_EXCEEDED: projected row width {width} > 512"
+                )
+        conjuncts = self._where_conjuncts(options) if options else []
+        ids = (i for i in range(self.n_rows) if not conjuncts or self._matches(i, conjuncts))
         ids = list(ids)[rowskips : rowskips + rowcount]
         rows = [{"WA": self._row(i, keep)} for i in ids]
         return {

@@ -629,6 +629,121 @@ def _render_clause(
     return None
 
 
+# --- OPTIONS wire-line discipline (round 15) --------------------------------
+# The RFC_READ_TABLE-family OPTIONS parameter is a table of 72-character
+# TEXT lines (public SAP interface: the line type is a char72 field) that
+# the server concatenates into ONE dynamic WHERE condition.  Two
+# consequences the renderer must honor for a live server:
+#
+#   * every wire line must fit 72 characters — a longer TEXT value does
+#     not fit the char72 field (the exact live-server gotcha class as the
+#     r13 NUMC padding: the mock used to accept unbounded lines, so a long
+#     IN list or OR group "worked" offline and would hard-fail live);
+#   * because ABAP char fields drop TRAILING blanks, a line boundary is a
+#     token boundary: wrapping may only break between wire tokens (never
+#     inside a quoted literal — losing the literal's interior spacing at
+#     the seam would change the WHERE text), and re-concatenating the
+#     lines with single spaces must reproduce the original condition.
+#
+# Since the lines form ONE condition, conjunctive clauses join with an
+# explicit ``AND`` on the wire (the server inserts nothing between lines);
+# the widen-only escape hatch stays available per clause: a clause with a
+# single token wider than 72 chars (one huge literal) has no legal wire
+# form at all, so it rides the wire unrendered and the typed
+# re-verification applies it exactly — dropping a whole conjunct can only
+# WIDEN the server set, the established superset contract.
+
+OPTIONS_LINE_WIDTH = 72
+
+# The RFC_READ_TABLE family returns each row as ONE delimited text line in
+# a char512 DATA field (the TAB512 line type — public SAP interface
+# knowledge); a projection whose declared output widths plus delimiters
+# exceed 512 chars fails server-side with DATA_BUFFER_EXCEEDED.  Validating
+# at PLAN time turns a whole-job live failure into an immediate, actionable
+# error; 0-length (unknown-width) metadata skips the check — the live
+# server remains the authority there.
+DATA_BUFFER_WIDTH = 512
+
+
+def check_row_width(fields: Sequence[RfcField], delimiter: str) -> None:
+    """Fail loud at plan time when the projected row cannot fit the BAPI's
+    char512 DATA line (the server's DATA_BUFFER_EXCEEDED).  The fix is
+    always the same — narrow the projection — so say so."""
+    if any(f.length <= 0 for f in fields):
+        return  # unknown declared widths: cannot validate client-side
+    width = sum(f.length for f in fields) + len(delimiter) * (len(fields) - 1)
+    if width > DATA_BUFFER_WIDTH:
+        raise ValueError(
+            f"projected row width {width} chars exceeds the RFC_READ_TABLE "
+            f"DATA buffer ({DATA_BUFFER_WIDTH}, the TAB512 line type) — the "
+            "live server would fail with DATA_BUFFER_EXCEEDED; narrow the "
+            "projection with the 'fields' option to columns totalling "
+            f"<= {DATA_BUFFER_WIDTH} chars including delimiters"
+        )
+
+
+def _wire_tokens(text: str) -> list[str]:
+    """Rendered clause text -> its whitespace-separated wire tokens,
+    honoring quoted literals (a space inside ``'...'`` never splits;
+    doubled quotes toggle the scanner twice and land back inside).  For
+    every renderer-emitted clause, ``" ".join(_wire_tokens(c)) == c`` —
+    the seam-identity law wrap/re-concat relies on (pinned in
+    tests/test_saprfc_source.py)."""
+    toks: list[str] = []
+    cur: list[str] = []
+    in_quote = False
+    for ch in text:
+        if ch == "'":
+            in_quote = not in_quote
+            cur.append(ch)
+        elif ch == " " and not in_quote:
+            if cur:
+                toks.append("".join(cur))
+                cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        toks.append("".join(cur))
+    return toks
+
+
+def wrap_options_lines(clauses: Sequence[str]) -> list[str]:
+    """AND-join rendered clauses into one dynamic-WHERE text and wrap it
+    across <=72-char OPTIONS lines at token boundaries.
+
+    A clause whose wire form cannot be wrapped legally (one token longer
+    than 72 chars, or — defensively — a clause the tokenizer cannot
+    round-trip) is DROPPED from the wire: the predicate still sits in the
+    reader's accepted list, so the typed re-verification applies it
+    exactly, and skipping a conjunct only widens the server set.  Both the
+    partition planner's ``row_count`` and ``read()`` consume this same
+    function via ``wire_options()``, so planning and fetch always see the
+    same server-side stream."""
+    tokens: list[str] = []
+    for clause in clauses:
+        toks = _wire_tokens(clause)
+        if not toks or max(len(t) for t in toks) > OPTIONS_LINE_WIDTH:
+            continue  # no legal wire form: unrendered ride (widen-only)
+        if " ".join(toks) != clause:
+            continue  # defensive: renderer broke the seam-identity law
+        if tokens:
+            tokens.append("AND")
+        tokens.extend(toks)
+    lines: list[str] = []
+    cur = ""
+    for tok in tokens:
+        if not cur:
+            cur = tok
+        elif len(cur) + 1 + len(tok) <= OPTIONS_LINE_WIDTH:
+            cur += " " + tok
+        else:
+            lines.append(cur)
+            cur = tok
+    if cur:
+        lines.append(cur)
+    return lines
+
+
 # --- streaming pushdown spec ------------------------------------------------
 # Spark's Python DataSourceStreamReader has no pushFilters hook (the same API
 # gap as P8's projection and P9's limit on the batch side), so the stream
@@ -979,6 +1094,10 @@ class SapRfcReader(DataSourceReader):
         self.fields = fields
         self.table = options.get("table", "DD03L")  # reference default, :31
         self.delimiter = options.get("delimiter", DEFAULT_DELIMITER)
+        # plan-time TAB512 guard (round 15): a projection wider than the
+        # BAPI's char512 DATA line would fail live with
+        # DATA_BUFFER_EXCEEDED after the job is already running
+        check_row_width(fields, self.delimiter)
         self.page_size = int(options.get("pagesize", DEFAULT_PAGE_SIZE))
         # limit pushdown (the ROWCOUNT bound the reference pages with,
         # pyrfc_read_table.py:71): caps the PLANNED page range — the scan
@@ -1015,8 +1134,12 @@ class SapRfcReader(DataSourceReader):
         """The OPTIONS lines read() will put on the wire for the currently
         accepted filters — shared by partition planning (filtered row
         counts) so the planner and the fetch see the SAME server-side
-        stream."""
-        return _render_options(self.accepted, self.fields)
+        stream.  Since round 15 these are true BAPI wire lines: the
+        rendered clauses AND-join into one dynamic-WHERE text wrapped
+        across 72-char lines at token boundaries
+        (:func:`wrap_options_lines` — the OPTIONS TEXT field is char72 and
+        the server concatenates the lines)."""
+        return wrap_options_lines(_render_options(self.accepted, self.fields))
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
         known = {f.name for f in self.fields}
@@ -1166,9 +1289,22 @@ class SapRfcStreamReader(DataSourceStreamReader):
     logs that jittered value as its new committed offset, the following
     growth batch resumes at the mark — never a rewind, never re-delivery
     of rows behind the checkpoint (engine-accurate trace in
-    tests/test_saprfc_source.py).  An explicit ``totalrows`` option
-    freezes the size (test override / live estimate where COUNT is
-    unavailable), which deliberately disables growth observation.
+    tests/test_saprfc_source.py).  RESIDUAL (r14 advice, documented
+    limitation): the clamp is per-INSTANCE state, and after a jittered
+    empty batch the engine has already logged the jittered value as its
+    committed offset — so a SECOND restart before any growth creates a
+    fresh reader (mark 0) that honors the engine-replayed
+    ``partitions({row: jittered}, ...)`` and re-delivers
+    ``[jittered, prior mark)``.  Delivery across that double-restart
+    window is therefore AT-LEAST-ONCE, the standard posture for a source
+    whose offsets come from a jittery external count; an exactly-once fix
+    needs durable reader state the Python DataSourceStreamReader API does
+    not offer (the offset log is the only persistence, and it already
+    holds the jittered value).  Deduplicate downstream on a key if the
+    window matters.  An explicit ``totalrows`` option freezes the size
+    (test override / live estimate where COUNT is unavailable), which
+    deliberately disables growth observation — and, with a frozen size,
+    closes the jitter window entirely.
 
     **Filter pushdown** (round-12): the ``pushdown`` reader option — a
     conjunctive clause string, grammar in :func:`parse_pushdown_spec` —

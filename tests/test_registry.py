@@ -22,36 +22,37 @@ def test_registry_shape():
     # stream_stateful_v2 is gated off (no provisionable protobuf runtime)
     expected = [n for n in entrymod._PRIORITY if n in reg]
     assert names[: len(expected)] == expected
-    # round-14 window layout (criticality order): the 2 never hash-checked
-    # entries lead (the OR-disjunction OPTIONS leg and the stream FIELDS
-    # projection), then the 9 changed-since-green saprfc DSv2 readers
-    # (OrGroup in _eval_filter/_render_options/spec grammar, the stream
-    # restart clamp and the mock's OR-group evaluator share their read
-    # path), the 25 remaining r8 greens (the block drains), and the 14
-    # alphabetically-first r9 greens: 2+9+25+14 = 50 exactly; the other
-    # 34 r9 greens queue FIRST for r15.
-    assert names[0] == "saprfc_pushdown_disjunction"
-    assert names[1] == "saprfc_stream_projection"
-    assert names[2:11] == [
+    # round-15 window layout (criticality order): the 1 never hash-checked
+    # entry leads (the OPTIONS 72-char line-wrap leg), then the 11
+    # changed-since-green saprfc readers (wire_options AND-join + wrap,
+    # mock width enforcement + re-concat, TAB512 guard — all shared wire
+    # path), the 34 remaining r9 greens (the block drains), and the 4
+    # alphabetically-first r10 greens: 1+11+34+4 = 50 exactly; the other
+    # 39 r10 greens queue FIRST for r16.
+    assert names[0] == "saprfc_pushdown_line_wrap"
+    assert names[1:12] == [
         "saprfc_pushdown",
         "saprfc_pushdown_in_like",
         "saprfc_pushdown_suffix_contains",
+        "saprfc_pushdown_disjunction",
         "saprfc_stream_pushdown",
         "saprfc_scan_typed",
         "saprfc_projection",
         "saprfc_limit_pushdown",
         "saprfc_stream_scan",
         "saprfc_stream_incremental",
+        "saprfc_stream_projection",
     ]
     for probe in (
-        # final r8 rotation block (the r13 ballast list)
-        "q19_disjunctive_bands", "q9_product_profit", "stream_static_join",
-        "udf_grouped_stats", "xml_scan_roundtrip",
-        # alphabetical r9 prefix (distinct_flags is slot 51 — first past
-        # the line, leading the r15 ballast)
-        "agg_approx_distinct", "agg_stats", "dedup_jaccard_pairs",
+        # final r9 rotation block (the r14 ballast list)
+        "distinct_flags", "join_shuffle_hash", "mm_wav_features",
+        "stream_kll_maintenance", "union_all",
+        # alphabetical r10 prefix (ann_label_match is slot 51 — first
+        # past the line, leading the r16 ballast)
+        "agg_approx_distinct_error", "agg_percentiles", "ann_bruteforce_topk",
     ):
         assert names.index(probe) < 50, probe
+    assert names[50] == "ann_label_match"
     # since r9 every registry query carries an oracle — the whole window
     # (and everything past it) is hash-checked
     window_rows_only = [n for n in names[:50] if reg[n].oracle is None]

@@ -49,9 +49,27 @@ from guidance_for_sap_data_integration_and_management_on_aws_spark.sources.saprf
 FIELDS = list(MockRfcTransport.FIELDS)
 COLS = [f.name for f in FIELDS]
 
-# literals that both hit and miss the generator's value space, per type
+# literals that both hit and miss the generator's value space, per type.
+# The two long ones target the round-15 wire-line discipline: a ~40-char
+# literal makes rendered clauses cross the 72-char OPTIONS line width
+# (wrap seam), and a >72-char literal has NO legal wire form at all (its
+# quoted token exceeds the char72 line), so the clause must drop to the
+# unrendered ride — both replayed through the mock's width-enforcing
+# re-concatenation by the laws below.
 _STR_LITS = st.sampled_from(
-    ["TAB3", "ROLL5", "X", "", "FLD_00100", "CHAR", "NUMC", "nope", "O'x"]
+    [
+        "TAB3",
+        "ROLL5",
+        "X",
+        "",
+        "FLD_00100",
+        "CHAR",
+        "NUMC",
+        "nope",
+        "O'x",
+        "WIDE_" + "w" * 35 + "'q",
+        "OVER_" + "v" * 70,
+    ]
 )
 # span the NUMC rendering bands: negative (never renders), 1-4 digits
 # (zero-pads to POSITION's width 4 / LENG's width 3 when it fits), and
@@ -84,8 +102,10 @@ def _filters():
         lambda c, vs: In((c,), tuple(vs)),
         col,
         # None in the list: SQL three-valued IN yields NULL (not False)
-        # when nothing matches — the r11-advice band, live under Not()
-        st.lists(st.one_of(_ANY_LIT, st.none()), min_size=0, max_size=4),
+        # when nothing matches — the r11-advice band, live under Not().
+        # max_size 8 since r15: longer value lists push the rendered IN
+        # clause past one 72-char OPTIONS line, exercising the wrap seam
+        st.lists(st.one_of(_ANY_LIT, st.none()), min_size=0, max_size=8),
     )
     sw_f = st.builds(
         lambda c, k, v: k((c,), v),

@@ -447,8 +447,17 @@ def test_in_like_options_reduce_wire_rows_exactly():
         (["FIELDNAME LIKE 'FLD_01%'"], lambda i: 1000 <= i < 2000),
         (["TABNAME LIKE 'TAB_'"], lambda i: True),  # _ = exactly one char
         (["ROLLNAME LIKE 'ROLL1'"], lambda i: i % 11 == 1),  # no wildcard
+        # conjunctions join with an explicit AND since r15: the server
+        # concatenates the char72 lines into ONE dynamic WHERE, inserting
+        # nothing between them
         (
-            ["ROLLNAME IN ('ROLL2', 'ROLL5')", "FIELDNAME LIKE 'FLD_01%'"],
+            ["ROLLNAME IN ('ROLL2', 'ROLL5') AND FIELDNAME LIKE 'FLD_01%'"],
+            lambda i: i % 11 in (2, 5) and 1000 <= i < 2000,
+        ),
+        # same conjunction wrapped across two lines at a token boundary:
+        # re-concatenation must reproduce the one-line semantics exactly
+        (
+            ["ROLLNAME IN ('ROLL2', 'ROLL5') AND", "FIELDNAME LIKE 'FLD_01%'"],
             lambda i: i % 11 in (2, 5) and 1000 <= i < 2000,
         ),
         # NUMC membership is char-wise against zero-padded storage: the
@@ -464,7 +473,7 @@ def test_in_like_options_reduce_wire_rows_exactly():
         (["FIELDNAME LIKE '%7'"], lambda i: i % 10 == 7),
         (["ROLLNAME LIKE '%L1%'"], lambda i: i % 11 in (1, 10)),
         (
-            ["FIELDNAME LIKE '%7'", "ROLLNAME LIKE '%L1%'"],
+            ["FIELDNAME LIKE '%7' AND ROLLNAME LIKE '%L1%'"],
             lambda i: i % 10 == 7 and i % 11 in (1, 10),
         ),
     ]
@@ -592,8 +601,9 @@ def test_stream_pushdown_spec_parses_renders_and_reduces_wire_rows():
     assert acc[1].value == 250  # typed literal: int, not the wire text
     opts = r._delegate.wire_options()
     # the NUMC literal rides the wire zero-padded to the declared LENGTH
-    # (char-wise server comparison, r12 advice)
-    assert opts == ["TABNAME EQ 'TAB3'", "POSITION LT '0250'"]
+    # (char-wise server comparison, r12 advice); since r15 the clauses
+    # AND-join into one WHERE text wrapped across char72 lines
+    assert opts == ["TABNAME EQ 'TAB3' AND POSITION LT '0250'"]
 
     # wire volume: the server filters then pages, so far fewer rows cross
     t = MockRfcTransport(n_rows=2500)
@@ -869,8 +879,7 @@ def test_or_disjunction_renders_wire_group_and_reverifies():
         {"mockrows": "2500", "pagesize": "300", "pushdown": spec}, fields
     )
     assert pushed.wire_options() == [
-        "( TABNAME EQ 'TAB3' OR POSITION LT '0040' )",
-        "ROLLNAME NE 'ROLL7'",
+        "( TABNAME EQ 'TAB3' OR POSITION LT '0040' ) AND ROLLNAME NE 'ROLL7'"
     ]
     # server-side volume: the mock keeps exactly the char-wise group matches
     t = MockRfcTransport(n_rows=2500)
@@ -1029,3 +1038,211 @@ def test_stream_projection_composes_with_pushdown():
         SapRfcStreamReader(
             {"mockrows": "1000", "pushdown": "ROLLNAME EQ 'ROLL1'"}, want
         )
+
+
+# --- OPTIONS 72-char wire-line discipline (round 15) ------------------------
+
+
+def test_options_wire_lines_width_and_reconcat_laws():
+    """The r15 line discipline, as direct laws over wrap_options_lines:
+    every emitted wire line fits the BAPI's char72 TEXT field, lines break
+    only at token boundaries (re-concatenating with single spaces is
+    IDENTICAL to the AND-joined clause text — the idempotence a server
+    that drops trailing blanks requires), and the seam-identity law
+    `" ".join(_wire_tokens(c)) == c` holds for every renderer shape."""
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.sources.saprfc_dsv2 import (
+        OPTIONS_LINE_WIDTH,
+        _wire_tokens,
+        wrap_options_lines,
+    )
+
+    long_in = (
+        "FIELDNAME IN ("
+        + ", ".join(f"'FLD_{i:05d}'" for i in range(100, 2400, 150))
+        + ")"
+    )
+    shapes = [
+        "TABNAME EQ 'TAB3'",
+        "POSITION LT '0250'",
+        "ROLLNAME NE 'ROLL7'",
+        "FIELDNAME LIKE 'FLD_01%'",
+        "ROLLNAME LIKE '%L1%'",
+        "ROLLNAME IN ('ROLL2', 'ROLL5')",
+        "TABNAME EQ 'O''Brien AND sons'",  # quoted AND + escaped quote
+        "( TABNAME EQ 'TAB3' OR POSITION LT '0040' )",
+        "TABNAME EQ ' padded  interior '",  # spaces survive inside quotes
+        long_in,
+    ]
+    assert len(long_in) > OPTIONS_LINE_WIDTH  # the wrap actually engages
+    for clause in shapes:
+        assert " ".join(_wire_tokens(clause)) == clause, clause
+    # single clauses, pairs, and the whole conjunction
+    combos = [[c] for c in shapes] + [shapes[:2], shapes, [long_in, shapes[7]]]
+    for clauses in combos:
+        lines = wrap_options_lines(clauses)
+        assert all(len(line) <= OPTIONS_LINE_WIDTH for line in lines), clauses
+        assert " ".join(lines) == " AND ".join(clauses), clauses
+    # multi-line case really happens
+    assert len(wrap_options_lines([long_in])) >= 2
+
+
+def test_options_wire_line_oversized_token_drops_clause():
+    """A clause containing one token wider than 72 chars (a huge quoted
+    literal) has no legal wire form: it must DROP from the wire (widen-only
+    ride, typed re-verify applies it exactly) while its conjunct
+    neighbors still render — and an OR group with one oversized disjunct
+    drops whole (all-or-nothing)."""
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.sources.saprfc_dsv2 import (
+        wrap_options_lines,
+    )
+
+    huge = "TABNAME EQ '" + "x" * 80 + "'"
+    assert wrap_options_lines([huge]) == []
+    assert wrap_options_lines([huge, "ROLLNAME NE 'ROLL7'"]) == [
+        "ROLLNAME NE 'ROLL7'"
+    ]
+    group = "( TABNAME EQ '" + "x" * 80 + "' OR ROLLNAME EQ 'ROLL1' )"
+    assert wrap_options_lines([group]) == []
+
+
+def test_mock_enforces_options_line_width():
+    """The server model must REJECT a wire line wider than its char72
+    TEXT field — the lenient-mock class (r12/r13 advice) that would
+    otherwise hide the live-server failure the client wrap prevents."""
+    import pytest
+
+    t = MockRfcTransport(n_rows=50)
+    too_long = "TABNAME EQ '" + "y" * 70 + "'"
+    assert len(too_long) > 72
+    with pytest.raises(ValueError, match="exceeds 72"):
+        t.call("DD03L", "`", 0, 10, options=[too_long])
+    with pytest.raises(ValueError, match="exceeds 72"):
+        t.row_count("DD03L", options=[too_long])
+
+
+def test_wrapped_long_in_scan_end_to_end():
+    """A pushed IN list long enough to span 3+ wire lines returns exactly
+    the unpushed-scan-plus-predicate rows, and every wire line the
+    transport sees fits 72 chars (recorded through a spying transport)."""
+    from pyspark.sql.datasource import In
+
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.sources.saprfc_dsv2 import (
+        SapRfcReader,
+        _eval_filter,
+    )
+
+    fields = list(MockRfcTransport.FIELDS)
+    names = [f.name for f in fields]
+    vals = tuple(f"FLD_{i:05d}" for i in range(100, 2400, 150))
+    pushed = SapRfcReader({"mockrows": "2500", "pagesize": "300"}, fields)
+    assert list(pushed.pushFilters([In(("FIELDNAME",), vals)])) == []
+    lines = pushed.wire_options()
+    assert len(lines) >= 3 and all(len(l) <= 72 for l in lines)
+
+    def rows_of(reader):
+        out = []
+        for p in reader.partitions():
+            for b in reader.read(p):
+                out.extend(
+                    zip(*[b.column(i).to_pylist() for i in range(b.num_columns)])
+                )
+        return sorted(out, key=lambda r: tuple(str(x) for x in r))
+
+    plain = SapRfcReader({"mockrows": "2500", "pagesize": "300"}, fields)
+    expect = [
+        row
+        for row in rows_of(plain)
+        if all(
+            _eval_filter(f, dict(zip(names, row[: len(names)]))) is True
+            for f in pushed.accepted
+        )
+    ]
+    got = rows_of(pushed)
+    assert got == expect
+    # the generator law: FLD_%05d == i, minus corrupt (i%37==0) rows
+    assert len(got) == sum(1 for i in range(100, 2400, 150) if i % 37 != 0)
+
+
+def test_row_width_guard_tab512():
+    """The TAB512 row-width guard (round 15): a projection whose declared
+    output widths + delimiters exceed the BAPI's char512 DATA line fails
+    LOUD at plan time with the narrow-your-projection message (live SAP
+    raises DATA_BUFFER_EXCEEDED mid-job); a fitting projection of the same
+    table plans fine; unknown (0) widths skip the client check; and the
+    mock models the server-side overflow independently."""
+    import pytest
+
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.sources.rfc import RfcField
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.sources.saprfc_dsv2 import (
+        SapRfcReader,
+        check_row_width,
+    )
+
+    wide = [RfcField(f"W{j}", "C", length=120) for j in range(5)]  # 604 > 512
+    with pytest.raises(ValueError, match="narrow the projection"):
+        SapRfcReader({"mockrows": "10"}, wide)
+    # boundary: exactly 512 passes, 513 fails (4*127 + 3 = 511; +1 each)
+    fits = [RfcField(f"F{j}", "C", length=127) for j in range(4)]
+    check_row_width(fits, "`")  # 511 <= 512: ok
+    with pytest.raises(ValueError, match="DATA buffer"):
+        check_row_width([RfcField("A", "C", length=510), RfcField("B", "C", length=2)], "`")
+    # unknown width disables the client-side check (live server decides)
+    check_row_width([RfcField("A", "C", length=0), RfcField("B", "C", length=600)], "`")
+
+    # server model: a wide-FIELDS mock raises DATA_BUFFER_EXCEEDED on the
+    # unprojected call and serves fine once the projection narrows
+    class WideMock(MockRfcTransport):
+        FIELDS = (
+            RfcField("TABNAME", "C", length=300),
+            RfcField("ROLLNAME", "C", length=300),
+        )
+
+        def _vals(self, i):
+            return [f"TAB{i % 7}", f"ROLL{i % 11}"]
+
+        def _row(self, i, keep=None):  # no planted corruption in this mock
+            vals = self._vals(i)
+            if keep is not None:
+                vals = [vals[j] for j in keep]
+            return "`".join(vals)
+
+    t = WideMock(n_rows=5)
+    with pytest.raises(ValueError, match="DATA_BUFFER_EXCEEDED"):
+        t.call("DD03L", "`", 0, 10)
+    res = t.call("DD03L", "`", 0, 10, fields=["TABNAME"])
+    assert len(res["DATA"]) == 5
+
+
+def test_line_wrap_query_plan_lock_and_wire_width(spark):
+    """The saprfc_pushdown_line_wrap oracle query end-to-end through
+    Spark: its 16-value isin is fully consumed by the source (no residual
+    Filter), and a reader fed the same filters + spec emits only <=72-char
+    wire lines with the IN list spanning several of them."""
+    from pyspark.sql.datasource import In
+
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.operators.ingest import (
+        _LINE_WRAP_IDS,
+    )
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.sources.saprfc_dsv2 import (
+        SapRfcReader,
+    )
+
+    vals = [f"FLD_{i:05d}" for i in _LINE_WRAP_IDS]
+    df = _df(spark, pushdown="POSITION LT '250' OR KEYFLAG EQ 'X'").filter(
+        F.col("FIELDNAME").isin(vals)
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchScan saprfc" in plan and "Filter (" not in plan
+    assert df.count() == sum(
+        1
+        for i in _LINE_WRAP_IDS
+        if i % 37 != 0 and ((i % 13 != 0 and i % 500 < 250) or i % 5 == 0)
+    )
+    r = SapRfcReader(
+        {"mockrows": "2500", "pushdown": "POSITION LT '250' OR KEYFLAG EQ 'X'"},
+        list(MockRfcTransport.FIELDS),
+    )
+    assert list(r.pushFilters([In(("FIELDNAME",), tuple(vals))])) == []
+    lines = r.wire_options()
+    assert len(lines) >= 3 and all(len(l) <= 72 for l in lines)
+    assert any("OR" in l for l in lines)  # the group rides the same WHERE
