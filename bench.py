@@ -424,6 +424,16 @@ CHECK_SLACK_SEC = 0.3
 # band, which drifted artifacts point readers to via "certified_results".
 CALIB_DRIFT_FACTOR = 1.5
 
+# The multi-core probe gets a TIGHTER factor: it is pure Python (no JIT /
+# codegen / GC variance — the reasons the 1-core Spark calib needs 1.5x),
+# and its measured idle band is narrow (0.51-0.54 s with the warm idle
+# JVM present, the context both in-bench samples run in; 0.40-0.49 s bare).
+# The baseline seed 0.52 is the top of that in-context idle band, so the
+# gate fires at ~0.68 — r15 protocol run 1, a mildly-contended run with 28
+# rows >2x at a NORMAL 1-core calib (0.432), read mc 0.614/0.77 and would
+# have been flagged; clean runs hold ~25% headroom.
+CALIB_MC_DRIFT_FACTOR = 1.3
+
 
 def _calib_mc_worker(n: int) -> int:
     """Fixed pure-Python integer-hash loop (FNV-ish), the per-process unit
@@ -1076,7 +1086,7 @@ def main(check: bool = False) -> None:
         base_calib = base_calib_mc = None
     host_drift_1c = bool(base_calib) and calib_start > CALIB_DRIFT_FACTOR * base_calib
     host_drift_mc = bool(base_calib_mc) and bool(calib_mc_start) and (
-        max(calib_mc_start, calib_mc_end) > CALIB_DRIFT_FACTOR * base_calib_mc
+        max(calib_mc_start, calib_mc_end) > CALIB_MC_DRIFT_FACTOR * base_calib_mc
     )
     host_drift = host_drift_1c or host_drift_mc
 
