@@ -87,7 +87,15 @@ class RfcTransport:
         rowcount: int,
         options: Sequence[str] = (),
         fields: Sequence[str] = (),
+        no_data: bool = False,
     ) -> dict:
+        """``no_data=True`` maps to the BAPI's ``NO_DATA`` flag (public
+        RFC_READ_TABLE-family interface): the server returns the FIELDS
+        metadata and NO rows — the metadata-discovery call, and the only
+        way to probe a table whose full row width exceeds the char512
+        DATA line (a data-carrying probe would fail DATA_BUFFER_EXCEEDED
+        before the caller ever learns the widths it needs to narrow the
+        projection)."""
         raise NotImplementedError
 
     def row_count(self, query_table: str, options: Sequence[str] = ()) -> int:
@@ -142,6 +150,7 @@ class PyRfcTransport(RfcTransport):
         rowcount: int,
         options: Sequence[str] = (),
         fields: Sequence[str] = (),
+        no_data: bool = False,
     ) -> dict:
         kwargs: dict = {
             "QUERY_TABLE": query_table,
@@ -149,6 +158,8 @@ class PyRfcTransport(RfcTransport):
             "ROWSKIPS": rowskips,
             "ROWCOUNT": rowcount,
         }
+        if no_data:
+            kwargs["NO_DATA"] = "X"  # metadata-only: FIELDS out, no rows
         if options:
             kwargs["OPTIONS"] = [{"TEXT": line} for line in options]
         if fields:
@@ -330,15 +341,28 @@ class MockRfcTransport(RfcTransport):
         rowcount: int,
         options: Sequence[str] = (),
         fields: Sequence[str] = (),
+        no_data: bool = False,
     ) -> dict:
         names = [f.name for f in self.FIELDS]
         keep = [names.index(f) for f in fields] if fields else None
         meta = [self.FIELDS[j] for j in keep] if keep is not None else list(self.FIELDS)
         # server-side row-width check: RFC_READ_TABLE-family rows travel in
-        # a char512 DATA line (TAB512), so a projection whose declared
-        # widths + delimiters exceed 512 raises DATA_BUFFER_EXCEEDED — the
-        # overflow the client's plan-time guard (saprfc_dsv2.
-        # check_row_width) exists to catch before the job runs
+        # a char512 DATA line (TAB512), so a DATA-CARRYING call whose
+        # projected widths + delimiters exceed 512 raises
+        # DATA_BUFFER_EXCEEDED — the overflow the client's plan-time guard
+        # (saprfc_dsv2.check_row_width) exists to catch before the job
+        # runs.  A NO_DATA call ships no rows, so the width never applies:
+        # that is precisely how a client discovers the FIELDS metadata of
+        # a too-wide table in order to narrow its projection.
+        if no_data:
+            return {
+                "FIELDS": [
+                    {"FIELDNAME": f.name, "TYPE": f.type_code, "LENGTH": f.length}
+                    for f in meta
+                ],
+                "OUT_TABLE": "DATA",
+                "DATA": [],
+            }
         if all(f.length > 0 for f in meta):
             width = sum(f.length for f in meta) + len(delimiter) * (len(meta) - 1)
             if width > 512:
@@ -383,7 +407,9 @@ def read_rfc_table(
     one-page-in-flight loop.  Returns (raw WA DataFrame, FIELDS metadata).
     """
     probe = transport_factory()
-    meta = probe.call(query_table, delimiter, 0, 1)
+    # NO_DATA: metadata-only probe — works even on tables whose full row
+    # width exceeds the char512 DATA line (see RfcTransport.call)
+    meta = probe.call(query_table, delimiter, 0, 1, no_data=True)
     fields = [
         RfcField(f["FIELDNAME"], f["TYPE"], length=int(f.get("LENGTH", 0)))
         for f in meta["FIELDS"]

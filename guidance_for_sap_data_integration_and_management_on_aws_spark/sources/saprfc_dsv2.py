@@ -61,6 +61,7 @@ from __future__ import annotations
 import datetime
 import math
 import re
+import sys
 from collections.abc import Iterator, Sequence
 from dataclasses import dataclass
 from decimal import ROUND_HALF_UP, Decimal, InvalidOperation, localcontext
@@ -707,6 +708,25 @@ def _wire_tokens(text: str) -> list[str]:
     return toks
 
 
+# wire-drop notices already emitted by this process (executors are separate
+# processes; bounded by the distinct dropped-clause texts a job renders)
+_WARNED_WIRE_DROPS: set[str] = set()
+
+
+def _note_wire_drop(clause: str, why: str) -> None:
+    """One stderr notice per dropped clause per process (r15 review): the
+    drop is semantically safe (typed re-verify applies the predicate
+    exactly) but turns a wire-filtered scan into a full-fetch-and-filter —
+    an N-fold wire-volume change a user should be able to see."""
+    if clause not in _WARNED_WIRE_DROPS:
+        _WARNED_WIRE_DROPS.add(clause)
+        print(
+            f"[saprfc] OPTIONS clause not wire-renderable ({why}); riding "
+            f"unfiltered, re-verified typed: {clause[:120]!r}",
+            file=sys.stderr,
+        )
+
+
 def wrap_options_lines(clauses: Sequence[str]) -> list[str]:
     """AND-join rendered clauses into one dynamic-WHERE text and wrap it
     across <=72-char OPTIONS lines at token boundaries.
@@ -718,14 +738,19 @@ def wrap_options_lines(clauses: Sequence[str]) -> list[str]:
     exactly, and skipping a conjunct only widens the server set.  Both the
     partition planner's ``row_count`` and ``read()`` consume this same
     function via ``wire_options()``, so planning and fetch always see the
-    same server-side stream."""
+    same server-side stream.  Drops are announced once per clause per
+    process on stderr (:func:`_note_wire_drop`)."""
     tokens: list[str] = []
     for clause in clauses:
         toks = _wire_tokens(clause)
         if not toks or max(len(t) for t in toks) > OPTIONS_LINE_WIDTH:
-            continue  # no legal wire form: unrendered ride (widen-only)
+            # no legal wire form: unrendered ride (widen-only)
+            _note_wire_drop(clause, f"token wider than {OPTIONS_LINE_WIDTH} chars")
+            continue
         if " ".join(toks) != clause:
-            continue  # defensive: renderer broke the seam-identity law
+            # defensive: renderer broke the seam-identity law
+            _note_wire_drop(clause, "seam-identity violation")
+            continue
         if tokens:
             tokens.append("AND")
         tokens.extend(toks)
@@ -1400,11 +1425,17 @@ class SapRfcDataSource(DataSource):
 
     def _fields(self) -> list[RfcField]:
         transport = _transport_from_options(self.options)
+        # NO_DATA metadata probe (round-15 review): a data-carrying probe
+        # against a table wider than the char512 DATA line would fail
+        # DATA_BUFFER_EXCEEDED before the caller ever saw the FIELDS
+        # widths — making the 'narrow your projection' remediation
+        # unreachable.  The BAPI's NO_DATA flag returns FIELDS only.
         meta = transport.call(
             self.options.get("table", "DD03L"),
             self.options.get("delimiter", DEFAULT_DELIMITER),
             0,
             1,
+            no_data=True,
         )
         fields = [
             RfcField(f["FIELDNAME"], f["TYPE"], length=int(f.get("LENGTH", 0)))

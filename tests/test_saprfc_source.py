@@ -1211,6 +1211,13 @@ def test_row_width_guard_tab512():
         t.call("DD03L", "`", 0, 10)
     res = t.call("DD03L", "`", 0, 10, fields=["TABNAME"])
     assert len(res["DATA"]) == 5
+    # NO_DATA metadata probe (r15 review): FIELDS discovery must work on a
+    # too-wide table — it is HOW a client learns the widths it needs to
+    # narrow the projection; the DSv2 _fields()/read_rfc_table probes use
+    # it, making the plan-time guard reachable through the public source
+    meta = t.call("DD03L", "`", 0, 1, no_data=True)
+    assert [f["FIELDNAME"] for f in meta["FIELDS"]] == ["TABNAME", "ROLLNAME"]
+    assert meta["DATA"] == []
 
 
 def test_line_wrap_query_plan_lock_and_wire_width(spark):
