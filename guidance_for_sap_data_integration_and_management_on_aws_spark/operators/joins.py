@@ -428,8 +428,16 @@ def bloom_build(keys: DataFrame, col: str) -> list[int]:
 def bloom_might_contain(words: list[int], key: F.Column) -> F.Column:
     """Pure-expression Bloom probe: all BLOOM_K bit positions set.  The
     bitmap rides as ONE array literal (no join, no broadcast variable), so
-    the predicate evaluates scan-side inside whole-stage codegen."""
-    arr = F.lit(words)
+    the predicate evaluates scan-side inside whole-stage codegen.
+
+    The literal is built as ONE SQL `array(...)` parse instead of
+    ``F.lit(words)``: PySpark's lit() on a Python list issues one py4j
+    round-trip per element, which at BLOOM_WORDS=4096 words costs 2.4-4.5 s
+    of DRIVER time per query build (measured r15; the single parse is
+    ~7 ms, 340x less).  Catalyst constant-folds both forms to the same
+    ArrayType(LongType) literal, so the executed plan — and the result —
+    is unchanged."""
+    arr = F.expr("array(" + ",".join(f"{w}L" for w in words) + ")")
     cond = F.lit(True)
     for s in range(BLOOM_K):
         p = F.pmod(F.xxhash64(F.lit(s), key), F.lit(BLOOM_BITS))

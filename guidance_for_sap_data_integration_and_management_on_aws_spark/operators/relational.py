@@ -1893,6 +1893,11 @@ def _mg_candidate_kernel(batches):
 )
 def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("key"))
+    # NOTE (r15 measurement): tot rides into both the candidate kernel's
+    # crossJoin and the final filter; an eager localCheckpoint of the 1-row
+    # frame was tried and measured SLOWER at sf0.1 (1.18-1.30 s ->
+    # 1.38-1.40 s warm A/B) — the barrier costs more than the repeated
+    # count-distinct at bench scale.
     tot = li.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.countDistinct("key").cast("bigint").alias("d"),
@@ -2181,6 +2186,12 @@ def distributed_rank(
 )
 def data_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select("l_partkey")
+    # NOTE (r15 measurement): cnts feeds three consumers (rank / top-10 /
+    # max) and re-computes per consumer; an eager localCheckpoint was tried
+    # and measured SLOWER at sf0.1 (1.45-1.57 s -> 1.77-1.98 s warm A/B):
+    # the materialization barrier costs more than two extra 600k-row
+    # scan+aggs on 32 cores.  At 100 TB the three consumers would read a
+    # persisted counts table; at bench scale recompute wins.
     cnts = li.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     ranked = distributed_rank(cnts, ["c", "l_partkey"], out="i")
     tot = ranked.agg(
@@ -2289,6 +2300,10 @@ _RFM_SEGMENT_SQL = """CASE
 )
 def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
+    # NOTE (r15 measurement): rfm feeds the first rank pass AND the `n`
+    # count; an eager localCheckpoint was tried and measured SLOWER at
+    # sf0.1 (2.86-2.94 s -> 3.05-3.13 s warm A/B) — the materialization
+    # barrier outweighs one extra orders scan+agg at bench scale.
     rfm = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("r"),
         F.count(F.lit(1)).cast("bigint").alias("f"),
@@ -2435,7 +2450,14 @@ EQUIDEPTH_B = 10  # equal-frequency buckets
 def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
     ranked = distributed_rank(o, ["o_totalprice", "o_orderkey"], out="i")
-    n = ranked.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    # row count from the BASE scan, not the ranked frame: distributed_rank
+    # preserves cardinality exactly (row_number adds a column; the offset
+    # join is keyed on the partition id every row carries), so both counts
+    # are equal by construction — but counting `ranked` re-executes its
+    # window + broadcast-join lineage over the checkpoint, while counting
+    # `o` is one column-pruned scan (r15 plan audit: one full rank
+    # re-evaluation removed; 12 -> ~8 Exchange nodes).
+    n = o.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     return (
         ranked.crossJoin(F.broadcast(n))
         .groupBy(

@@ -1026,6 +1026,10 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = parallelize_small_scan(d, "doc_id").select(
         "doc_id", F.explode(_words()).alias("w")
     )
+    # NOTE (r15 measurement): dl feeds the corpus-stats aggregate AND the
+    # score join; an eager localCheckpoint was tried and measured SLOWER at
+    # sf0.1 (0.89 s -> 1.04-1.06 s warm A/B) — the barrier outweighs one
+    # extra explode pass at bench scale.
     dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
@@ -1099,16 +1103,27 @@ PMI_TOP_K = 50
 def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     src = parallelize_small_scan(d, "doc_id")
+    # MATERIALIZE the two counted frames once (the agg_corr_matrix moments
+    # precedent): uni is referenced THREE times downstream (tot + the u1/u2
+    # broadcast sides) and bc0 TWICE (btot + the rule join) — left lazy,
+    # each reference re-runs its scan -> explode -> hash-agg subtree, and
+    # the different projections defeat exchange reuse (r15 plan audit: FIVE
+    # documents scans / 32 Exchange nodes for one query; 2 scans / ~12
+    # after).  Both frames are aggregation outputs (|vocab| and |distinct
+    # bigram| rows), orders of magnitude smaller than the exploded corpus,
+    # so one in-memory materialization beats 3 recomputes at any scale.
     uni = (
         src.select(F.explode(_words()).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cw"))
+        .localCheckpoint(eager=True)
     )
     tot = uni.agg(F.sum("cw").cast("bigint").alias("t"))
     bc0 = (
         src.select(F.explode(_word_shingles(_words(), 2)).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cab"))
+        .localCheckpoint(eager=True)
     )
     btot = bc0.agg(F.sum("cab").cast("bigint").alias("b"))
     u1 = uni.select(F.col("w").alias("__w1"), F.col("cw").alias("cw1"))
