@@ -535,17 +535,26 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    cost = li.groupBy("l_partkey", "l_suppkey").agg(
-        avg_money(dec_money("l_extendedprice"), "supp_cost")
-    )
     part = F.broadcast(load(spark, sf_dir, "part").filter(F.col("p_size") == 15))
     supp = F.broadcast(load(spark, sf_dir, "supplier"))
     nation = F.broadcast(load(spark, sf_dir, "nation"))
     region = F.broadcast(load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE"))
+    # broadcast-join the filtered part dim BELOW the aggregation (r15):
+    # the inner join on l_partkey only FILTERS partkeys (every lineitem of
+    # a surviving partkey survives, so the per-(partkey, suppkey) average
+    # is over the identical row set — join/groupBy commute here), and
+    # p_size = 15 keeps ~2% of parts, so the shuffle into the cost agg
+    # carries ~2% of the fact rows instead of all of them (guide §2.3
+    # "aggregate less by filtering first"; measured 1.81-1.89 s -> see
+    # OPTIMIZATION_r15.md).
+    cost = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("l_partkey", "l_suppkey", "p_partkey", "p_name")
+        .agg(avg_money(dec_money("l_extendedprice"), "supp_cost"))
+    )
     w = Window.partitionBy("p_partkey")
     return (
-        cost.join(part, cost.l_partkey == part.p_partkey)
-        .join(supp, cost.l_suppkey == supp.s_suppkey)
+        cost.join(supp, cost.l_suppkey == supp.s_suppkey)
         .join(nation, supp.s_nationkey == nation.n_nationkey)
         .join(region, nation.n_regionkey == region.r_regionkey)
         .withColumn("min_cost", F.min("supp_cost").over(w))

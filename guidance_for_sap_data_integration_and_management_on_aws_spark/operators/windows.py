@@ -664,9 +664,19 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "sid")
         .agg(F.min("us").alias("a"), F.max("us").alias("b"))
     )
+    # one explode instead of a self-union (r15): the union's two branches
+    # each re-executed the whole sess lineage (scan -> two windows ->
+    # group-agg, measured as 2 full passes in the plan); exploding a 2-row
+    # array emits the same (+1 at start, -1 at end) delta rows in ONE pass
+    # of sess at any scale.
     deltas = sess.select(
-        F.col("a").alias("t"), F.lit(1).alias("delta")
-    ).unionAll(sess.select(F.col("b").alias("t"), F.lit(-1).alias("delta")))
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("t"), F.lit(1).alias("delta")),
+                F.struct(F.col("b").alias("t"), F.lit(-1).alias("delta")),
+            )
+        ).alias("d")
+    ).select("d.t", "d.delta")
     dd = deltas.withColumn("day", F.to_date(F.timestamp_micros(F.col("t"))))
     tot = dd.groupBy("day").agg(F.sum("delta").alias("dtot"))
     wd = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
