@@ -469,6 +469,13 @@ CHECK_SLACK_SEC = 0.3
 # band, which drifted artifacts point readers to via "certified_results".
 CALIB_DRIFT_FACTOR = 1.5
 
+# PER-QUERY SUSPECT FACTOR (round 16, r15 verdict item 1): a timed headline
+# row reading above this multiple of its frozen normalized band (converted
+# to seconds at this run's calib, plus CHECK_SLACK_SEC for sub-second rows)
+# is re-run up to twice and reports the min — see the suspect-re-run block
+# in main().
+SUSPECT_FACTOR = 1.5
+
 # The multi-core probe gets a TIGHTER factor: it is pure Python (no JIT /
 # codegen / GC variance — the reasons the 1-core Spark calib needs 1.5x),
 # and its measured idle band is narrow (0.51-0.54 s with the warm idle
@@ -609,6 +616,69 @@ def baseline_reprice(names: list[str]) -> None:
         fh.write("\n")
     print(f"baseline: repriced {names} (old values kept in 'repriced' audit "
           f"map); all other rows untouched", file=sys.stderr)
+
+
+def bench_changed(names: list[str]) -> None:
+    """CHANGED-QUERY SPOT BENCH (round 16, r15 verdict item 4): time ONLY the
+    named queries at $SPARK_GRAFT_SF_DIR — point it at the largest fixture
+    present (e.g. sf0.1 when the graded runs are noise-bound, or a bigger
+    generated dir) so scale-shaped wins (q2's 98% shuffle cut) are measurable
+    instead of invisible under sub-second overhead.  Three reps per query
+    (first = cold-ish, min = steady); REDUCED_SF redirects still apply so the
+    quadratic oracle twins cannot be pointed at an SF they were never meant
+    to run at.  Prints one JSON line; never touches bench_out.json,
+    bench_out_certified.json or the frozen baseline."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    reduced = {
+        name: os.path.join(os.path.dirname(sf_dir.rstrip("/")) or ".", leaf)
+        for name, leaf in REDUCED_SF.items()
+    }
+    reduced = {n: p for n, p in reduced.items() if os.path.isdir(p)}
+
+    import __spark_entry__ as entrymod
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.session import get_spark
+
+    spark = get_spark("bench-changed")
+    qs = entrymod.queries()
+    unknown = [n for n in names if n not in qs]
+    if unknown:
+        sys.exit(f"--changed: unknown queries {unknown}")
+
+    def run(name: str) -> float:
+        where = reduced.get(name, sf_dir)
+        t0 = time.perf_counter()
+        qs[name](spark, where).write.mode("overwrite").format("noop").save()
+        return round(time.perf_counter() - t0, 3)
+
+    # JVM/codegen warmup: flagship once, then each named query at sf0.001
+    # (same convention as the full bench's warmups 1 + 6)
+    qs["q1_pricing_summary"](spark, sf_dir).write.mode("overwrite").format(
+        "noop"
+    ).save()
+    warm_sf = os.path.join(os.path.dirname(sf_dir.rstrip("/")) or ".", "sf0.001")
+    if os.path.isdir(warm_sf):
+        for name in names:
+            try:
+                qs[name](spark, warm_sf).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+            except Exception:
+                pass
+    reps = {name: [run(name) for _ in range(3)] for name in names}
+    out = {
+        "metric": "changed_queries_spot",
+        "unit": "sec",
+        "sf": sf,
+        "sf_dir": sf_dir,
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS"),
+        "reps": reps,
+        "min": {n: min(r) for n, r in reps.items()},
+    }
+    spark.stop()
+    sys.stdout.flush()
+    os.write(1, (json.dumps(out) + "\n").encode())
 
 
 def main(check: bool = False) -> None:
@@ -819,9 +889,14 @@ def main(check: bool = False) -> None:
                 _exact_verify_stage,
                 _hashed_token_sets as _warm_toks,
                 _lsh_verify_stage,
+                _token_masks as _warm_masks,
             )
 
             _wt = _warm_toks(spark, warm_sf)
+            # r16: the verify kernels dispatch on the vocab-fits-one-word
+            # bitset masks — pass the warm-SF masks so the pre-compile
+            # generates the SAME class the timed sf-scale builds run
+            _wm = _warm_masks(spark, warm_sf)
             _ids = _wt.select("doc_id")
             _nd = _ids.count()
             _rep = max(1, 300_000 // max(1, _nd * _nd))
@@ -832,10 +907,10 @@ def main(check: bool = False) -> None:
                 .select("da", "db")
                 .localCheckpoint(eager=True)
             )
-            _exact_verify_stage(_cand_w, _wt).write.mode("overwrite").format(
+            _exact_verify_stage(_cand_w, _wt, _wm).write.mode("overwrite").format(
                 "noop"
             ).save()
-            _lsh_verify_stage(_cand_w, _wt).write.mode("overwrite").format(
+            _lsh_verify_stage(_cand_w, _wt, _wm).write.mode("overwrite").format(
                 "noop"
             ).save()
             del _cand_w  # ~5 MB of checkpoint blocks; let them GC
@@ -866,7 +941,48 @@ def main(check: bool = False) -> None:
     for name in HEADLINE:
         if name in qs:
             timings[name] = round(run(name), 3)
-    total = round(sum(timings.values()), 3)
+
+    # PER-QUERY SUSPECT RE-RUN (round 16, r15 verdict item 1): the r15
+    # driver comparison read 18/19 headline rows regressed ~0.65x with ZERO
+    # relevant code change — per-row contention waves the run-level mc gate
+    # cannot localize.  Any headline row reading above SUSPECT_FACTOR x its
+    # frozen per-query normalized band (plus the sub-second absolute slack)
+    # is re-run up to twice after a short quiesce; the row reports the MIN
+    # of its readings (a contention wave can only INFLATE a reading — the
+    # min is the closest sample to the query's true cost; this is a
+    # measurement-bug fix per guide §1.4, disclosed in OPTIMIZATION_r16.md)
+    # and every raw reading is kept in the `suspect_reruns` audit map
+    # {first, reruns, band_sec}.  Frozen-baseline rows are never touched.
+    suspect_reruns: dict[str, dict] = {}
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "bench_baseline.json")
+        ) as fh:
+            _sus_base = json.load(fh).get("queries_norm", {})
+    except (OSError, ValueError):
+        _sus_base = {}
+    for name in [n for n in HEADLINE if n in timings]:
+        band_norm = _sus_base.get(name)
+        if not band_norm or not calib_start:
+            continue
+        band_sec = round(
+            SUSPECT_FACTOR * band_norm * calib_start + CHECK_SLACK_SEC, 3
+        )
+        if timings[name] <= band_sec:
+            continue
+        rec: dict = {"first": timings[name], "reruns": [], "band_sec": band_sec}
+        best = timings[name]
+        for _ in range(2):
+            time.sleep(2)  # quiesce: let a passing wave / late C2 land
+            t = round(run(name), 3)
+            rec["reruns"].append(t)
+            best = min(best, t)
+            if t <= band_sec:
+                break
+        timings[name] = best
+        suspect_reruns[name] = rec
+    total = round(sum(timings[n] for n in HEADLINE if n in timings), 3)
 
     # Shared verified-pair frame: the quadratic exact pair frame dedup.py
     # memoizes per (session, sf_dir) feeds dedup_jaccard_pairs,
@@ -985,6 +1101,13 @@ def main(check: bool = False) -> None:
     for pdir in {reduced.get(n, sf_dir) for n in lsh_consumers if n in qs}:
         for key in [k for k in _cand_cache if k[1] == pdir and pdir != sf_dir]:
             _cand_cache.pop(key)
+
+    # Mid-run multi-core sample (round 16, r15 verdict item 1): the start/
+    # end samples bracket the run, so a contention wave that arrives AND
+    # leaves mid-run (the BENCH_r14 contiguous-spike-block shape) can dodge
+    # both.  One extra ~0.3 s probe between the headline/fused blocks and
+    # the full registry loop; feeds the same mc drift gate as start/end.
+    calib_mc_mid = run_calib_mc()
 
     # warmup 8 (round 14, r13 verdict item 4 — the LAST cheap attempt at
     # the _lsh_pairs_pipeline[sf0.1] C2 bimodality): re-run the REAL LSH
@@ -1139,7 +1262,7 @@ def main(check: bool = False) -> None:
     # 0.0): one good contended sample must flag even if the other probe
     # errored — gating on the start sample alone would let an end-sample
     # contention reading slip a degraded run into the certified artifact
-    _mc_samples = [s for s in (calib_mc_start, calib_mc_end) if s]
+    _mc_samples = [s for s in (calib_mc_start, calib_mc_mid, calib_mc_end) if s]
     host_drift_mc = bool(base_calib_mc) and bool(_mc_samples) and (
         max(_mc_samples) > CALIB_MC_DRIFT_FACTOR * base_calib_mc
     )
@@ -1163,6 +1286,7 @@ def main(check: bool = False) -> None:
         "calib_sec_end": calib_end,
         "calib_mc_sec": calib_mc_start,
         "calib_mc_sec_start": calib_mc_start,
+        "calib_mc_sec_mid": calib_mc_mid,
         "calib_mc_sec_end": calib_mc_end,
         "host_drift_mc": host_drift_mc,
         "queries_norm": norm,
@@ -1174,6 +1298,8 @@ def main(check: bool = False) -> None:
         "reduced_sf": {k: v for k, v in reduced.items() if k in timings},
         "stage_diag": stage_diag,
     }
+    if suspect_reruns:
+        out["suspect_reruns"] = suspect_reruns
     # C2-SPIKE FLAG (r12 verdict item 2): the two fused dedup line items
     # carry a documented in-bench bimodality — tier-4 JIT queue luck that
     # standalone runs never reproduce (module docstring, ROOT CAUSE note).
@@ -1248,6 +1374,10 @@ def main(check: bool = False) -> None:
         compact["c2_spike"] = c2
     if host_drift:
         compact["certified_results"] = "bench_out_certified.json"
+    if suspect_reruns:
+        # surface which rows were re-run in the driver-captured tail (full
+        # {first, reruns, band_sec} detail stays in bench_out.json)
+        compact["suspect_reruns"] = sorted(suspect_reruns)
     compact_payload = json.dumps(compact)
     if len(compact_payload) > 1900:  # still too big -> drop the norm map
         compact.pop("queries_norm")
@@ -1280,7 +1410,13 @@ def main(check: bool = False) -> None:
 
 
 if __name__ == "__main__":
-    if "--baseline-add-new" in sys.argv:
+    if "--changed" in sys.argv:
+        i = sys.argv.index("--changed")
+        names = [n for arg in sys.argv[i + 1 :] for n in arg.split(",") if n]
+        if not names:
+            sys.exit("--changed requires explicit query names")
+        bench_changed(names)
+    elif "--baseline-add-new" in sys.argv:
         baseline_add_new()
     elif "--baseline-reprice" in sys.argv:
         i = sys.argv.index("--baseline-reprice")

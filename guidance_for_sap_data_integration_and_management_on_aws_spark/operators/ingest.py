@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import load, materialize_if_wide
 from ..registry import QuerySpec, spec
 from ..sources.rfc import RfcField, parse_rfc_frame
 
@@ -939,7 +939,16 @@ def merge_upsert_into(
     "any SF — a fixed constant would overlap once orderkeys pass it.",
 )
 def ingest_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    # o feeds FOUR branches (restated, max-key, inserted, and the merge's
+    # base + anti-join) — SF-adaptive barrier on the 3-column projection:
+    # lazy re-scans below catalog.MATERIALIZE_MIN_BYTES, one scan above
+    o = materialize_if_wide(
+        load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        ),
+        sf_dir,
+        "orders",
+    )
     restated = (
         o.filter(F.col("o_orderkey") % 10 == 0)
         .withColumn("o_orderstatus", F.lit("U"))
@@ -993,8 +1002,14 @@ def ingest_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ingest_merge_into_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..catalog import scratch_table
 
-    o = load(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderstatus", "o_totalprice", F.lit(0).alias("v")
+    # five consumers (saveAsTable, max-key, v1, v2, inserted) — same
+    # SF-adaptive barrier as ingest_merge_upsert
+    o = materialize_if_wide(
+        load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice", F.lit(0).alias("v")
+        ),
+        sf_dir,
+        "orders",
     )
     tbl = scratch_table(spark, "merge_route_target", sf_dir)
     o.write.mode("overwrite").saveAsTable(tbl)
@@ -1369,7 +1384,17 @@ _DIFF_MOD_INSERT = 103
     "checked value-for-value against the unpruned semantics.",
 )
 def lake_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    a = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    # snapshot A's 2-column projection feeds snapshot B's three derivation
+    # branches, both digest passes and both dirty-row joins (the fixture
+    # DERIVES B from A; at 100 TB both snapshots are persisted tables read
+    # once each).  SF-adaptive barrier: lazy re-scans below the threshold,
+    # one materialization above — the r15 verdict's "fold into the helper"
+    # resolution of the 12-scan plan.
+    a = materialize_if_wide(
+        load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice"),
+        sf_dir,
+        "orders",
+    )
     key = F.col("o_orderkey")
     upd = (key % _DIFF_MOD_UPDATE == 0) & (key % _DIFF_MOD_DELETE != 0)
     keep = (key % _DIFF_MOD_UPDATE != 0) & (key % _DIFF_MOD_DELETE != 0)

@@ -438,6 +438,14 @@ def bloom_might_contain(words: list[int], key: F.Column) -> F.Column:
     ArrayType(LongType) literal, so the executed plan — and the result —
     is unchanged."""
     arr = F.expr("array(" + ",".join(f"{w}L" for w in words) + ")")
+    return _bloom_probe(arr, key)
+
+
+def _bloom_probe(arr: F.Column, key: F.Column) -> F.Column:
+    """The probe arithmetic over a prebuilt bitmap-array column — factored
+    out so tests can assert the SQL-text literal above probes identically
+    to an ``F.lit(words)``-built literal (r15 advice: the f"{w}L" rendering
+    of negative / Long.MinValue words is parser-facing surface)."""
     cond = F.lit(True)
     for s in range(BLOOM_K):
         p = F.pmod(F.xxhash64(F.lit(s), key), F.lit(BLOOM_BITS))

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..caches import register_cache
-from ..catalog import load, parallelize_small_scan
+from ..catalog import load, materialize_if_wide, parallelize_small_scan
 from ..functions.vector import (
     as_double,
     cosine,
@@ -1041,8 +1041,15 @@ MRL_K = 5
     "(F.slice / list slice) is the only added machinery.",
 )
 def ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    v = load(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double("embedding").alias("e")
+    # v feeds the query frame plus the corpus side of BOTH rankings (and q
+    # itself is referenced three times) — ~5 lazy embeddings scans.
+    # SF-adaptive barrier on the decoded projection.
+    v = materialize_if_wide(
+        load(spark, sf_dir, "embeddings").select(
+            "vec_id", as_double("embedding").alias("e")
+        ),
+        sf_dir,
+        "embeddings",
     )
     q = v.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("e").alias("qe")

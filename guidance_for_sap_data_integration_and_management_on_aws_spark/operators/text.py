@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load, parallelize_small_scan
+from ..catalog import load, materialize_if_wide, parallelize_small_scan
 from ..functions.exprs import (
     md5_byte,
     md5_h16,
@@ -551,10 +551,20 @@ def _word_shingles(words: Column, k: int) -> Column:
 )
 def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    # shingle construction is CPU-bound on a (locally) single-split scan
-    sh = parallelize_small_scan(d, "doc_id").select(
-        "doc_id",
-        F.explode(F.array_distinct(_word_shingles(_words(), DECON_NGRAM))).alias("sh"),
+    # shingle construction is CPU-bound on a (locally) single-split scan;
+    # the exploded frame feeds BOTH the eval and training branches — each
+    # lazy reference re-runs scan -> shingle-explode, so above the
+    # SF-adaptive threshold the frame is materialized once (CPU of the
+    # shingle build dominates its narrow (doc_id, sh) rows at scale)
+    sh = materialize_if_wide(
+        parallelize_small_scan(d, "doc_id").select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(_word_shingles(_words(), DECON_NGRAM))
+            ).alias("sh"),
+        ),
+        sf_dir,
+        "documents",
     )
     ev = (
         sh.filter(F.col("doc_id") % EVAL_MOD == 0)
@@ -911,7 +921,15 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = parallelize_small_scan(d, "doc_id").select(
         "doc_id", F.explode(_words()).alias("w")
     )
-    tf = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    # tf is consumed TWICE (the df derivation + the score join) — each lazy
+    # reference re-runs scan -> explode -> hash-agg.  SF-adaptive barrier:
+    # lazy below catalog.MATERIALIZE_MIN_BYTES (the r15 A/Bs measured the
+    # barrier slower than one re-scan at bench scale), one corpus pass above.
+    tf = materialize_if_wide(
+        tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c")),
+        sf_dir,
+        "documents",
+    )
     df = tf.groupBy("w").agg(F.count(F.lit(1)).alias("dfc"))
     nd = d.agg(F.count(F.lit(1)).alias("nd"))
     s = (
@@ -961,7 +979,12 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = parallelize_small_scan(d, "doc_id").select(
         "doc_id", F.explode(_words()).alias("w")
     )
-    tf = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("dc"))
+    # same two-consumer shape as text_tfidf_topk's tf — SF-adaptive barrier
+    tf = materialize_if_wide(
+        tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("dc")),
+        sf_dir,
+        "documents",
+    )
     cnt = tf.groupBy("w").agg(F.sum("dc").cast("bigint").alias("c"))
     tot = cnt.agg(F.sum("c").cast("bigint").alias("t"))
     s = (
@@ -1026,11 +1049,16 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = parallelize_small_scan(d, "doc_id").select(
         "doc_id", F.explode(_words()).alias("w")
     )
-    # NOTE (r15 measurement): dl feeds the corpus-stats aggregate AND the
-    # score join; an eager localCheckpoint was tried and measured SLOWER at
-    # sf0.1 (0.89 s -> 1.04-1.06 s warm A/B) — the barrier outweighs one
-    # extra explode pass at bench scale.
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # dl feeds the corpus-stats aggregate AND the score join; an
+    # unconditional eager localCheckpoint measured SLOWER at sf0.1 (r15:
+    # 0.89 s -> 1.04-1.06 s warm A/B — the barrier outweighs one extra
+    # explode pass at bench scale), so the barrier is SF-adaptive: lazy at
+    # bench scale (unchanged), one pass above catalog.MATERIALIZE_MIN_BYTES.
+    dl = materialize_if_wide(
+        tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl")),
+        sf_dir,
+        "documents",
+    )
     stats = dl.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("dl").cast("bigint").alias("tot_dl"),

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import load, materialize_if_wide
 from ..functions.exprs import dec_money, sql_sum_money, sum_money
 from ..registry import QuerySpec, spec
 
@@ -292,20 +292,28 @@ def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     fmt = "yyyy-MM-dd HH:mm:ss"
+    # the three stage branches each scan events with their own pushed
+    # event_type filter — correct below the SF-adaptive threshold (three
+    # pruned scans, plan-locked pushdown unchanged), while above it the
+    # funnel-relevant projection is materialized ONCE (narrow: 3 columns)
+    # and every stage filters the checkpointed rows instead of re-reading
+    base = materialize_if_wide(
+        ev.select("user_id", "ts", "event_type"), sf_dir, "events"
+    )
     v1 = (
-        ev.filter(F.col("event_type") == "view")
+        base.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
     )
     c2 = (
-        ev.filter(F.col("event_type") == "click")
+        base.filter(F.col("event_type") == "click")
         .join(v1, "user_id")
         .filter(F.col("ts") > F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
     )
     p3 = (
-        ev.filter(F.col("event_type") == "purchase")
+        base.filter(F.col("event_type") == "purchase")
         .join(c2, "user_id")
         .filter(F.col("ts") > F.col("t2"))
         .groupBy("user_id")

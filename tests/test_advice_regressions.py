@@ -321,3 +321,38 @@ def test_decimal_cents_vec_matches_scalar():
     ])
     want = np.array([_decimal_cents(x) for x in vals])
     assert (want == _decimal_cents_vec(vals)).all()
+
+
+def test_bloom_expr_literal_matches_lit_literal(spark):
+    """r15 advice (low): bloom_might_contain renders the 4096-word bitmap
+    as signed-long SQL text (f"{w}L") parsed in one F.expr; assert the
+    parsed literal is element-identical to F.lit(words) and that the probe
+    over it returns identical results — including Long.MinValue (only bit
+    63 set), -1 (all bits), 0, and random negative words."""
+    import random
+
+    from guidance_for_sap_data_integration_and_management_on_aws_spark.operators.joins import (
+        BLOOM_WORDS,
+        _bloom_probe,
+        bloom_might_contain,
+    )
+
+    rng = random.Random(16)
+    words = [rng.getrandbits(64) - (1 << 63) for _ in range(BLOOM_WORDS)]
+    words[0] = -(1 << 63)  # Long.MinValue
+    words[1] = -1
+    words[2] = 0
+    keys = spark.range(5000).select(F.col("id").alias("k"))
+    got = keys.select(
+        "k",
+        bloom_might_contain(words, F.col("k")).alias("via_expr"),
+        _bloom_probe(F.lit(words), F.col("k")).alias("via_lit"),
+    )
+    mismatch = got.filter(F.col("via_expr") != F.col("via_lit")).count()
+    assert mismatch == 0
+    # and the literal itself is element-identical (not just probe-identical)
+    arr_sql = "array(" + ",".join(f"{w}L" for w in words) + ")"
+    row = keys.sparkSession.range(1).select(
+        (F.expr(arr_sql) == F.lit(words)).alias("eq")
+    ).collect()
+    assert row[0]["eq"] is True

@@ -241,11 +241,16 @@ def test_interval_overlap_joins_on_band_not_nested_loop(spark, sf_dir):
 
 
 def test_minhash_tokenizes_corpus_once(spark, sf_dir):
-    """The tokenize+hash pass feeds the LSH signature build AND both sides of
-    the candidate verify: it must come from ONE persisted materialization
-    (InMemoryTableScan), so the documents parquet is scanned at most once in
-    the LSH plan — at 100 TB the difference is two full corpus re-reads."""
+    """The tokenize+hash pass feeds the LSH signature build AND (via the
+    bitset mask frame since r16) both sides of the candidate verify: it must
+    come from ONE persisted materialization, so the documents parquet is
+    scanned at most once in the LSH pipeline — at 100 TB the difference is
+    two full corpus re-reads.  Since r16 the small-vocab verify attaches the
+    checkpointed 64-bit mask frame instead of the token arrays, so the
+    RETURNED plan reads only lineage-free checkpoints — zero documents
+    FileScans — while the masks themselves derive from the cached tokens."""
     from guidance_for_sap_data_integration_and_management_on_aws_spark.operators.dedup import (
+        _MASK_CACHE,
         _TOKEN_CACHE,
         _hashed_token_sets,
         _lsh_band_candidates,
@@ -253,15 +258,15 @@ def test_minhash_tokenizes_corpus_once(spark, sf_dir):
     )
 
     df = minhash_lsh_pairs(spark, sf_dir)
-    cached = _TOKEN_CACHE[(spark.sparkContext.applicationId, sf_dir)]
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _TOKEN_CACHE[key]
     assert cached.is_cached
-    # the three consumers split across the bounded-jobs checkpoint: the
-    # signature build reads the cache inside the (materialized) candidate
-    # subplan; verify sides a and b read it in the returned frame's plan.
-    # The parquet FileScans visible in the plan strings are the
-    # InMemoryRelation's child being echoed per scan site.
+    # fixture vocabulary fits one machine word -> mask verify active
+    assert _MASK_CACHE.get(key) is not None
     plan = executed_plan(df)
-    assert plan.count("InMemoryTableScan") >= 2, plan
+    assert "Scan ExistingRDD" in plan, plan  # checkpointed cand + masks
+    assert sum(s.reads_table("documents") for s in file_scans(plan)) == 0, plan
+    # the candidate subplan still reads the ONE persisted token frame
     cand_plan = executed_plan(_lsh_band_candidates(_hashed_token_sets(spark, sf_dir)))
     assert cand_plan.count("InMemoryTableScan") >= 1, cand_plan
     # and the cache is a real hit: a second call returns the same frame
