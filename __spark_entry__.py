@@ -36,29 +36,86 @@ from guidance_for_sap_data_integration_and_management_on_aws_spark.registry impo
 #      for the following round, then module order (freshest last).
 _PRIORITY = [
     # ------------------------------------------------------------------
-    # ROUND-15 WINDOW LEDGER (~50 driver slots; see rotation invariant
-    # above).  Entering r15 the age profile is: r9:34, r10:43, r11:45,
-    # r12:42, r13:41, r14:50 (judge-audited, VERDICT r14).  This round
-    # adds 1 query (saprfc_pushdown_line_wrap — the OPTIONS 72-char
-    # wire-line discipline) and changes the shared saprfc wire path for
-    # every reader (wire_options now AND-joins + wraps; the mock
-    # enforces the width and re-concatenates; the TAB512 row-width
-    # guard runs in every reader __init__), so the whole saprfc family
-    # re-greens.  Budget:
-    #    1 never hash-checked                            -> slot   1
-    #   11 changed-since-green (the saprfc family)       -> slots  2-12
-    #   34 r9 greens (the block drains — after this
-    #      round no green is older than r10)             -> slots 13-46
-    #    4 oldest r10 greens (alphabetical prefix of the
-    #      43; the remaining 39 queue first for r16)     -> slots 47-50
-    # Steady-state rotation at 256 queries / 50 slots re-greens every
-    # ~5 rounds.
+    # ROUND-16 WINDOW LEDGER (~50 driver slots; see rotation invariant
+    # above).  No new queries this round (optimization round).  Block 2
+    # holds every builder whose PROGRAM changed since its last driver
+    # green: the five r15 optimization rewrites the r15 advisor flagged
+    # as owed (q2 pre-agg filter, pmi materialization, peak-concurrency
+    # sweep, equidepth count, bloom literal), plus this round's r16
+    # changes — the bitset verify family (pairs/LSH/incremental + the
+    # pair-frame consumers CC/canonical + containment's prefix kernel
+    # arg), the SF-adaptive materialization sites, and the
+    # recursive-chain view binding.  Budget:
+    #   22 changed-since-green                      -> slots  1-22
+    #   28 oldest r10 greens (of the 35 remaining
+    #      after 4 moved into block 2; the last 7
+    #      queue first for r17)                     -> slots 23-50
     # ------------------------------------------------------------------
-    # --- 1. never hash-checked (first driver oracle this round) --------
-    "saprfc_pushdown_line_wrap",  # NEW r15: char72 OPTIONS line wrap
-    # --- 2. builder changed since last green (saprfc wire path: wire_
-    # --- options AND-join + 72-char wrap, mock width enforcement +
-    # --- re-concat + independent AND splitter, TAB512 plan guard) ------
+    # --- 2. builder changed since last green: r15 optimization rewrites
+    # --- (owed per r15 ADVICE) + r16 optimization rewrites --------------
+    "q2_min_cost_supplier",
+    "text_bigram_pmi",
+    "events_peak_concurrency",
+    "agg_equidepth_histogram",
+    "join_bloom_prefilter",
+    "dedup_jaccard_pairs",
+    "dedup_minhash_lsh",
+    "dedup_minhash_recall",
+    "dedup_incremental_jaccard",
+    "dedup_connected_components",
+    "dedup_cluster_canonical",
+    "dedup_containment_pairs",
+    "text_tfidf_topk",
+    "text_unigram_logprob",
+    "text_bm25_topk",
+    "pipeline_decontaminate",
+    "events_funnel",
+    "ingest_merge_upsert",
+    "ingest_merge_into_route",
+    "ann_matryoshka_recall",
+    "lake_snapshot_diff",
+    "sql_recursive_chain",
+    # --- 3. staleness rotation: oldest r10 greens, alphabetical (28 of
+    # --- the 35 left after the block-2 moves) ---------------------------
+    "ann_label_match",
+    "ann_lsh_topk",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_exact_bucketed",
+    "dedup_exact_survivors",
+    "dedup_incremental",
+    "dedup_simhash_buckets",
+    "embedding_quantize_int8",
+    "fn_bitwise",
+    "fn_conditional",
+    "fn_json",
+    "fn_map",
+    "fn_math",
+    "fn_regex",
+    "ingest_scd2_history",
+    "ingest_scd2_snapshot",
+    "join_asof",
+    "join_cross_theta",
+    "join_interval_overlap",
+    "join_range_bands",
+    "mm_payload_hash",
+    "pipeline_curation",
+    "pipeline_domain_mix",
+    "pipeline_length_buckets",
+    "pivot_linestatus",
+    "q12_late_shipments",
+    "stream_windowed_topk",
+    # --- 4. rotation ballast: the remaining 7 r10 greens queue FIRST for
+    # --- round 17 (the window line falls above here), then the r15
+    # --- window (saprfc family + r9 drain, all re-greened r15) ----------
+    "subquery_exists",
+    "subquery_scalar",
+    "text_entropy",
+    "text_simhash",
+    "unpivot_measures",
+    "window_lag_lead",
+    "window_rank",
+    "saprfc_pushdown_line_wrap",
     "saprfc_pushdown",
     "saprfc_pushdown_in_like",
     "saprfc_pushdown_suffix_contains",
@@ -70,15 +127,12 @@ _PRIORITY = [
     "saprfc_stream_scan",
     "saprfc_stream_incremental",
     "saprfc_stream_projection",
-    # --- 3. staleness rotation: the 34 remaining r9 greens (the whole
-    # --- block drains; after this round no green is older than r10) ----
     "distinct_flags",
     "except_custkeys",
     "filter_where",
     "fn_array",
     "fn_datetime",
     "fn_string",
-    "ingest_merge_upsert",
     "intersect_custkeys",
     "join_anti",
     "join_broadcast",
@@ -106,54 +160,12 @@ _PRIORITY = [
     "text_repetition_filter",
     "topk_orders",
     "union_all",
-    # --- 3b. oldest r10 greens (alphabetical prefix, 4 of 43) ----------
     "agg_approx_distinct_error",
     "agg_approx_percentile_error",
     "agg_percentiles",
     "ann_bruteforce_topk",
-    # --- 4. rotation ballast: the remaining 39 r10 greens queue FIRST
-    # --- for round 16 (the window line falls above here) ----------------
-    "ann_label_match",
-    "ann_lsh_topk",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_exact_bucketed",
-    "dedup_exact_survivors",
-    "dedup_incremental",
-    "dedup_minhash_lsh",
-    "dedup_minhash_recall",
-    "dedup_simhash_buckets",
-    "embedding_quantize_int8",
-    "events_funnel",
-    "fn_bitwise",
-    "fn_conditional",
-    "fn_json",
-    "fn_map",
-    "fn_math",
-    "fn_regex",
-    "ingest_merge_into_route",
-    "ingest_scd2_history",
-    "ingest_scd2_snapshot",
-    "join_asof",
-    "join_cross_theta",
-    "join_interval_overlap",
-    "join_range_bands",
-    "mm_payload_hash",
-    "pipeline_curation",
-    "pipeline_domain_mix",
-    "pipeline_length_buckets",
-    "pivot_linestatus",
-    "q12_late_shipments",
-    "stream_windowed_topk",
-    "subquery_exists",
-    "subquery_scalar",
-    "text_entropy",
-    "text_simhash",
-    "unpivot_measures",
-    "window_lag_lead",
-    "window_rank",
     # r11+ greens not listed trail in module order (every one re-earned
-    # green within the last four rounds; stream_stateful_v2 keeps its
+    # green within the last five rounds; stream_stateful_v2 keeps its
     # conditional registration, handled below)
 ]
 

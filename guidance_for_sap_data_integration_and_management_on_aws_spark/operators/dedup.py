@@ -418,7 +418,9 @@ def _hashed_token_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 JACCARD_T = 0.6
 
 
-def _pruned_prefix_frame(toks: DataFrame, t: float) -> tuple[DataFrame, int, int]:
+def _pruned_prefix_frame(
+    toks: DataFrame, t: float, probe_small_vocab: bool = True
+) -> tuple[DataFrame, int, int]:
     """Shared PPJoin prefix kernel (SSJoin prefix filter + the exact-integer
     threshold as p/q): from a (doc_id, toks) frame, build the MATERIALIZED
     (doc_id, n, rnk, w) prefix-token frame both candidate joins consume.
@@ -442,22 +444,70 @@ def _pruned_prefix_frame(toks: DataFrame, t: float) -> tuple[DataFrame, int, int
 
     Returns (prefix_frame, p, q) with t = p/q EXACTLY (Fraction of the
     decimal literal), so callers state the length/positional prunes in
-    integer arithmetic — no float-rounding edge can drop a boundary pair."""
+    integer arithmetic — no float-rounding edge can drop a boundary pair.
+
+    SMALL-VOCAB FAST PATH (round 16, guide §2.4): the general build ranks
+    via explode -> df join -> per-doc row_number window — a shuffle+sort
+    of the whole exploded corpus.  When the global vocabulary fits
+    BITSET_VOCAB_MAX the df table is collected (bounded: 65 rows) and the
+    SAME (df, w) total order is computed per row with array_sort over
+    struct(df, w) + slice — zero joins, zero window shuffles, identical
+    output (rank values 1..prefix_len under the identical total order;
+    path-equivalence fuzz-locked in tests/test_bitset_verify.py).
+    Measured (interleaved warm A/B at sf0.1): window path 1.11-1.41 s vs
+    fast path 0.66-0.84 s — and the removed exploded-corpus shuffle+sort
+    grows with corpus size while the collected map stays 64 rows.  Callers
+    whose
+    token universe STRUCTURALLY cannot fit one word pass
+    ``probe_small_vocab=False`` to skip the probe aggregation outright
+    (dedup_containment_pairs: k-gram shingle vocabularies grow as
+    vocab^k, so the probe pass is pure overhead there)."""
     frac = Fraction(str(t))
     p, q = frac.numerator, frac.denominator
-    tok = toks.select(
-        "doc_id", F.size("toks").alias("n"), F.explode("toks").alias("w")
-    )
+    spark = toks.sparkSession
+    width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    n = F.size("toks")
+    plen = n - F.ceil(F.lit(t) * n) + 1  # >= 1 for t <= 1 and n >= 0
+    dfreq_rows = (
+        toks.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .limit(BITSET_VOCAB_MAX + 1)
+        .collect()
+    ) if probe_small_vocab else []
+    if probe_small_vocab and len(dfreq_rows) <= BITSET_VOCAB_MAX:
+        df_of = F.create_map(
+            *[F.lit(x) for r in dfreq_rows for x in (r["w"], r["df"])]
+        )
+        keyed = F.array_sort(
+            F.transform(
+                "toks",
+                lambda w: F.struct(
+                    F.element_at(df_of, w).alias("df"), w.alias("w")
+                ),
+            )
+        )
+        prefix = (
+            toks.select(
+                "doc_id",
+                n.alias("n"),
+                F.posexplode(F.slice(keyed, F.lit(1), plen)),
+            )
+            .select(
+                "doc_id", "n", (F.col("pos") + 1).alias("rnk"),
+                F.col("col.w").alias("w"),
+            )
+        )
+        return prefix.repartition(width, "doc_id").localCheckpoint(eager=True), p, q
+    tok = toks.select("doc_id", n.alias("n"), F.explode("toks").alias("w"))
     dfreq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     ranked = tok.join(dfreq, "w").withColumn(
         "rnk",
         F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "w")),
     )
-    prefix = ranked.filter(
-        F.col("rnk") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1
-    ).select("doc_id", "n", "rnk", "w")
-    spark = toks.sparkSession
-    width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    prefix = ranked.filter(F.col("rnk") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1).select(
+        "doc_id", "n", "rnk", "w"
+    )
     return prefix.repartition(width, "doc_id").localCheckpoint(eager=True), p, q
 
 
@@ -1215,7 +1265,7 @@ def _hashed_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     gsets = _hashed_shingle_sets(spark, sf_dir)
     nonempty = gsets.filter(F.size("toks") > 0)
-    prefix, p, q = _pruned_prefix_frame(nonempty, CONTAIN_T)
+    prefix, p, q = _pruned_prefix_frame(nonempty, CONTAIN_T, probe_small_vocab=False)
     postings = nonempty.select(
         "doc_id", F.size("toks").alias("n"), F.explode("toks").alias("w")
     )

@@ -1497,15 +1497,15 @@ def sql_recursive_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The declared surface is the LITERAL SQL text (identical on both
     # engines), so the only harness-side lever is what the `orders` view
     # binds to: Spark inlines the non-recursive `nxt` CTE into the
-    # recursion step, so every UnionLoop iteration re-runs scan -> filter
-    # -> window (r16 audit: 13 identical Window+scan subtrees in the
-    # executed plan).  Materializing `nxt` itself would change the
-    # declared SQL, so that stays off-limits; SF-adaptively materializing
-    # the view's source keeps the text byte-identical while the per-
-    # iteration re-read hits a lineage-free checkpoint instead of parquet
-    # above the threshold (at bench SF: lazy, unchanged — the barrier
-    # loses to 12 cheap re-scans locally, the r15 rejected-experiment
-    # class).
+    # UnionLoop recursion-step template (r16 plan audit: the step plan
+    # carries its own scan -> filter -> Window copy of nxt, re-executed
+    # on every one of the 12 iterations — plans/r16/sql_recursive_chain
+    # dumps).  Materializing `nxt` itself would change the declared SQL,
+    # so that stays off-limits; SF-adaptively materializing the view's
+    # source keeps the text byte-identical while the per-iteration
+    # re-read hits a lineage-free checkpoint instead of parquet above the
+    # threshold (at bench SF: lazy, unchanged — the barrier loses to 12
+    # cheap re-scans locally, the r15 rejected-experiment class).
     from ..catalog import materialize_if_wide
 
     materialize_if_wide(

@@ -1136,22 +1136,27 @@ def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast sides) and bc0 TWICE (btot + the rule join) — left lazy,
     # each reference re-runs its scan -> explode -> hash-agg subtree, and
     # the different projections defeat exchange reuse (r15 plan audit: FIVE
-    # documents scans / 32 Exchange nodes for one query; 2 scans / ~12
-    # after).  Both frames are aggregation outputs (|vocab| and |distinct
-    # bigram| rows), orders of magnitude smaller than the exploded corpus,
-    # so one in-memory materialization beats 3 recomputes at any scale.
-    uni = (
+    # documents scans / 32 Exchange nodes for one query).  The r15
+    # UNCONDITIONAL checkpoint measured +25% on the 8-core control run
+    # (r15 advice) while a 6-rep interleaved 32-core A/B this round read
+    # the two forms indistinguishable (ckpt median 2.3 s, lazy 2.4 s) —
+    # so the barrier is now SF-adaptive like its four class siblings:
+    # lazy at bench scale, one explode+agg pass per frame above the
+    # threshold (where re-tokenizing the corpus 3x loses by construction).
+    uni = materialize_if_wide(
         src.select(F.explode(_words()).alias("w"))
         .groupBy("w")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cw"))
-        .localCheckpoint(eager=True)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cw")),
+        sf_dir,
+        "documents",
     )
     tot = uni.agg(F.sum("cw").cast("bigint").alias("t"))
-    bc0 = (
+    bc0 = materialize_if_wide(
         src.select(F.explode(_word_shingles(_words(), 2)).alias("bigram"))
         .groupBy("bigram")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cab"))
-        .localCheckpoint(eager=True)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cab")),
+        sf_dir,
+        "documents",
     )
     btot = bc0.agg(F.sum("cab").cast("bigint").alias("b"))
     u1 = uni.select(F.col("w").alias("__w1"), F.col("cw").alias("cw1"))

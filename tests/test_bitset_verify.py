@@ -85,3 +85,27 @@ def test_mask_frame_counts_are_set_sizes(spark):
     for i, v in sets.items():
         assert rows[i]["n"] == len(set(v))
         assert bin(rows[i]["mask"] & ((1 << 64) - 1)).count("1") == len(set(v))
+
+
+def test_prefix_frame_fast_path_matches_window_path(spark):
+    """r16 small-vocab prefix fast path (collected df map + array_sort +
+    slice) must emit the IDENTICAL (doc_id, n, rnk, w) prefix rows as the
+    general explode -> df-join -> window build — same (df, w) total order."""
+    import guidance_for_sap_data_integration_and_management_on_aws_spark.operators.dedup as D
+
+    rng = random.Random(11)
+    vocab = [rng.getrandbits(64) - (1 << 63) for _ in range(40)]
+    sets = _random_sets(rng, 60, vocab)
+    toks = _toks_frame(spark, sets)
+    for t in (0.6, 0.7):  # the jaccard and containment thresholds
+        fast, p, q = D._pruned_prefix_frame(toks, t)
+        old = D.BITSET_VOCAB_MAX
+        try:
+            D.BITSET_VOCAB_MAX = 0  # force the window path
+            slow, p2, q2 = D._pruned_prefix_frame(toks, t)
+        finally:
+            D.BITSET_VOCAB_MAX = old
+        assert (p, q) == (p2, q2)
+        assert sorted(map(tuple, fast.collect())) == sorted(
+            map(tuple, slow.collect())
+        ), f"t={t}"

@@ -30,6 +30,7 @@ CASES = [
     ("text_tfidf_topk", "documents"),
     ("text_unigram_logprob", "documents"),
     ("text_bm25_topk", "documents"),
+    ("text_bigram_pmi", "documents"),
     ("pipeline_decontaminate", "documents"),
     ("events_funnel", "events"),
     ("ingest_merge_upsert", "orders"),

@@ -22,37 +22,44 @@ def test_registry_shape():
     # stream_stateful_v2 is gated off (no provisionable protobuf runtime)
     expected = [n for n in entrymod._PRIORITY if n in reg]
     assert names[: len(expected)] == expected
-    # round-15 window layout (criticality order): the 1 never hash-checked
-    # entry leads (the OPTIONS 72-char line-wrap leg), then the 11
-    # changed-since-green saprfc readers (wire_options AND-join + wrap,
-    # mock width enforcement + re-concat, TAB512 guard — all shared wire
-    # path), the 34 remaining r9 greens (the block drains), and the 4
-    # alphabetically-first r10 greens: 1+11+34+4 = 50 exactly; the other
-    # 39 r10 greens queue FIRST for r16.
-    assert names[0] == "saprfc_pushdown_line_wrap"
-    assert names[1:12] == [
-        "saprfc_pushdown",
-        "saprfc_pushdown_in_like",
-        "saprfc_pushdown_suffix_contains",
-        "saprfc_pushdown_disjunction",
-        "saprfc_stream_pushdown",
-        "saprfc_scan_typed",
-        "saprfc_projection",
-        "saprfc_limit_pushdown",
-        "saprfc_stream_scan",
-        "saprfc_stream_incremental",
-        "saprfc_stream_projection",
+    # round-16 window layout (criticality order): no never-hash-checked
+    # entries (optimization round, nothing added); the 22 changed-since-
+    # green builders lead (5 r15 optimization rewrites the r15 advisor
+    # flagged as owed + 17 r16 rewrites: bitset verify family, SF-adaptive
+    # materialization sites, recursive-chain view binding), then 28 of the
+    # 35 remaining r10 greens: 22+28 = 50 exactly; the last 7 r10 greens
+    # queue FIRST for r17.
+    assert names[0] == "q2_min_cost_supplier"
+    assert names[1:22] == [
+        "text_bigram_pmi",
+        "events_peak_concurrency",
+        "agg_equidepth_histogram",
+        "join_bloom_prefilter",
+        "dedup_jaccard_pairs",
+        "dedup_minhash_lsh",
+        "dedup_minhash_recall",
+        "dedup_incremental_jaccard",
+        "dedup_connected_components",
+        "dedup_cluster_canonical",
+        "dedup_containment_pairs",
+        "text_tfidf_topk",
+        "text_unigram_logprob",
+        "text_bm25_topk",
+        "pipeline_decontaminate",
+        "events_funnel",
+        "ingest_merge_upsert",
+        "ingest_merge_into_route",
+        "ann_matryoshka_recall",
+        "lake_snapshot_diff",
+        "sql_recursive_chain",
     ]
     for probe in (
-        # final r9 rotation block (the r14 ballast list)
-        "distinct_flags", "join_shuffle_hash", "mm_wav_features",
-        "stream_kll_maintenance", "union_all",
-        # alphabetical r10 prefix (ann_label_match is slot 51 — first
-        # past the line, leading the r16 ballast)
-        "agg_approx_distinct_error", "agg_percentiles", "ann_bruteforce_topk",
+        # oldest-r10-green rotation block (alphabetical)
+        "ann_label_match", "dedup_exact_bucketed", "fn_regex",
+        "join_interval_overlap", "q12_late_shipments", "stream_windowed_topk",
     ):
         assert names.index(probe) < 50, probe
-    assert names[50] == "ann_label_match"
+    assert names[50] == "subquery_exists"  # first past the line for r17
     # since r9 every registry query carries an oracle — the whole window
     # (and everything past it) is hash-checked
     window_rows_only = [n for n in names[:50] if reg[n].oracle is None]
