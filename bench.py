@@ -372,6 +372,37 @@ changed saprfc family reads AT or BELOW its r14 certified numbers in
 every run).  bench_out_certified.json holds run 5 per the mechanical
 most-recent-in-band policy; the gate's job this round was proven by
 run 3's mid-run flag.
+
+ROUND-16 PROTOCOL VALIDATION (per-query suspect re-run + mid-run mc
+sample + --changed spot mode live — the r15 verdict item 1/4 hardening):
+three full runs on a wave-contended host —
+  run 1 (round-start code): calib 0.474, mc 0.867/0.547/1.201 — gate
+    FLAGGED (the baseline read for the round); the suspect machinery's
+    first firing re-ran q1_pricing_summary 1.672 -> 1.132 s with both
+    readings in the suspect_reruns audit map.
+  run 2 (final code): calib 0.556, mc 0.612/0.855/0.458 — the MID
+    sample alone caught a wave the start/end samples bracket-missed
+    (the exact BENCH_r14 shape the r15 verdict asked the mid sample to
+    close); gate FLAGGED, certified not refreshed, random rows 10-20x
+    (q2 20.6 s vs 0.86 s standalone minutes earlier).
+  run 3 (final code, launched after polling the mc probe to a calm
+    0.414): calib 0.640, mc 0.501/0.522/0.548 — gate PASSED, zero
+    errors, zero suspect re-runs needed, headline 14.847 s raw =
+    23.198 normalized (0.82x the frozen value_norm — the best
+    normalized headline of any round), all-rows total 354.6 s (r15
+    committed runs: 401-513 s).  bench_out_certified.json holds this
+    run.  The bitset-verify rework (r16) reads
+    _shared_pair_frame_build[sf0.1] = 5.200 s (tokenize 0.229 /
+    candidates 3.896 / verify 1.075 — the verify stage was 22.7-43.4 s
+    in the r15 artifacts) and dedup_incremental_jaccard = 4.475 s
+    in-bench / 1.58-2.0 s standalone (r15 band 7.8-9.1 s).  9 rows read
+    >2x frozen normalized, every one corroborated standalone at band
+    immediately after (containment 2.7-4.2 vs 17.9 in-bench,
+    text_bigram_pmi 1.6-2.1 vs 8.7, lsh verify 0.87 warm vs 11.9 — the
+    documented first-heavy-execution C2/position class; the rest
+    sub-3s absolutes).  NO baseline rows repriced: the reworked line
+    items read BELOW their frozen rows, so the comparison stays valid
+    and the additions-only freeze property holds.
 """
 
 from __future__ import annotations
