@@ -403,6 +403,18 @@ three full runs on a wave-contended host —
     sub-3s absolutes).  NO baseline rows repriced: the reworked line
     items read BELOW their frozen rows, so the comparison stays valid
     and the additions-only freeze property holds.
+  run 4 (same code, second calm-mc window): calib 0.990 (the 1-core
+    sample DOUBLED while mc read a calm 0.491/0.511/0.437 — the inverse
+    of the r14 blind spot, and the 1c gate correctly held the certified
+    refresh), **zero rows >2x frozen normalized** (ties r14's best
+    zero-spike run), zero errors, all-rows total 265.8 s raw, headline
+    14.387 s raw; the suspect machinery re-ran q3_shipping_priority
+    5.081 -> 0.957 s.  Reworked items: pair build 13.054 s in-bench
+    (verify 5.548 — position variance on a 1.1-5.5 s stage, vs
+    22.7-43.4 s before the rework), incremental 2.496 s, containment
+    3.475 s, pmi 1.955 s, LSH pipeline 9.065 s (verify 6.957 in-bench
+    vs 0.87 s warm standalone — the priced class, now on a sub-second
+    kernel).
 """
 
 from __future__ import annotations
